@@ -1,0 +1,135 @@
+"""DELTA_LENGTH_BYTE_ARRAY and DELTA_BYTE_ARRAY for string/binary columns.
+
+Wire shapes match the reference:
+  DELTA_LENGTH (/root/reference/type_bytearray.go:143-187): all lengths as one
+    DELTA_BINARY_PACKED int32 stream, then the concatenated payload bytes.
+  DELTA_BYTE_ARRAY (/root/reference/type_bytearray.go:242-292): shared-prefix
+    lengths as DELTA_BINARY_PACKED, then the suffixes as DELTA_LENGTH
+    (prefix fn mirrored from /root/reference/helpers.go:234-246).
+
+Both operate on Arrow-style (offsets, data) pairs. Prefix lengths are computed
+fully vectorized via a padded byte matrix (guarded by _MAX_PAD; longer values
+fall back to a per-row loop, which only triggers on pathological strings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import delta
+
+_MAX_PAD = 1024  # bytes per value for the vectorized prefix matrix
+
+
+def _to_padded_matrix(offsets: np.ndarray, data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    n = len(lengths)
+    maxlen = int(lengths.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    mask = np.arange(maxlen)[None, :] < lengths[:, None]
+    mat[mask] = np.asarray(data, dtype=np.uint8)[int(offsets[0]) : int(offsets[-1])]
+    return mat
+
+
+def encode_delta_length(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lengths = np.diff(offsets).astype(np.int32)
+    payload = np.asarray(data, dtype=np.uint8)[int(offsets[0]) : int(offsets[-1])].tobytes()
+    lens_enc = delta.encode(lengths, 32)
+    return len(lens_enc).to_bytes(4, "little") + lens_enc + payload
+
+
+def decode_delta_length(data, count: int) -> tuple[np.ndarray, np.ndarray]:
+    buf = bytes(data)
+    lens_size = int.from_bytes(buf[:4], "little")
+    lengths = delta.decode(buf[4 : 4 + lens_size], 32).astype(np.int64)
+    if len(lengths) != count:
+        raise ValueError(f"delta_length: expected {count} lengths, got {len(lengths)}")
+    offsets = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    payload = np.frombuffer(buf, dtype=np.uint8, offset=4 + lens_size)
+    return offsets, payload[: int(offsets[-1])].copy()
+
+
+def prefix_lengths(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Common-prefix length of each value with its predecessor (first -> 0).
+
+    Semantics of /root/reference/helpers.go:234-246, vectorized.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    out = np.zeros(n, dtype=np.int32)
+    if n <= 1:
+        return out
+    maxlen = int(lengths.max())
+    if maxlen <= _MAX_PAD:
+        mat = _to_padded_matrix(offsets, data, lengths)
+        pair_min = np.minimum(lengths[1:], lengths[:-1]).astype(np.int64)
+        neq = mat[1:] != mat[:-1]
+        # first mismatch column; all-equal rows -> maxlen sentinel
+        first_neq = np.where(neq.any(axis=1), neq.argmax(axis=1), maxlen)
+        out[1:] = np.minimum(first_neq, pair_min)
+    else:
+        d = np.asarray(data, dtype=np.uint8)
+        for i in range(1, n):
+            a = d[offsets[i - 1] : offsets[i]]
+            b = d[offsets[i] : offsets[i + 1]]
+            m = min(len(a), len(b))
+            neq = a[:m] != b[:m]
+            out[i] = int(neq.argmax()) if neq.any() else m
+    return out
+
+
+def encode_delta_byte_array(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    pref = prefix_lengths(offsets, data).astype(np.int64)
+    suf_lengths = lengths - pref
+    total = int(suf_lengths.sum())
+    # gather suffix bytes (ragged, vectorized)
+    d = np.asarray(data, dtype=np.uint8)
+    src_starts = offsets[:-1] + pref
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(suf_lengths[:-1])]), suf_lengths
+        )
+        suffix_data = d[np.repeat(src_starts, suf_lengths) + within]
+    else:
+        suffix_data = np.empty(0, dtype=np.uint8)
+    suf_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(suf_lengths, out=suf_offsets[1:])
+    pref_enc = delta.encode(pref.astype(np.int32), 32)
+    return (
+        len(pref_enc).to_bytes(4, "little")
+        + pref_enc
+        + encode_delta_length(suf_offsets, suffix_data)
+    )
+
+
+def decode_delta_byte_array(data, count: int) -> tuple[np.ndarray, np.ndarray]:
+    buf = bytes(data)
+    psize = int.from_bytes(buf[:4], "little")
+    pref = delta.decode(buf[4 : 4 + psize], 32).astype(np.int64)
+    suf_offsets, suf_data = decode_delta_length(buf[4 + psize :], count)
+    suf_lengths = np.diff(suf_offsets)
+    lengths = pref + suf_lengths
+    offsets = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    out = np.empty(total, dtype=np.uint8)
+    # Reconstruction is inherently sequential (each value copies from the
+    # previous decoded value) — loop over values, vectorized per-value copies.
+    # The reference does the same one value at a time
+    # (/root/reference/type_bytearray.go:189-240).
+    prev_start = 0
+    for i in range(count):
+        s = int(offsets[i])
+        p = int(pref[i])
+        if p:
+            out[s : s + p] = out[prev_start : prev_start + p]
+        sl = int(suf_lengths[i])
+        if sl:
+            out[s + p : s + p + sl] = suf_data[suf_offsets[i] : suf_offsets[i] + sl]
+        prev_start = s
+    return offsets, out

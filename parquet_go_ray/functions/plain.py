@@ -1,0 +1,109 @@
+"""PLAIN encodings for all physical types.
+
+Same wire shapes as the reference's plain encoders
+(/root/reference/type_int32.go:33-53, type_int64.go, type_float.go,
+type_double.go, type_boolean.go:71-98, type_bytearray.go:57-96): little-endian
+fixed-width dumps; booleans LSB bit-packed; variable byte arrays as 4-byte LE
+length prefix + payload; fixed-length byte arrays as raw payload.
+
+All encoders take/return numpy arrays (byte arrays take (offsets, data) pairs
+straight out of Arrow buffers) so the hot path never touches Python objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FIXED = {
+    "int32": np.dtype("<i4"),
+    "int64": np.dtype("<i8"),
+    "uint32": np.dtype("<u4"),
+    "uint64": np.dtype("<u8"),
+    "float32": np.dtype("<f4"),
+    "float64": np.dtype("<f8"),
+    "int16": np.dtype("<i2"),
+    "uint16": np.dtype("<u2"),
+    "int8": np.dtype("<i1"),
+    "uint8": np.dtype("<u1"),
+}
+
+
+def encode_fixed(values: np.ndarray) -> bytes:
+    dt = _FIXED[values.dtype.name]
+    return np.ascontiguousarray(values, dtype=dt).tobytes()
+
+
+def decode_fixed(data, dtype: str, count: int) -> np.ndarray:
+    dt = _FIXED[dtype]
+    return np.frombuffer(data, dtype=dt, count=count)
+
+
+def encode_bool(values: np.ndarray) -> bytes:
+    return np.packbits(np.ascontiguousarray(values, dtype=np.uint8), bitorder="little").tobytes()
+
+
+def decode_bool(data, count: int) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little", count=count).astype(np.bool_)
+
+
+def encode_byte_array(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    """Variable byte arrays -> [len:u32le payload]*  (vectorized scatter)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if n == 0:
+        return b""
+    lengths = np.diff(offsets)
+    total_data = int(lengths.sum())
+    dst_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(4 + lengths[:-1], out=dst_starts[1:])
+    out = np.empty(4 * n + total_data, dtype=np.uint8)
+    # length prefixes
+    prefix_idx = dst_starts[:, None] + np.arange(4)
+    out[prefix_idx.ravel()] = lengths.astype("<u4").view(np.uint8).reshape(n, 4).ravel()
+    # payloads: ragged gather->scatter
+    if total_data:
+        src = np.asarray(data, dtype=np.uint8)[int(offsets[0]) : int(offsets[-1])]
+        src_starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+        within = np.arange(total_data, dtype=np.int64) - np.repeat(src_starts, lengths)
+        dst_idx = np.repeat(dst_starts + 4, lengths) + within
+        out[dst_idx] = src
+    return out.tobytes()
+
+
+def decode_byte_array(data, count: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_byte_array -> (offsets int32, data uint8).
+
+    The length chain forces a sequential parse (like the reference's
+    /root/reference/type_bytearray.go:13-55); PLAIN is not the preferred
+    encoding for strings — DELTA_LENGTH_BYTE_ARRAY decodes fully vectorized.
+    """
+    buf = bytes(data)
+    offsets = np.zeros(count + 1, dtype=np.int64)
+    if count == 0:
+        return offsets.astype(np.int32), np.empty(0, dtype=np.uint8)
+    lengths = np.empty(count, dtype=np.int64)
+    pos = 0
+    for i in range(count):
+        ln = int.from_bytes(buf[pos : pos + 4], "little")
+        lengths[i] = ln
+        pos += 4 + ln
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    out = np.empty(total, dtype=np.uint8)
+    src = np.frombuffer(buf, dtype=np.uint8)
+    src_starts = np.empty(count, dtype=np.int64)
+    src_starts[0] = 4
+    np.cumsum(lengths[:-1] + 4, out=src_starts[1:])
+    src_starts[1:] += 4
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        out[:] = src[np.repeat(src_starts, lengths) + within]
+    return offsets.astype(np.int32) if total <= np.iinfo(np.int32).max else offsets, out
+
+
+def encode_fixed_len_byte_array(data: np.ndarray) -> bytes:
+    return np.ascontiguousarray(data, dtype=np.uint8).tobytes()
+
+
+def decode_fixed_len_byte_array(data, type_length: int, count: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8, count=type_length * count)

@@ -1,0 +1,373 @@
+"""Encode/decode one shredded stream (column chunk) with codec auto-selection.
+
+This is the moral equivalent of the reference's ``writeChunk``/``readChunk``
+(/root/reference/chunk_writer.go:154-317, chunk_reader.go:299-362): per
+stream pick a codec (dictionary decided chunk-wide like the reference's
+chunk-flush re-decision at chunk_writer.go:174-209), cut pages at a byte
+budget (~1 MiB uncompressed estimate, data_store.go:149-154), compress each
+page, and record per-page offsets + stats for the footer.
+
+All values-level work is numpy/pyarrow vectorized; Python only orchestrates
+per-page bookkeeping.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import bitpack, bytearray as ba, delta, dictionary, forr, fsst, hybrid, plain
+from ..functions.shred import Stream
+from ..state import selector as sel
+
+DEFAULT_PAGE_BYTES = 1 << 20  # reference default max page size
+
+
+@dataclass
+class EncodeConfig:
+    mode: str = sel.MODE_EXTENDED  # selector mode: "reference" | "extended"
+    compression: str = "snappy"  # per-page: none | snappy | zstd | gzip | lz4
+    page_bytes: int = DEFAULT_PAGE_BYTES
+    crc: bool = True
+    column_codecs: dict = field(default_factory=dict)  # path -> forced codec name
+
+
+def _compress(payload: bytes, codec: str) -> bytes:
+    if codec == "none" or not payload:
+        return payload
+    return pa.compress(payload, codec=codec).to_pybytes()
+
+
+def _decompress(payload: bytes, codec: str, usize: int) -> bytes:
+    if codec == "none" or usize == 0:
+        return payload
+    return pa.decompress(payload, decompressed_size=usize, codec=codec).to_pybytes()
+
+
+_INT_CLASS = {"int8": 32, "int16": 32, "int32": 32, "uint8": 32, "uint16": 32, "uint32": 32,
+              "int64": 64, "uint64": 64}
+
+
+def _to_class(values: np.ndarray, dtype: str) -> tuple[np.ndarray, int]:
+    nbits = _INT_CLASS[dtype]
+    if nbits == 32:
+        if values.dtype.itemsize < 4:
+            return values.astype(np.int32), 32
+        return values.view(np.int32), 32
+    return values.view(np.int64), 64
+
+
+def _from_class(values: np.ndarray, dtype: str) -> np.ndarray:
+    if values.dtype.itemsize == np.dtype(dtype).itemsize:
+        return values.view(dtype)
+    return values.astype(dtype)
+
+
+def _page_slices(n: int, per_value_bytes: float, page_bytes: int) -> list[tuple[int, int]]:
+    if n == 0:
+        return [(0, 0)]
+    per_page = max(1, int(page_bytes / max(per_value_bytes, 1e-9)))
+    return [(i, min(i + per_page, n)) for i in range(0, n, per_page)]
+
+
+def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], dict]:
+    """Returns (page payload blobs in order, stream meta dict).
+
+    Meta: {path, kind, dtype, codec, compression, num_values, pages:[...],
+    dict: {...}|None, stats:{...}}. Page/dict offsets are assigned by the file
+    writer when it lays blobs into the file.
+    """
+    kind, dtype = stream.kind, stream.dtype
+    forced = config.column_codecs.get(stream.path)
+    blobs: list[bytes] = []
+    pages: list[dict] = []
+    dict_meta = None
+    stats: dict = {}
+
+    def add_page(payload: bytes, num_values: int) -> None:
+        comp = _compress(payload, config.compression)
+        pages.append(
+            {
+                "size": len(comp),
+                "usize": len(payload),
+                "num_values": num_values,
+                "crc32": zlib.crc32(payload) & 0xFFFFFFFF if config.crc else None,
+            }
+        )
+        blobs.append(comp)
+
+    if kind == "validity":
+        v = np.asarray(stream.data, dtype=np.uint64)
+        codec = "HYBRID1"
+        stats = {"null_count": int(stream.num_values - int(v.sum()))}
+        for lo, hi in _page_slices(len(v), 0.125, config.page_bytes):
+            add_page(hybrid.encode(v[lo:hi], 1), hi - lo)
+    elif kind == "values" and dtype == "bool":
+        v = np.asarray(stream.data, dtype=np.uint64)
+        codec = forced or sel.choose_bool_codec(np.asarray(stream.data), config.mode).codec
+        for lo, hi in _page_slices(len(v), 0.125, config.page_bytes):
+            if codec == "RLE_BOOL":
+                add_page(hybrid.encode(v[lo:hi], 1), hi - lo)
+            else:
+                add_page(plain.encode_bool(np.asarray(stream.data)[lo:hi]), hi - lo)
+    elif kind in ("values", "lengths") and dtype in _INT_CLASS:
+        raw = np.asarray(stream.data)
+        v, nbits = _to_class(raw, dtype)
+        st = sel.int_stats(v, nbits)
+        stats = {"min": int(st.min) if st.num_values else None,
+                 "max": int(st.max) if st.num_values else None,
+                 "distinct": st.distinct}
+        codec = forced or sel.choose_int_codec(st, config.mode).codec
+        if codec == "DICT":
+            uniq, inv = np.unique(v, return_inverse=True)
+            if len(uniq) > sel.DICT_MAX_CARD:  # forced dict past cutoff: fall back like the reference
+                codec = "PLAIN"
+            else:
+                dpayload = plain.encode_fixed(uniq)
+                dcomp = _compress(dpayload, config.compression)
+                dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq),
+                             "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+                blobs.append(dcomp)
+                for lo, hi in _page_slices(len(v), max(bitpack.bit_width(max(len(uniq) - 1, 0)), 1) / 8, config.page_bytes):
+                    add_page(dictionary.encode_indices(inv[lo:hi], len(uniq)), hi - lo)
+        if codec != "DICT":
+            for lo, hi in _page_slices(len(v), v.dtype.itemsize, config.page_bytes):
+                pv = v[lo:hi]
+                if codec == "PLAIN":
+                    add_page(plain.encode_fixed(pv), hi - lo)
+                elif codec == "DELTA_BP":
+                    add_page(delta.encode(pv, nbits), hi - lo)
+                elif codec == "FOR":
+                    add_page(forr.encode(pv, nbits, forr.MODE_FOR), hi - lo)
+                elif codec == "FOR_DELTA":
+                    add_page(forr.encode(pv, nbits, forr.MODE_FOR_DELTA), hi - lo)
+                else:
+                    raise ValueError(f"unknown int codec {codec}")
+    elif kind == "values":  # float32 / float64
+        raw = np.asarray(stream.data)
+        bits = raw.view(np.uint32 if raw.dtype.itemsize == 4 else np.uint64)
+        st = sel.int_stats(bits.view(np.int32 if raw.dtype.itemsize == 4 else np.int64), 32 if raw.dtype.itemsize == 4 else 64)
+        stats = {"distinct": st.distinct}
+        if len(raw):
+            finite = raw[np.isfinite(raw)]
+            if len(finite):
+                stats["min"], stats["max"] = float(finite.min()), float(finite.max())
+        dict_ok = st.distinct is not None and st.distinct <= sel.DICT_MAX_CARD
+        codec = forced or ("DICT" if dict_ok and (config.mode == sel.MODE_REFERENCE or st.unique_bytes + st.num_values * bitpack.bit_width(max((st.distinct or 1) - 1, 0)) / 8 < st.plain_size) else "PLAIN")
+        if codec == "DICT" and dict_ok:
+            uniq_bits, inv = np.unique(bits, return_inverse=True)
+            dpayload = plain.encode_fixed(uniq_bits.view(raw.dtype))
+            dcomp = _compress(dpayload, config.compression)
+            dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq_bits),
+                         "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+            blobs.append(dcomp)
+            for lo, hi in _page_slices(len(raw), max(bitpack.bit_width(max(len(uniq_bits) - 1, 0)), 1) / 8, config.page_bytes):
+                add_page(dictionary.encode_indices(inv[lo:hi], len(uniq_bits)), hi - lo)
+        else:
+            codec = "PLAIN"
+            for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
+                add_page(plain.encode_fixed(raw[lo:hi]), hi - lo)
+    elif kind == "bytes":
+        offsets, data = stream.data
+        offsets = np.asarray(offsets, dtype=np.int64)
+        n = len(offsets) - 1
+        st = sel.bytes_stats(offsets, np.asarray(data))
+        stats = {"distinct": st.distinct}
+        if forced:
+            codec = forced
+        else:
+            pref_ratio = 0.0
+            if n > 1:
+                pl = ba.prefix_lengths(offsets, np.asarray(data))
+                total = max(int(offsets[-1] - offsets[0]), 1)
+                pref_ratio = float(pl.sum()) / total
+            fsst_est = None
+            if config.mode == sel.MODE_EXTENDED and n:
+                d = np.asarray(data, dtype=np.uint8)[int(offsets[0]) : int(offsets[-1])]
+                sample = d[: 1 << 16]
+                if len(sample) >= 64:
+                    table = fsst.train(sample)
+                    if len(table):
+                        enc = fsst.encode(sample, table)
+                        ratio = len(enc) / max(len(sample), 1)
+                        fsst_est = int(ratio * (int(offsets[-1] - offsets[0]))) + n // 4 + 64
+            codec = sel.choose_bytes_codec(st, config.mode, prefix_ratio=pref_ratio, fsst_est=fsst_est).codec
+        if codec == "DICT" and (st.distinct is None or st.distinct > sel.DICT_MAX_CARD):
+            codec = "PLAIN_BA"
+        avg = (int(offsets[-1] - offsets[0]) / n + 4) if n else 1
+        if codec == "DICT":
+            arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(np.ascontiguousarray(offsets - offsets[0], dtype=np.int32)),
+                 pa.py_buffer(np.ascontiguousarray(np.asarray(data, dtype=np.uint8)[int(offsets[0]):int(offsets[-1])]))],
+            )
+            denc = arr.dictionary_encode()
+            duniq = denc.dictionary
+            inv = np.asarray(denc.indices, dtype=np.int64)
+            doff = np.frombuffer(duniq.buffers()[1], dtype=np.int32, count=len(duniq) + 1, offset=duniq.offset * 4).astype(np.int64)
+            ddata = np.frombuffer(duniq.buffers()[2], dtype=np.uint8) if duniq.buffers()[2] is not None else np.empty(0, np.uint8)
+            dpayload = plain.encode_byte_array(doff, ddata)
+            dcomp = _compress(dpayload, config.compression)
+            dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(duniq),
+                         "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+            blobs.append(dcomp)
+            for lo, hi in _page_slices(n, max(bitpack.bit_width(max(len(duniq) - 1, 0)), 1) / 8, config.page_bytes):
+                add_page(dictionary.encode_indices(inv[lo:hi], len(duniq)), hi - lo)
+        else:
+            d = np.asarray(data, dtype=np.uint8)
+            for lo, hi in _page_slices(n, avg, config.page_bytes):
+                po = offsets[lo : hi + 1]
+                if codec == "PLAIN_BA":
+                    add_page(plain.encode_byte_array(po, d), hi - lo)
+                elif codec == "DELTA_LENGTH_BA":
+                    add_page(ba.encode_delta_length(po, d), hi - lo)
+                elif codec == "DELTA_BA":
+                    add_page(ba.encode_delta_byte_array(po, d), hi - lo)
+                elif codec == "FSST_BA":
+                    lens_enc = delta.encode(np.diff(po).astype(np.int32), 32)
+                    payload_bytes = d[int(po[0]) : int(po[-1])]
+                    table = fsst.train(payload_bytes)
+                    fenc = fsst.encode(payload_bytes, table)
+                    add_page(len(lens_enc).to_bytes(4, "little") + lens_enc + fenc, hi - lo)
+                else:
+                    raise ValueError(f"unknown bytes codec {codec}")
+    else:
+        raise ValueError(f"unknown stream kind {kind} dtype {dtype}")
+
+    meta = {
+        "path": stream.path,
+        "kind": kind,
+        "dtype": dtype,
+        "codec": codec,
+        "compression": config.compression,
+        "num_values": stream.num_values,
+        "pages": pages,
+        "dict": dict_meta,
+        "stats": stats,
+    }
+    return blobs, meta
+
+
+def decode_stream(meta: dict, read_at) -> Stream:
+    """Rebuild a Stream. ``read_at(offset, size) -> bytes`` supplies file data."""
+    codec = meta["codec"]
+    comp = meta["compression"]
+    kind, dtype = meta["kind"], meta["dtype"]
+    crc_check = True
+
+    def page_payload(p: dict) -> bytes:
+        raw = read_at(p["offset"], p["size"])
+        payload = _decompress(raw, comp, p["usize"])
+        if crc_check and p.get("crc32") is not None:
+            actual = zlib.crc32(payload) & 0xFFFFFFFF
+            if actual != p["crc32"]:
+                raise ValueError(f"CRC mismatch on {meta['path']} page @{p['offset']}")
+        return payload
+
+    dict_values = None
+    if meta.get("dict"):
+        dmeta = meta["dict"]
+        draw = read_at(dmeta["offset"], dmeta["size"])
+        dpayload = _decompress(draw, comp, dmeta["usize"])
+        if crc_check and dmeta.get("crc32") is not None and (zlib.crc32(dpayload) & 0xFFFFFFFF) != dmeta["crc32"]:
+            raise ValueError(f"CRC mismatch on {meta['path']} dict page")
+        if kind == "bytes":
+            dict_values = plain.decode_byte_array(dpayload, dmeta["num_values"])
+        elif dtype in _INT_CLASS:
+            nbits = _INT_CLASS[dtype]
+            dict_values = plain.decode_fixed(dpayload, "int32" if nbits == 32 else "int64", dmeta["num_values"])
+        else:  # float
+            dict_values = plain.decode_fixed(dpayload, dtype, dmeta["num_values"])
+
+    if kind == "validity":
+        parts = [hybrid.decode(page_payload(p), 1, p["num_values"]).astype(np.bool_) for p in meta["pages"]]
+        return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, np.bool_), meta["num_values"])
+
+    if kind == "values" and dtype == "bool":
+        parts = []
+        for p in meta["pages"]:
+            payload = page_payload(p)
+            if codec == "RLE_BOOL":
+                parts.append(hybrid.decode(payload, 1, p["num_values"]).astype(np.bool_))
+            else:
+                parts.append(plain.decode_bool(payload, p["num_values"]))
+        return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, np.bool_), meta["num_values"])
+
+    if kind in ("values", "lengths") and dtype in _INT_CLASS:
+        nbits = _INT_CLASS[dtype]
+        cls_dtype = "int32" if nbits == 32 else "int64"
+        parts = []
+        for p in meta["pages"]:
+            payload = page_payload(p)
+            if codec == "DICT":
+                idx = dictionary.decode_indices(payload, p["num_values"])
+                parts.append(dict_values[idx])
+            elif codec == "PLAIN":
+                parts.append(plain.decode_fixed(payload, cls_dtype, p["num_values"]))
+            elif codec == "DELTA_BP":
+                parts.append(delta.decode(payload, nbits))
+            elif codec in ("FOR", "FOR_DELTA"):
+                parts.append(forr.decode(payload))
+            else:
+                raise ValueError(f"unknown int codec {codec}")
+        v = np.concatenate(parts) if parts else np.empty(0, cls_dtype)
+        return Stream(meta["path"], kind, dtype, _from_class(v, dtype), meta["num_values"])
+
+    if kind == "values":  # float
+        parts = []
+        for p in meta["pages"]:
+            payload = page_payload(p)
+            if codec == "DICT":
+                idx = dictionary.decode_indices(payload, p["num_values"])
+                parts.append(dict_values[idx])
+            else:
+                parts.append(plain.decode_fixed(payload, dtype, p["num_values"]))
+        return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, dtype), meta["num_values"])
+
+    if kind == "bytes":
+        all_offsets = [np.zeros(1, dtype=np.int64)]
+        datas = []
+        base = 0
+        if codec == "DICT":
+            doff, ddata = dict_values
+            lengths_d = np.diff(doff)
+        for p in meta["pages"]:
+            payload = page_payload(p)
+            nv = p["num_values"]
+            if codec == "DICT":
+                idx = dictionary.decode_indices(payload, nv).astype(np.int64)
+                lens = lengths_d[idx]
+                po = np.zeros(nv + 1, dtype=np.int64)
+                np.cumsum(lens, out=po[1:])
+                total = int(po[-1])
+                if total:
+                    within = np.arange(total, dtype=np.int64) - np.repeat(po[:-1], lens)
+                    pd_bytes = np.asarray(ddata)[np.repeat(doff[idx], lens) + within]
+                else:
+                    pd_bytes = np.empty(0, np.uint8)
+            elif codec == "PLAIN_BA":
+                po, pd_bytes = plain.decode_byte_array(payload, nv)
+            elif codec == "DELTA_LENGTH_BA":
+                po, pd_bytes = ba.decode_delta_length(payload, nv)
+            elif codec == "DELTA_BA":
+                po, pd_bytes = ba.decode_delta_byte_array(payload, nv)
+            elif codec == "FSST_BA":
+                ls = int.from_bytes(payload[:4], "little")
+                lens = delta.decode(payload[4 : 4 + ls], 32).astype(np.int64)
+                pd_bytes = fsst.decode(payload[4 + ls :])
+                po = np.zeros(nv + 1, dtype=np.int64)
+                np.cumsum(lens, out=po[1:])
+            else:
+                raise ValueError(f"unknown bytes codec {codec}")
+            po = np.asarray(po, dtype=np.int64)
+            all_offsets.append(po[1:] - po[0] + base)
+            base += int(po[-1] - po[0])
+            datas.append(np.asarray(pd_bytes, dtype=np.uint8))
+        offsets = np.concatenate(all_offsets)
+        data = np.concatenate(datas) if datas else np.empty(0, np.uint8)
+        return Stream(meta["path"], kind, dtype, (offsets, data), meta["num_values"])
+
+    raise ValueError(f"unknown stream kind {kind}")

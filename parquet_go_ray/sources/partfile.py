@@ -1,0 +1,133 @@
+"""Partition file layout + atomic write + read.
+
+File layout (own format; the parquet analogy is one row group per file, the
+layout role of /root/reference/file_writer.go:297-350's footer):
+
+    magic  b"RDPG1\\x00"
+    [page + dict-page blobs, concatenated]
+    footer: JSON (schema IPC base64, per-stream codec/pages/stats)
+    footer_len: u32 LE
+    magic
+
+Writes are atomic (tmp file + rename) so a partially-written partition never
+looks committed — the resume path (state/manifest.py) relies on this.
+``write_partition`` returns the lineage record for the manifest: partition id,
+per-stream codec choices, page counts, bytes in/out, crc — the checkpoint
+record the north rule requires.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.shred import Stream, assemble, shred
+from .columns import EncodeConfig, decode_stream, encode_stream
+
+MAGIC = b"RDPG1\x00"
+
+
+def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[bytes, dict]:
+    """Encode a pa.Table into partition-file bytes + lineage record."""
+    config = config or EncodeConfig()
+    table = table.combine_chunks()
+    streams: list[Stream] = []
+    for name in table.column_names:
+        col = table.column(name)
+        arr = col.chunk(0) if col.num_chunks else pa.nulls(0, col.type)
+        shred(arr, name, streams)
+
+    body = bytearray(MAGIC)
+    stream_metas = []
+    bytes_in = table.nbytes
+    for st in streams:
+        blobs, meta = encode_stream(st, config)
+        bi = 0
+        if meta.get("dict"):
+            meta["dict"]["offset"] = len(body)
+            body.extend(blobs[0])
+            bi = 1
+        for p, blob in zip(meta["pages"], blobs[bi:]):
+            p["offset"] = len(body)
+            body.extend(blob)
+        stream_metas.append(meta)
+
+    footer = {
+        "version": 1,
+        "num_rows": table.num_rows,
+        "schema_ipc": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
+        "streams": stream_metas,
+    }
+    fbytes = json.dumps(footer).encode()
+    body.extend(fbytes)
+    body.extend(len(fbytes).to_bytes(4, "little"))
+    body.extend(MAGIC)
+
+    lineage = {
+        "num_rows": table.num_rows,
+        "bytes_in": int(bytes_in),
+        "bytes_out": len(body),
+        "codecs": {m["path"]: m["codec"] for m in stream_metas},
+        "pages": {m["path"]: len(m["pages"]) for m in stream_metas},
+        "crc32": zlib.crc32(bytes(body)) & 0xFFFFFFFF,
+    }
+    return bytes(body), lineage
+
+
+def write_partition(table: pa.Table, path: str, config: EncodeConfig | None = None) -> dict:
+    """Atomic write (tmp + rename); returns the lineage record incl. path."""
+    body, lineage = encode_table(table, config)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(body)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    lineage["path"] = path
+    return lineage
+
+
+def read_footer(blob: bytes) -> dict:
+    if blob[: len(MAGIC)] != MAGIC or blob[-len(MAGIC) :] != MAGIC:
+        raise ValueError("not an RDPG partition file (bad magic)")
+    flen = int.from_bytes(blob[-len(MAGIC) - 4 : -len(MAGIC)], "little")
+    fstart = len(blob) - len(MAGIC) - 4 - flen
+    return json.loads(blob[fstart : fstart + flen])
+
+
+def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode partition bytes to a pa.Table, optionally projecting columns.
+
+    Projection skips unrequested streams entirely (the analogue of the
+    reference's WithColumns chunk skipping, /root/reference/chunk_reader.go:271-297).
+    """
+    footer = read_footer(blob)
+    schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(footer["schema_ipc"])))
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+
+    def read_at(offset: int, size: int) -> bytes:
+        return blob[offset : offset + size]
+
+    wanted = {f.name for f in schema}
+    streams: dict[str, dict[str, Stream]] = {}
+    for meta in footer["streams"]:
+        root = meta["path"].split(".", 1)[0]
+        if root not in wanted:
+            continue
+        st = decode_stream(meta, read_at)
+        streams.setdefault(st.path, {})[st.kind] = st
+
+    arrays = [assemble(f.type, streams, f.name, footer["num_rows"]) for f in schema]
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def read_partition(path: str, columns: list[str] | None = None) -> pa.Table:
+    with open(path, "rb") as f:
+        return decode_table(f.read(), columns)

@@ -1,0 +1,185 @@
+"""Encode / decode pipelines over Ray Data.
+
+Ray-Data-first equivalents of the reference's write path
+(/root/reference/file_writer.go: NewFileWriter → AddData* → Close) and read
+path (file_reader.go: NextRow*), re-expressed as streaming Dataset stages:
+
+  read_parquet → map_batches(EncodeStage)  → lineage Dataset (tiny)
+  from_items(partition paths) → map_batches(DecodeStage) → rows Dataset
+
+Two partitioning strategies:
+  * ``encode_dataset`` — stateless: each incoming block becomes one partition
+    (partition id = content hash; idempotent under retries).
+  * ``encode_grouped`` — groupby-on-source with explicit salting: a driver
+    pre-pass counts rows per source, hot sources are split into
+    ceil(source_bytes / target_partition_bytes) salt buckets, cold sources
+    coalesce into one — the skew strategy the north rule mandates. Grouping
+    rows by source also makes per-partition dictionaries denser, directly
+    shrinking the dictionary pages (SURVEY.md §4.3). Partition ids are
+    ``<source>-<salt>``: deterministic by key, so resume skips completed
+    groups *before* any encode work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.columns import EncodeConfig
+from ..sources.partfile import write_partition
+from ..stages.codec import DecodeStage, EncodeStage, _lineage_table
+from ..state import manifest as mf
+
+DEFAULT_TARGET_PARTITION_BYTES = 128 << 20  # reference row-group default (split.go:26)
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster CPU count."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, ncpu))
+
+
+def encode_dataset(
+    ds: rd.Dataset,
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    *,
+    batch_rows: int | None = 64 * 1024,
+    concurrency=None,
+) -> rd.Dataset:
+    """Stateless encode: one partition per batch. Returns the lineage Dataset."""
+    return ds.map_batches(
+        EncodeStage,
+        fn_constructor_args=(out_dir, config or EncodeConfig()),
+        batch_format="pyarrow",
+        batch_size=batch_rows,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    )
+
+
+def plan_salts(
+    ds: rd.Dataset,
+    key: str,
+    target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+) -> dict[str, int]:
+    """Driver pre-pass: rows-per-key → salt fan-out per key (>=1).
+
+    Small result (one row per key); the per-key byte estimate uses the
+    dataset-wide mean row size.
+    """
+    counts = {r[key]: r["count()"] for r in ds.groupby(key).count().take_all()}
+    total_rows = sum(counts.values()) or 1
+    row_bytes = (ds.size_bytes() or total_rows) / total_rows
+    return {
+        k: max(1, int(np.ceil(c * row_bytes / target_partition_bytes))) for k, c in counts.items()
+    }
+
+
+def encode_grouped(
+    ds: rd.Dataset,
+    out_dir: str,
+    key: str = "source",
+    config: EncodeConfig | None = None,
+    *,
+    salt_col: str = "doc_id",
+    target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+    resume: bool = True,
+) -> rd.Dataset:
+    """Salted groupby-on-``key`` encode with deterministic partition ids.
+
+    The shuffle: one ``groupby([key, salt]).map_groups`` — a single all-to-all
+    exchange; everything else is embarrassingly parallel. Skew is handled by
+    the salt fan-out from :func:`plan_salts`; resume by the manifest id set.
+    """
+    cfg = config or EncodeConfig()
+    salts = plan_salts(ds, key, target_partition_bytes)
+    done = mf.completed_ids(out_dir) if resume else set()
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = np.asarray(pc.index_in(batch.column(key), pa.array(list(salts))))
+        fan = np.array(list(salts.values()), dtype=np.int64)[k]
+        if salt_col in batch.column_names:
+            h = _stable_hash(batch.column(salt_col))
+        else:
+            h = np.arange(batch.num_rows, dtype=np.int64)
+        salt = (h % np.maximum(fan, 1)).astype(np.int64)
+        return batch.append_column("__salt", pa.array(salt))
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        src = group.column(key)[0].as_py()
+        salt = group.column("__salt")[0].as_py()
+        pid = f"{src}-{salt:04d}"
+        if pid in done:
+            return _lineage_table(
+                {"partition_id": pid, "path": os.path.join(out_dir, f"part-{pid}.rdpg"),
+                 "num_rows": group.num_rows, "bytes_in": 0, "bytes_out": 0, "crc32": 0,
+                 "codecs": {}}
+            )
+        body_table = group.drop_columns(["__salt"])
+        lineage = write_partition(body_table, os.path.join(out_dir, f"part-{pid}.rdpg"), cfg)
+        lineage["partition_id"] = pid
+        mf.write_record(out_dir, lineage)
+        return _lineage_table(lineage)
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    return salted.groupby([key, "__salt"]).map_groups(encode_group, batch_format="pyarrow")
+
+
+def _stable_hash(col: pa.ChunkedArray) -> np.ndarray:
+    """Deterministic per-row int64 hash of a string/int column (FNV-1a over bytes,
+    vectorized; role of the reference's DefaultHashFunc /root/reference/helpers.go:16-24)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        v = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        h = v * np.uint64(0x100000001B3)
+        h ^= h >> np.uint64(29)
+        return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    arr = arr.cast(pa.string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    n = len(lengths)
+    maxlen = int(lengths.max()) if n else 0
+    # padded-matrix polynomial hash (vectorized)
+    mat = np.zeros((n, max(maxlen, 1)), dtype=np.uint64)
+    if maxlen:
+        mask = np.arange(maxlen)[None, :] < lengths[:, None]
+        mat[:, :maxlen][mask] = data[offsets[0] : offsets[-1]].astype(np.uint64)
+    p = np.uint64(1099511628211)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        h = (h ^ mat[:, j]) * p
+    h ^= lengths.view(np.uint64) if lengths.dtype == np.int64 else lengths.astype(np.uint64)
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def decode_dataset(
+    out_dir: str,
+    columns: list[str] | None = None,
+    *,
+    concurrency=None,
+) -> rd.Dataset:
+    """Read back an encoded run as a streaming Dataset of decoded rows."""
+    records = mf.load_records(out_dir)
+    if records:
+        paths = sorted({r["path"] for r in records})
+    else:
+        paths = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rdpg")
+        )
+    items = rd.from_items([{"path": p} for p in paths])
+    return items.map_batches(
+        DecodeStage,
+        fn_constructor_args=(columns,),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or _default_concurrency(),
+    )

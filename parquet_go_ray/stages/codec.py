@@ -1,0 +1,92 @@
+"""Encode/decode stages for Ray Data ``map_batches`` actor pools.
+
+EncodeStage is a callable CLASS: constructed once per actor, so per-actor
+state (config, selector tables) is amortized across batches — the Ray-native
+home of the reference's chunk-writer state (/root/reference/chunk_writer.go).
+Batches arrive as zero-copy Arrow tables; each batch becomes one partition
+file + one manifest/lineage row.
+
+Determinism under Ray retries: the partition id is a blake2b hash of the
+*encoded* body, a pure function of (batch content, config) — a retried task
+rewrites the same file with the same id (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+
+from ..sources.columns import EncodeConfig
+from ..sources.partfile import encode_table, read_partition
+from ..state import manifest as mf
+
+
+def partition_id_for(body: bytes) -> str:
+    return hashlib.blake2b(body, digest_size=12).hexdigest()
+
+
+class EncodeStage:
+    """pa.Table batch -> one partition file; emits the lineage row."""
+
+    def __init__(self, out_dir: str, config: EncodeConfig | None = None):
+        self.out_dir = out_dir
+        self.config = config or EncodeConfig()
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({k: pa.array([], type=t) for k, t in _LINEAGE_SCHEMA})
+        body, lineage = encode_table(batch, self.config)
+        pid = partition_id_for(body)
+        path = os.path.join(self.out_dir, f"part-{pid}.rdpg")
+        if not os.path.exists(path):  # idempotent under retries
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(body)
+            os.replace(tmp, path)
+        lineage["partition_id"] = pid
+        lineage["path"] = path
+        mf.write_record(self.out_dir, lineage)
+        return _lineage_table(lineage)
+
+
+_LINEAGE_SCHEMA = [
+    ("partition_id", pa.string()),
+    ("path", pa.string()),
+    ("num_rows", pa.int64()),
+    ("bytes_in", pa.int64()),
+    ("bytes_out", pa.int64()),
+    ("crc32", pa.int64()),
+    ("codecs", pa.string()),
+]
+
+
+def _lineage_table(lineage: dict) -> pa.Table:
+    import json
+
+    return pa.table(
+        {
+            "partition_id": [lineage["partition_id"]],
+            "path": [lineage["path"]],
+            "num_rows": [lineage["num_rows"]],
+            "bytes_in": [lineage["bytes_in"]],
+            "bytes_out": [lineage["bytes_out"]],
+            "crc32": [lineage["crc32"]],
+            "codecs": [json.dumps(lineage["codecs"])],
+        }
+    )
+
+
+class DecodeStage:
+    """Batch of {path} rows -> decoded rows (one partition file per input row)."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = [read_partition(p, self.columns) for p in batch.column("path").to_pylist()]
+        if not tables:
+            raise ValueError("DecodeStage got an empty path batch")
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]

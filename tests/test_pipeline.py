@@ -1,0 +1,119 @@
+"""Ray Data encode/decode pipeline tests over the driver testdata."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from parquet_go_ray.pipelines.encode import (
+    decode_dataset,
+    encode_dataset,
+    encode_grouped,
+    plan_salts,
+)
+from parquet_go_ray.sources.columns import EncodeConfig
+from parquet_go_ray.state import manifest as mf
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_pandas(ds, key):
+    df = ds.to_pandas()
+    return df.sort_values(key).reset_index(drop=True)
+
+
+def test_encode_decode_lineitem(ray_session, tmp_path):
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/lineitem.parquet")
+    lineage = encode_dataset(src, out, batch_rows=1000).to_pandas()
+    assert lineage.num_rows.sum() == 6000
+    assert (lineage.bytes_out > 0).all()
+    totals = mf.finalize(out)
+    assert totals["num_rows"] == 6000
+
+    decoded = decode_dataset(out)
+    want = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    keys = list(want.columns.drop("l_shipdate"))
+    got = _sorted_pandas(decoded, keys)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert got.shape == want.shape
+    for col in want.columns:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+
+
+def test_encode_decode_projection(ray_session, tmp_path):
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/orders.parquet")
+    encode_dataset(src, out, batch_rows=500).materialize()
+    decoded = decode_dataset(out, columns=["o_orderkey", "o_totalprice"])
+    df = decoded.to_pandas()
+    assert list(df.columns) == ["o_orderkey", "o_totalprice"]
+    want = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    np.testing.assert_array_equal(
+        np.sort(df.o_totalprice.to_numpy()), np.sort(want.o_totalprice.to_numpy())
+    )
+
+
+def test_grouped_encode_with_salt_and_resume(ray_session, tmp_path):
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/documents.parquet")
+    salts = plan_salts(src, "source", target_partition_bytes=16 * 1024)
+    assert all(v >= 1 for v in salts.values())
+
+    lineage = encode_grouped(
+        src, out, key="source", target_partition_bytes=16 * 1024
+    ).to_pandas()
+    assert lineage.num_rows.sum() == 500
+    ids = set(lineage.partition_id)
+    assert all("-" in pid for pid in ids)
+
+    # resume: second run skips every completed partition (bytes_out == 0 marker)
+    lineage2 = encode_grouped(
+        src, out, key="source", target_partition_bytes=16 * 1024
+    ).to_pandas()
+    assert (lineage2.bytes_out == 0).all()
+    assert set(lineage2.partition_id) == ids
+
+    decoded = decode_dataset(out).to_pandas()
+    want = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert sorted(decoded.doc_id) == sorted(want.doc_id)
+    got = decoded.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    for col in want.columns:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+
+
+def test_encode_idempotent_partition_ids(ray_session, tmp_path):
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    src = rd.read_parquet(f"{SF}/nation.parquet")
+    l1 = encode_dataset(src, out1, batch_rows=25).to_pandas()
+    l2 = encode_dataset(src, out2, batch_rows=25).to_pandas()
+    # deterministic content-hash ids: same input + config -> same ids
+    assert set(l1.partition_id) == set(l2.partition_id)
+
+
+def test_events_timestamps_roundtrip(ray_session, tmp_path):
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/events.parquet")
+    encode_dataset(src, out, batch_rows=400).materialize()
+    got = decode_dataset(out).to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values("event_id").reset_index(drop=True)
+    for col in want.columns:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+
+
+def test_embeddings_list_float_roundtrip(ray_session, tmp_path):
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/embeddings.parquet")
+    encode_dataset(src, out, batch_rows=200).materialize()
+    got = decode_dataset(out).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    want = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got.vec_id.to_numpy(), want.vec_id.to_numpy())
+    ga = np.stack(got.embedding.to_numpy())
+    wa = np.stack(want.embedding.to_numpy())
+    np.testing.assert_array_equal(ga, wa)

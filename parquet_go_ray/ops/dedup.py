@@ -1,0 +1,301 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+  * exact dedup shuffles only (hash, doc_id) pairs after a vectorized content
+    hash per batch — never the document bodies;
+  * MinHash signatures are computed per batch (numpy ``minimum.reduceat`` over
+    shingle hashes — no Python per row), then *only* (band_id, band_hash,
+    doc_id) triples shuffle; candidate verification uses signature agreement
+    inside each bucket group;
+  * SimHash buckets by 4 x 16-bit bands of the 64-bit fingerprint, verifying
+    Hamming distance within buckets;
+  * embedding near-dup does brute-force cosine per block at test scale; the
+    scale path buckets by random-hyperplane LSH first (similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..pipelines.encode import _default_concurrency, _stable_hash
+
+
+# ---------------------------------------------------------------- exact dedup
+def dedup_exact(ds, col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct value of ``col``.
+
+    Returns (doc_id, dup_count) — one row per distinct content. Equivalent
+    SQL: SELECT min(doc_id) AS doc_id, count(*) AS dup_count GROUP BY text.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                col: batch.column(col),
+                "__h": pa.array(_stable_hash(batch.column(col))),
+            }
+        )
+
+    def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
+        # group by full content inside the hash bucket (collision-safe)
+        agg = g.groupby(col, sort=False)[id_col].agg(["min", "size"]).reset_index(drop=True)
+        return pd.DataFrame({id_col: agg["min"], "dup_count": agg["size"].astype("int64")})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__h")
+        .map_groups(first_per_content, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------------- MinHash
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(offsets: np.ndarray, data: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling-hash all k-byte shingles. Returns (hashes, doc boundaries)."""
+    lengths = np.diff(offsets)
+    n_sh = np.maximum(lengths - k + 1, 1)  # short docs get 1 padded shingle
+    bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=bounds[1:])
+    # polynomial rolling hash over a sliding window, vectorized via k shifted adds
+    d = data.astype(np.uint64)
+    total = int(offsets[-1] - offsets[0])
+    base = np.uint64(1099511628211)
+    acc = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        shifted = np.empty(total, dtype=np.uint64)
+        shifted[: total - j] = d[j:total]
+        shifted[total - j :] = 0
+        acc = acc * base + shifted
+    # valid shingle start positions per doc
+    starts = np.repeat(offsets[:-1] - offsets[0], n_sh) + (
+        np.arange(int(n_sh.sum()), dtype=np.int64) - np.repeat(bounds[:-1], n_sh)
+    )
+    starts = np.minimum(starts, total - 1 if total else 0)
+    return acc[starts] if total else np.zeros(int(n_sh.sum()), dtype=np.uint64), bounds
+
+
+class MinHasher:
+    """Per-batch MinHash signatures (actor pool: permutation params built once)."""
+
+    def __init__(self, num_perm: int = 64, k: int = 8, seed: int = 1234, text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signatures(self, batch: pa.Table) -> tuple[np.ndarray, pa.ChunkedArray]:
+        arr = batch.column(self.text_col).combine_chunks().cast(pa.binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+        hashes, bounds = _shingle_hashes(offsets, data, self.k)
+        sigs = np.empty((len(arr), self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):  # num_perm vectorized passes
+            hp = (self.a[p] * hashes + self.b[p]) % np.uint64(_MERSENNE)
+            sigs[:, p] = np.minimum.reduceat(hp, bounds[:-1]) if len(hp) else 0
+        return sigs, batch.column(self.id_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs, ids = self.signatures(batch)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm
+                ),
+            }
+        )
+
+
+class BandEmitter:
+    """Signature rows -> (band_id, band_hash, doc_id) triples for the LSH shuffle."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        self.bands = bands
+        self.r = num_perm // bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sigs = np.asarray(batch.column("signature").combine_chunks().flatten(), dtype=np.int64).reshape(n, -1)
+        bh = np.empty((n, self.bands), dtype=np.uint64)
+        u = sigs.view(np.uint64).reshape(n, self.bands, self.r)
+        h = np.full((n, self.bands), 0xCBF29CE484222325, dtype=np.uint64)
+        for j in range(self.r):
+            h = (h ^ u[:, :, j]) * np.uint64(1099511628211)
+        bh = h
+        ids = np.repeat(np.asarray(batch.column(self.id_col)), self.bands)
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+                self.id_col: pa.array(ids),
+            }
+        )
+
+
+def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16, k: int = 8,
+                            text_col: str = "text", id_col: str = "doc_id", concurrency=None):
+    """documents -> candidate near-dup pairs (doc_a < doc_b) via MinHash-LSH."""
+    conc = concurrency or _default_concurrency()
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True, concurrency=conc,
+    )
+    triples = sigs.map_batches(
+        BandEmitter,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "id_col": id_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=conc,
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    pairs = triples.groupby(["band_id", "band_hash"]).map_groups(pairs_in_bucket, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    return pairs.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+def minhash_verify_pairs(pairs_df: pd.DataFrame, sig_map: dict, threshold: float = 0.7) -> pd.DataFrame:
+    """Estimate Jaccard from signature agreement for candidate pairs (driver-side,
+    candidate set is small after LSH)."""
+    if not len(pairs_df):
+        return pairs_df.assign(jaccard=[])
+    a = np.stack([sig_map[x] for x in pairs_df.doc_a])
+    b = np.stack([sig_map[x] for x in pairs_df.doc_b])
+    j = (a == b).mean(axis=1)
+    out = pairs_df.assign(jaccard=j)
+    return out[out.jaccard >= threshold].reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- SimHash
+class SimHasher:
+    """64-bit SimHash over word-feature hashes (vectorized per batch)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", k: int = 8):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.text_col).combine_chunks().cast(pa.binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+        hashes, bounds = _shingle_hashes(offsets, data, self.k)
+        n = len(arr)
+        sim = np.zeros(n, dtype=np.uint64)
+        counts = np.maximum(np.diff(bounds), 1).astype(np.float64)
+        for bit in range(64):
+            bits = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.float64)
+            frac = np.add.reduceat(bits, bounds[:-1]) / counts if len(bits) else np.zeros(n)
+            sim |= (frac > 0.5).astype(np.uint64) << np.uint64(bit)
+        return pa.table({self.id_col: batch.column(self.id_col), "simhash": pa.array(sim.view(np.int64))})
+
+
+def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", concurrency=None):
+    """SimHash near-dup: bucket on 4x16-bit bands, verify Hamming in-bucket."""
+    conc = concurrency or _default_concurrency()
+    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"id_col": id_col},
+                          batch_format="pyarrow", zero_copy_batch=True, concurrency=conc)
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch.column("simhash"), dtype=np.int64).view(np.uint64)
+        n = len(h)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            chunk[b::4] = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64)
+        return pa.table(
+            {
+                "band_id": pa.array(band),
+                "band_hash": pa.array(chunk),
+                id_col: pa.array(np.repeat(np.asarray(batch.column(id_col)), 4)),
+                "simhash": pa.array(np.repeat(h.view(np.int64), 4)),
+            }
+        )
+
+    triples = sigs.map_batches(emit_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        h = g["simhash"].to_numpy().view(np.uint64)
+        a, b = np.triu_indices(len(ids), 1)
+        ham = np.array([bin(int(x)).count("1") for x in (h[a] ^ h[b])])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep].astype("int64")})
+
+    pairs = triples.groupby(["band_id", "band_hash"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    return pairs.groupby("doc_a").map_groups(lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]), batch_format="pandas")
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Exact word-n-gram Jaccard for candidate pairs found by MinHash-LSH.
+
+    LSH prunes the quadratic space; this stage recomputes exact Jaccard per
+    candidate pair inside bucket groups (pandas set ops on small groups).
+    """
+    cands = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col)
+    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
+
+    def grams(s: str) -> set:
+        w = s.split()
+        return set(zip(*[w[i:] for i in range(n)])) if len(w) >= n else {tuple(w)}
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        j = []
+        for a, b in zip(g.doc_a, g.doc_b):
+            ga, gb = grams(texts[a]), grams(texts[b])
+            j.append(len(ga & gb) / max(len(ga | gb), 1))
+        out = g.assign(jaccard=j)
+        return out[out.jaccard >= threshold]
+
+    return cands.map_batches(verify, batch_format="pandas")
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
+                            vec_col: str = "embedding"):
+    """Pairs (a < b) with cosine >= tau. Brute-force per block pair at test
+    scale; the 100 TB path first buckets by random-hyperplane LSH
+    (similarity.lsh_bucket) so only same-bucket blocks meet."""
+    mats = []
+    ids = []
+    for batch in ds_emb.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        v = np.asarray(batch.column(vec_col).combine_chunks().flatten(), dtype=np.float64)
+        dim = len(v) // batch.num_rows
+        mats.append(v.reshape(batch.num_rows, dim))
+        ids.append(np.asarray(batch.column(id_col)))
+    M = np.concatenate(mats)
+    I = np.concatenate(ids)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sims = M @ M.T
+    a, b = np.triu_indices(len(I), 1)
+    keep = sims[a, b] >= tau
+    doc_a, doc_b = I[a[keep]], I[b[keep]]
+    lo = np.minimum(doc_a, doc_b)
+    hi = np.maximum(doc_a, doc_b)
+    return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[a, b][keep]}).sort_values(
+        ["vec_a", "vec_b"]
+    ).reset_index(drop=True)

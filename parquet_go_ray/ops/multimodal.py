@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample stages are actor-pool
+``map_batches`` classes. The image/audio libraries are NOT in this container,
+so the actual pixel/sample decode is STUBBED: ``DecodeImage`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decoder parses our synthetic payload header instead. The Ray-side
+plumbing — schema, batch sizing for large binary rows, actor signature,
+output layout — is real and tested.
+
+Synthetic payload layout (``make_fake_image_payload``):
+    magic b"FIMG" | width:u16 | height:u16 | channels:u8 | seed:u32 | blob
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..pipelines.encode import _default_concurrency
+
+MAGIC = b"FIMG"
+
+
+def make_fake_image_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic synthetic image table (id, payload, meta struct)."""
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(8, 64, n).astype(np.uint16)
+    heights = rng.integers(8, 64, n).astype(np.uint16)
+    payloads = []
+    for i in range(n):
+        w, h = int(widths[i]), int(heights[i])
+        blob = rng.integers(0, 256, min(w * h, 512), dtype=np.uint8).tobytes()
+        payloads.append(
+            MAGIC + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+            + b"\x03" + int(i).to_bytes(4, "little") + blob
+        )
+    meta = pa.array(
+        [{"width": int(w), "height": int(h), "format": "fimg"} for w, h in zip(widths, heights)],
+        type=pa.struct([("width", pa.int32()), ("height", pa.int32()), ("format", pa.string())]),
+    )
+    return pa.table({"image_id": pa.array(np.arange(n)), "payload": pa.array(payloads, type=pa.binary()), "meta": meta})
+
+
+class DecodeImage:
+    """Actor stage: binary payload -> (width, height, channels, mean_intensity).
+
+    Real decode requires an image library not present in this container;
+    construct with ``fake=True`` to use the deterministic FIMG parser.
+    """
+
+    def __init__(self, fake: bool = False, payload_col: str = "payload"):
+        self.fake = fake
+        self.payload_col = payload_col
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401  (absent in this container)
+
+                self.fake = False
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image decode requires PIL/opencv (not in this container); "
+                    "pass fake=True for the deterministic test decoder"
+                ) from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+        n = len(arr)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        channels = np.zeros(n, dtype=np.int32)
+        means = np.zeros(n, dtype=np.float64)
+        starts = offsets[:-1]
+        ok = (np.diff(offsets) >= 13)
+        # vectorized header parse
+        m = np.stack([data[starts + i] for i in range(4)], axis=1) if n else np.empty((0, 4), np.uint8)
+        ok &= (m == np.frombuffer(MAGIC, np.uint8)).all(axis=1) if n else ok
+        widths[ok] = data[starts[ok] + 4].astype(np.int32) | (data[starts[ok] + 5].astype(np.int32) << 8)
+        heights[ok] = data[starts[ok] + 6].astype(np.int32) | (data[starts[ok] + 7].astype(np.int32) << 8)
+        channels[ok] = data[starts[ok] + 8]
+        # blob mean per row (ragged reduceat)
+        blob_starts = starts + 13
+        blob_ends = offsets[1:]
+        lens = np.maximum(blob_ends - blob_starts, 0)
+        if int(lens.sum()):
+            sums = np.add.reduceat(
+                data[np.repeat(blob_starts, lens) + (np.arange(int(lens.sum())) - np.repeat(np.concatenate([[0], np.cumsum(lens[:-1])]), lens))].astype(np.float64),
+                np.concatenate([[0], np.cumsum(lens[:-1])]),
+            )
+            nz = lens > 0
+            means[nz] = sums[nz] / lens[nz]
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "channels": pa.array(channels),
+                "mean_intensity": pa.array(means),
+            }
+        )
+
+
+def decode_images(ds, *, fake: bool = True, concurrency=None, batch_size: int = 256):
+    """Dataset-level decode stage; small batch_size because rows are wide
+    binary (see ray_guide: object-store pressure on binary columns)."""
+    return ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    )

@@ -1,0 +1,191 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and read in every task (never re-shipped per batch); each batch
+does one numpy matmul and emits only its local top-k candidates, so the
+shuffle is k rows per (query, block), not the corpus.
+
+Scale path: random-hyperplane LSH bucketing — embeddings and queries hash to
+``2^bits`` buckets; only same-bucket batches are scored. Recall is tested
+against brute force in tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..pipelines.encode import _default_concurrency
+
+
+def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    flat = np.asarray(batch.column(vec_col).combine_chunks().flatten(), dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceScorer:
+    """Actor: holds the normalized query matrix (fetched once from the object
+    store in __init__); per batch emits local top-k (query_id, neighbor, score)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["ids"]
+        self.Q = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_to_matrix(batch, self.vec_col))
+        ids = np.asarray(batch.column(self.id_col))
+        sims = self.Q @ M.T  # (nq, nbatch)
+        sims[np.asarray(self.qids)[:, None] == ids[None, :]] = -np.inf  # drop self-matches
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(self.qids)), k)
+        cols = top.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(self.qids)[rows]),
+                "neighbor_id": pa.array(ids[cols]),
+                "score": pa.array(sims[rows, cols]),
+            }
+        )
+
+
+def knn_bruteforce(ds_emb, query_ids: list[int], k: int = 10, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", concurrency=None) -> pd.DataFrame:
+    """Exact cosine top-k for the given query ids (queries drawn from the corpus).
+
+    Returns (query_id, neighbor_id, score) sorted by (query_id, -score),
+    excluding self-matches. Final merge of per-block candidates happens on the
+    driver over ~k*nblocks rows (tiny).
+    """
+    import pyarrow.compute as pc
+
+    # take the query rows via a vectorized filter (no per-row Python)
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(id_col), value_set=pa.array(query_ids))
+        return batch.filter(m)
+
+    qrows = ds_emb.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    qrows = qrows.set_index(id_col).loc[query_ids].reset_index()
+    qmat = np.stack(qrows[vec_col].to_numpy())
+    queries_ref = ray.put({"ids": qrows[id_col].to_numpy(), "matrix": qmat})
+
+    cands = ds_emb.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(queries_ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    ).to_pandas()
+    cands = cands[cands.query_id != cands.neighbor_id]
+    cands = cands.sort_values(["query_id", "score", "neighbor_id"], ascending=[True, False, True])
+    out = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return out
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: vec -> bucket id (hyperplanes built once per actor)."""
+
+    def __init__(self, dim: int, bits: int = 8, seed: int = 99, vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.H = rng.standard_normal((dim, bits))
+        self.vec_col = vec_col
+        self.bits = bits
+
+    def bucket_of(self, M: np.ndarray) -> np.ndarray:
+        signs = (M @ self.H) > 0
+        return (signs @ (1 << np.arange(self.bits, dtype=np.int64))).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _to_matrix(batch, self.vec_col)
+        return batch.append_column("bucket", pa.array(self.bucket_of(M)))
+
+
+def knn_lsh(ds_emb, query_ids: list[int], k: int = 10, *, bits: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding", concurrency=None) -> pd.DataFrame:
+    """ANN top-k: score only the corpus buckets the query hashes into.
+
+    With b hyperplane bits the scored fraction is ~2^-b of the corpus —
+    the knob that makes 10^12-scale search tractable. Recall measured in tests.
+    """
+    import pyarrow.compute as pc
+
+    first = ds_emb.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+    bucketer = LshBucketer(dim, bits, vec_col=vec_col)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(id_col), value_set=pa.array(query_ids))
+        return batch.filter(m)
+
+    qrows = ds_emb.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    qrows = qrows.set_index(id_col).loc[query_ids].reset_index()
+    qmat = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
+    qbuckets = bucketer.bucket_of(qmat)
+    wanted = set(int(b) for b in qbuckets)
+    queries_ref = ray.put({"ids": qrows[id_col].to_numpy(), "matrix": qmat, "buckets": qbuckets})
+
+    bucketed = ds_emb.map_batches(
+        LshBucketer,
+        fn_constructor_args=(dim, bits),
+        fn_constructor_kwargs={"vec_col": vec_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(sorted(wanted)))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    class BucketScorer(BruteForceScorer):
+        def __init__(self, queries_ref, k, id_col, vec_col):
+            super().__init__(queries_ref, k, id_col, vec_col)
+            q = ray.get(queries_ref)
+            self.qbuckets = q["buckets"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _normalize(_to_matrix(batch, self.vec_col))
+            ids = np.asarray(batch.column(self.id_col))
+            buckets = np.asarray(batch.column("bucket"))
+            outs = []
+            for qi in range(len(self.qids)):
+                mask = buckets == self.qbuckets[qi]
+                if not mask.any():
+                    continue
+                sims = self.Q[qi] @ M[mask].T
+                k2 = min(self.k, len(sims))
+                top = np.argpartition(-sims, k2 - 1)[:k2]
+                outs.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(np.full(k2, self.qids[qi])),
+                            "neighbor_id": pa.array(ids[mask][top]),
+                            "score": pa.array(sims[top]),
+                        }
+                    )
+                )
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    cands = bucketed.map_batches(
+        BucketScorer,
+        fn_constructor_args=(queries_ref, k, id_col, vec_col),
+        batch_format="pyarrow", batch_size=8192,
+        concurrency=concurrency or _default_concurrency(),
+    ).to_pandas()
+    cands = cands[cands.query_id != cands.neighbor_id]
+    cands = cands.sort_values(["query_id", "score", "neighbor_id"], ascending=[True, False, True])
+    return cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -1,0 +1,395 @@
+"""Query catalog for the driver correctness gate (__ray_entry__).
+
+Every entry exercises one operator family from SURVEY.md §2 as a full Ray
+pipeline over ``sf_dir`` parquet tables and, where expressible, has a matching
+ANSI-SQL oracle in ORACLE_SQL (DuckDB runs both at sf0.01; column names must
+match exactly — computed columns are aliased identically on both sides).
+
+Codec roundtrip queries are the core correctness statement: Ray reads the
+table, encodes it through the full partition pipeline (shred → selector →
+pages → compression → atomic write), decodes it back, and returns the decoded
+columns; the oracle is simply ``SELECT`` of the same columns — a value-hash
+match proves bit-identical decode (the north rule's per-row invariant).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.columns import EncodeConfig
+from ..state import manifest as mf
+
+TOKEN_VOCAB_TAU = 0.469  # embedding near-dup threshold; sits in a wide cosine gap
+
+
+def _tmp_out(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"pgr-{name}-", dir="/tmp")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _roundtrip(sf_dir: str, table: str, columns=None, config: EncodeConfig | None = None,
+               batch_rows: int = 8192):
+    from .encode import decode_dataset, encode_dataset
+
+    out = _tmp_out(f"rt-{table}")
+    encode_dataset(_read(sf_dir, table, columns), out, config, batch_rows=batch_rows).materialize()
+    return decode_dataset(out, columns=columns)
+
+
+# ------------------------------------------------------------ codec roundtrips
+def q_roundtrip_lineitem(sf_dir):
+    return _roundtrip(sf_dir, "lineitem")
+
+
+def q_roundtrip_customer_reference(sf_dir):
+    """Selector pinned to exact parquet-go decision rules (dict iff card<=32767)."""
+    return _roundtrip(sf_dir, "customer", config=EncodeConfig(mode="reference"))
+
+
+def q_roundtrip_orders_delta(sf_dir):
+    cfg = EncodeConfig(column_codecs={"o_orderkey": "DELTA_BP", "o_custkey": "DELTA_BP"})
+    return _roundtrip(sf_dir, "orders", columns=["o_orderkey", "o_custkey"], config=cfg)
+
+
+def q_roundtrip_part_dict(sf_dir):
+    cfg = EncodeConfig(column_codecs={"p_brand": "DICT", "p_type": "DICT", "p_name": "DELTA_LENGTH_BA"})
+    return _roundtrip(sf_dir, "part", config=cfg)
+
+
+def q_roundtrip_documents_fsst(sf_dir):
+    cfg = EncodeConfig(column_codecs={"text": "FSST_BA", "lang": "DICT", "source": "DICT"})
+    return _roundtrip(sf_dir, "documents", config=cfg)
+
+
+def q_roundtrip_events_for(sf_dir):
+    cfg = EncodeConfig(column_codecs={"event_id": "FOR_DELTA", "user_id": "FOR"})
+    return _roundtrip(sf_dir, "events", config=cfg)
+
+
+def q_roundtrip_supplier_delta_ba(sf_dir):
+    cfg = EncodeConfig(column_codecs={"s_name": "DELTA_BA"})
+    return _roundtrip(sf_dir, "supplier", config=cfg)
+
+
+def q_roundtrip_embeddings(sf_dir):
+    """list<float> column through the full codec pipeline."""
+    return _roundtrip(sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------- token table
+def tokenize_codepoints(batch: pa.Table) -> pa.Table:
+    """documents -> (doc_id, tokens:list<int32>, n_tok:int32, source).
+
+    Tokens are Unicode codepoints — deterministic and SQL-expressible
+    (DuckDB: list_transform(string_split(text,''), x -> unicode(x))). One
+    C-level utf-32 encode per batch; no per-character Python.
+    """
+    text = batch.column("text").combine_chunks()
+    joined = "".join(text.to_pylist())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int32)
+    lens = np.asarray(pc.utf8_length(text), dtype=np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(cps))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "tokens": tokens,
+            "n_tok": pc.cast(pa.array(lens), pa.int32()),
+            "source": batch.column("source"),
+        }
+    )
+
+
+def token_table_dataset(sf_dir):
+    return _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        tokenize_codepoints, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_roundtrip_tokens(sf_dir):
+    """The flagship shape: token table -> salted groupby-on-source encode ->
+    decode; per-row token-array equality is exactly the north-rule invariant."""
+    from .encode import decode_dataset, encode_grouped
+
+    out = _tmp_out("rt-tokens")
+    encode_grouped(token_table_dataset(sf_dir), out, key="source",
+                   target_partition_bytes=1 << 20, resume=False).materialize()
+    return decode_dataset(out)
+
+
+# ------------------------------------------------------------------ metadata
+def q_rowcount_orders(sf_dir):
+    """Footer-only rowcount (parquet-tool rowcount analogue: no value decode)."""
+    import pandas as pd
+
+    from .encode import encode_dataset
+
+    out = _tmp_out("rowcount")
+    encode_dataset(_read(sf_dir, "orders"), out).materialize()
+    total = sum(r["num_rows"] for r in mf.load_records(out))
+    return pd.DataFrame({"n": [total]})
+
+
+def q_column_stats_lineitem(sf_dir):
+    """Chunk-stats aggregation (stats.go analogue) from the encode footers."""
+    import pandas as pd
+
+    from ..sources.partfile import read_footer
+    from .encode import encode_dataset
+
+    out = _tmp_out("stats")
+    encode_dataset(_read(sf_dir, "lineitem"), out).materialize()
+    mins, maxs = {}, {}
+    for rec in mf.load_records(out):
+        with open(rec["path"], "rb") as f:
+            footer = read_footer(f.read())
+        for smeta in footer["streams"]:
+            st = smeta.get("stats") or {}
+            if st.get("min") is None:
+                continue
+            p = smeta["path"]
+            mins[p] = min(mins.get(p, st["min"]), st["min"])
+            maxs[p] = max(maxs.get(p, st["max"]), st["max"])
+    return pd.DataFrame(
+        {
+            "min_orderkey": [mins["l_orderkey"]],
+            "max_orderkey": [maxs["l_orderkey"]],
+            "min_partkey": [mins["l_partkey"]],
+            "max_partkey": [maxs["l_partkey"]],
+            "min_linenumber": [mins["l_linenumber"]],
+            "max_linenumber": [maxs["l_linenumber"]],
+        }
+    )
+
+
+def q_head_orders(sf_dir):
+    """parquet-tool head analogue: first 10 rows by key."""
+    return _read(sf_dir, "orders").sort("o_orderkey").limit(10)
+
+
+def q_split_customer(sf_dir):
+    """parquet-tool split analogue: re-shard into small partitions, read back."""
+    from .encode import decode_dataset, encode_dataset
+
+    out = _tmp_out("split")
+    lineage = encode_dataset(_read(sf_dir, "customer"), out, batch_rows=32).materialize()
+    assert lineage.count() > 1
+    return decode_dataset(out)
+
+
+def q_projection_lineitem(sf_dir):
+    """Column projection at decode (WithColumns analogue): only the requested
+    streams are decoded."""
+    from .encode import decode_dataset, encode_dataset
+
+    out = _tmp_out("proj")
+    encode_dataset(_read(sf_dir, "lineitem"), out).materialize()
+    return decode_dataset(out, columns=["l_orderkey", "l_quantity"])
+
+
+def q_csv2parquet_nation(sf_dir):
+    """csv2parquet analogue: typed CSV ingest -> encode -> decode."""
+    import ray.data as rd
+
+    from .encode import decode_dataset, encode_dataset
+
+    csv_dir = _tmp_out("csv")
+    _read(sf_dir, "nation").write_csv(csv_dir)
+    ds = rd.read_csv(csv_dir).map_batches(
+        lambda t: t.cast(pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                                    ("n_regionkey", pa.int32())])),
+        batch_format="pyarrow",
+    )
+    out = _tmp_out("csvenc")
+    encode_dataset(ds, out).materialize()
+    return decode_dataset(out)
+
+
+def q_distinct_returnflag(sf_dir):
+    import pandas as pd
+
+    vals = _read(sf_dir, "lineitem", ["l_returnflag"]).unique("l_returnflag")
+    return pd.DataFrame({"l_returnflag": sorted(vals)})
+
+
+# ------------------------------------------------------------------ text ops
+def q_token_count_documents(sf_dir):
+    from ..ops.text import add_token_count
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_token_count, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tok"])
+
+
+def q_text_signals_documents(sf_dir):
+    """Integer-valued quality signals (float-division-free for hash stability)."""
+
+    def signals(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(text, "[.,;:!?]"), pa.int64()),
+                "n_tok": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(signals, batch_format="pyarrow")
+
+
+def q_lang_id_documents(sf_dir):
+    from ..ops.text import language_id
+
+    return language_id(_read(sf_dir, "documents", ["doc_id", "text", "lang"])).select_columns(
+        ["doc_id", "lang", "lang_pred"]
+    )
+
+
+def q_fingerprint_documents(sf_dir):
+    from ..ops.text import fnv1a_hash_text
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fnv1a_hash_text, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+# --------------------------------------------------------------------- dedup
+def q_dedup_exact_documents(sf_dir):
+    from ..ops.dedup import dedup_exact
+
+    return dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_minhash_documents(sf_dir):
+    from ..ops.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_simhash_documents(sf_dir):
+    from ..ops.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_embedding_neardup(sf_dir):
+    from ..ops.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(_read(sf_dir, "embeddings"), tau=TOKEN_VOCAB_TAU)
+    return pairs[["vec_a", "vec_b"]]
+
+
+# ---------------------------------------------------------------- similarity
+KNN_QUERIES = [0, 1, 2, 3]
+
+
+def q_knn_bruteforce(sf_dir):
+    from ..ops.similarity import knn_bruteforce
+
+    out = knn_bruteforce(_read(sf_dir, "embeddings"), query_ids=KNN_QUERIES, k=10)
+    return out[["query_id", "neighbor_id"]]
+
+
+def q_knn_lsh(sf_dir):
+    from ..ops.similarity import knn_lsh
+
+    out = knn_lsh(_read(sf_dir, "embeddings"), query_ids=KNN_QUERIES, k=10, bits=3)
+    return out[["query_id", "neighbor_id"]]
+
+
+QUERIES = {
+    "roundtrip_lineitem": q_roundtrip_lineitem,
+    "roundtrip_customer_reference": q_roundtrip_customer_reference,
+    "roundtrip_orders_delta": q_roundtrip_orders_delta,
+    "roundtrip_part_dict": q_roundtrip_part_dict,
+    "roundtrip_documents_fsst": q_roundtrip_documents_fsst,
+    "roundtrip_events_for": q_roundtrip_events_for,
+    "roundtrip_supplier_delta_ba": q_roundtrip_supplier_delta_ba,
+    "roundtrip_embeddings": q_roundtrip_embeddings,
+    "roundtrip_tokens": q_roundtrip_tokens,
+    "rowcount_orders": q_rowcount_orders,
+    "column_stats_lineitem": q_column_stats_lineitem,
+    "head_orders": q_head_orders,
+    "split_customer": q_split_customer,
+    "projection_lineitem": q_projection_lineitem,
+    "csv2parquet_nation": q_csv2parquet_nation,
+    "distinct_returnflag": q_distinct_returnflag,
+    "token_count_documents": q_token_count_documents,
+    "text_signals_documents": q_text_signals_documents,
+    "lang_id_documents": q_lang_id_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_minhash_documents": q_dedup_minhash_documents,
+    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "embedding_neardup": q_embedding_neardup,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+}
+
+ORACLE_SQL = {
+    "roundtrip_lineitem": "SELECT * FROM lineitem",
+    "roundtrip_customer_reference": "SELECT * FROM customer",
+    "roundtrip_orders_delta": "SELECT o_orderkey, o_custkey FROM orders",
+    "roundtrip_part_dict": "SELECT * FROM part",
+    "roundtrip_documents_fsst": "SELECT * FROM documents",
+    "roundtrip_events_for": "SELECT * FROM events",
+    "roundtrip_supplier_delta_ba": "SELECT * FROM supplier",
+    "roundtrip_embeddings": "SELECT * FROM embeddings",
+    "roundtrip_tokens": (
+        "SELECT doc_id, "
+        "list_transform(string_split(text, ''), x -> unicode(x)) AS tokens, "
+        "CAST(length(text) AS INTEGER) AS n_tok, source FROM documents"
+    ),
+    "rowcount_orders": "SELECT count(*) AS n FROM orders",
+    "column_stats_lineitem": (
+        "SELECT min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "
+        "min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey, "
+        "min(l_linenumber) AS min_linenumber, max(l_linenumber) AS max_linenumber FROM lineitem"
+    ),
+    "head_orders": "SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
+    "split_customer": "SELECT * FROM customer",
+    "projection_lineitem": "SELECT l_orderkey, l_quantity FROM lineitem",
+    "csv2parquet_nation": "SELECT * FROM nation",
+    "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",
+    "token_count_documents": (
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok FROM documents"
+    ),
+    "text_signals_documents": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok FROM documents"
+    ),
+    "dedup_exact_documents": (
+        "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
+        "FROM documents GROUP BY text"
+    ),
+    "embedding_neardup": (
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
+        f"JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {TOKEN_VOCAB_TAU}"
+    ),
+    "knn_bruteforce": (
+        "SELECT query_id, neighbor_id FROM ("
+        "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "         row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "           list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rk "
+        "  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id "
+        f"  WHERE q.vec_id IN ({', '.join(map(str, KNN_QUERIES))})"
+        ") WHERE rk <= 10"
+    ),
+    # lang_id / fingerprint / minhash / simhash / knn_lsh are intentionally
+    # omitted: non-SQL-expressible (heuristic / hash / probabilistic) -> the
+    # driver records rows-only checks for them.
+}

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "...", "value": headline_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N, ...extras}
+
+Headline: end-to-end encode of the deterministic F1 token table (rows scale
+with sf; ~2M rows / ~1.1 GB Arrow at sf=0.1) through the full Ray pipeline
+(read parquet -> selector -> encode actor pool -> partition files + lineage).
+Extras report tokens/s, GB/s, and the compressed-footprint ratio vs a
+parquet-go-equivalent pyarrow.parquet baseline (dictionary+snappy, see
+BASELINE.md) — ratio <= 1.0 is the north-rule requirement.
+
+`--scaling`: runs the headline twice in fresh subprocesses at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports scaling efficiency
+T(8)/(4*T(32))-style per BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/pgr_bench_cache"
+ROWS_PER_SF = 20_000_000  # sf0.1 -> 2M rows (~260M tokens, ~1.1 GB Arrow)
+
+
+def _sf() -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def _token_cache_dir(rows: int) -> str:
+    d = os.path.join(CACHE, f"tokens-{rows}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        os.makedirs(d, exist_ok=True)
+        from parquet_go_ray.sources.fixtures import token_dataset
+
+        token_dataset(rows, shards=max(8, NCPU)).write_parquet(d)
+    return d
+
+
+def bench_encode_tokens(rows: int) -> dict:
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode import encode_dataset
+    from parquet_go_ray.state import manifest as mf
+
+    src_dir = _token_cache_dir(rows)
+    rd.read_parquet(src_dir).count()  # warm OS page cache (untimed)
+
+    out = f"/tmp/pgr_bench_out/tokens-{NCPU}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    encode_dataset(rd.read_parquet(src_dir), out, batch_rows=64 * 1024).materialize()
+    sec = time.perf_counter() - t0
+    totals = mf.finalize(out)
+    return {
+        "sec": sec,
+        "bytes_in": totals["bytes_in"],
+        "bytes_out": totals["bytes_out"],
+        "rows": totals["num_rows"],
+        "out_dir": out,
+    }
+
+
+def bench_decode_tokens(out_dir: str) -> float:
+    from parquet_go_ray.pipelines.encode import decode_dataset
+
+    t0 = time.perf_counter()
+    n = decode_dataset(out_dir).count()
+    return time.perf_counter() - t0
+
+
+def bench_parquet_baseline(rows: int) -> dict:
+    """parquet-go-equivalent single-threaded baseline: pyarrow.parquet with
+    dictionary (32767-ish fallback built in) + snappy on the same table."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    src_dir = _token_cache_dir(rows)
+    table = pads.dataset(src_dir).to_table()
+    path = os.path.join(CACHE, f"baseline-{rows}.parquet")
+    t0 = time.perf_counter()
+    pq.write_table(table, path, compression="snappy", use_dictionary=True)
+    sec = time.perf_counter() - t0
+    size = os.path.getsize(path)
+    return {"sec": sec, "bytes": size, "nbytes_in": table.nbytes}
+
+
+def bench_ops(sf_dir: str) -> dict:
+    import ray.data as rd
+
+    from parquet_go_ray.ops.dedup import minhash_candidate_pairs
+    from parquet_go_ray.ops.similarity import knn_bruteforce
+
+    res = {}
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    minhash_candidate_pairs(docs).count()
+    res["dedup_minhash"] = time.perf_counter() - t0
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.perf_counter()
+    knn_bruteforce(emb, query_ids=[0, 1, 2, 3], k=10)
+    res["knn_bruteforce"] = time.perf_counter() - t0
+    return res
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    rows = max(int(ROWS_PER_SF * _sf()), 10_000)
+    queries: dict[str, float] = {}
+
+    enc = bench_encode_tokens(rows)
+    queries["encode_tokens"] = round(enc["sec"], 3)
+    queries["decode_tokens"] = round(bench_decode_tokens(enc["out_dir"]), 3)
+    base = bench_parquet_baseline(rows)
+    queries["baseline_parquet_write"] = round(base["sec"], 3)
+    queries.update({k: round(v, 3) for k, v in bench_ops(SF_DIR).items()})
+
+    gb_in = enc["bytes_in"] / 1e9
+    # token throughput: tokens ~= bytes_in/4 lower bound; recompute from fixture stats
+    result = {
+        "metric": "token-table encode wall sec (sf-scaled F1 fixture)",
+        "value": queries["encode_tokens"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(),
+        "num_cpus": NCPU,
+        "rows": enc["rows"],
+        "bytes_in": enc["bytes_in"],
+        "bytes_out": enc["bytes_out"],
+        "encode_gb_per_s": round(gb_in / enc["sec"], 3),
+        "compression_ratio_vs_parquet": round(enc["bytes_out"] / base["bytes"], 4),
+        "speedup_vs_singlethread_baseline": round(base["sec"] / enc["sec"], 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = out[8]["queries"]["encode_tokens"]
+    t32 = out[32]["queries"]["encode_tokens"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "sec_8": t8,
+        "sec_32": t32,
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "gb_per_s_8": out[8]["encode_gb_per_s"],
+        "gb_per_s_32": out[32]["encode_gb_per_s"],
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

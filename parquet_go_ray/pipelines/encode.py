@@ -37,7 +37,9 @@ DEFAULT_TARGET_PARTITION_BYTES = 128 << 20  # reference row-group default (split
 
 
 def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster CPU count."""
+    """Autoscaling actor-pool bounds. Fixed-size pools deadlock when two
+    pools are chained on one node (each reserves all CPUs); autoscaling
+    (min 1) pools always make progress and ramp up under queue pressure."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -53,13 +55,17 @@ def encode_dataset(
     concurrency=None,
 ) -> rd.Dataset:
     """Stateless encode: one partition per batch. Returns the lineage Dataset."""
+    if concurrency is None:
+        # single-pool stage: fixed size, minus headroom for the read tasks
+        lo, hi = _default_concurrency()
+        concurrency = max(2, hi - 2)
     return ds.map_batches(
         EncodeStage,
         fn_constructor_args=(out_dir, config or EncodeConfig()),
         batch_format="pyarrow",
         batch_size=batch_rows,
         zero_copy_batch=True,
-        concurrency=concurrency or _default_concurrency(),
+        concurrency=concurrency,
     )
 
 
@@ -175,11 +181,14 @@ def decode_dataset(
         paths = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rdpg")
         )
+    if concurrency is None:
+        lo, hi = _default_concurrency()
+        concurrency = max(2, hi - 2)
     items = rd.from_items([{"path": p} for p in paths])
     return items.map_batches(
         DecodeStage,
         fn_constructor_args=(columns,),
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=concurrency or _default_concurrency(),
+        concurrency=concurrency,
     )

@@ -67,10 +67,14 @@ def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkS
         return ChunkStats(0, 0, plain_size=0)
     vmin, vmax = values.min(), values.max()
     itemsize = values.dtype.itemsize
-    # cardinality: exact on small chunks, sample-extrapolated guard on big ones
-    if n <= sample_cap:
-        uniq = len(np.unique(values))
-        distinct = uniq
+    span = int(vmax) - int(vmin)
+    # cardinality: O(n) bincount when the value span is small, exact sort on
+    # small chunks, sample-screened otherwise (the "sampling-based" selector
+    # of the north star — a high-card sample skips the exact pass entirely)
+    if span < (1 << 22):
+        distinct = int(np.count_nonzero(np.bincount((values.astype(np.int64) - int(vmin)), minlength=span + 1)))
+    elif n <= sample_cap:
+        distinct = len(np.unique(values))
     else:
         sample = values[:: max(1, n // sample_cap)][:sample_cap]
         s_uniq = len(np.unique(sample))

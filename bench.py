@@ -59,7 +59,14 @@ def bench_encode_tokens(rows: int) -> dict:
     out = f"/tmp/pgr_bench_out/tokens-{NCPU}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    encode_dataset(rd.read_parquet(src_dir), out, batch_rows=64 * 1024).materialize()
+    # batch == block (~40 MB): no re-batching copies; pool at ncpu/2 —
+    # the encode kernels are memory-bandwidth-bound, extra actors just thrash
+    encode_dataset(
+        rd.read_parquet(src_dir, override_num_blocks=max(NCPU, 8)),
+        out,
+        batch_rows=None,
+        concurrency=max(NCPU // 2, 4),
+    ).materialize()
     sec = time.perf_counter() - t0
     totals = mf.finalize(out)
     return {
@@ -124,17 +131,18 @@ def run_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     rows = max(int(ROWS_PER_SF * _sf()), 10_000)
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
     queries: dict[str, float] = {}
 
     enc = bench_encode_tokens(rows)
     queries["encode_tokens"] = round(enc["sec"], 3)
     queries["decode_tokens"] = round(bench_decode_tokens(enc["out_dir"]), 3)
-    base = bench_parquet_baseline(rows)
-    queries["baseline_parquet_write"] = round(base["sec"], 3)
-    queries.update({k: round(v, 3) for k, v in bench_ops(SF_DIR).items()})
+    if not headline_only:
+        base = bench_parquet_baseline(rows)
+        queries["baseline_parquet_write"] = round(base["sec"], 3)
+        queries.update({k: round(v, 3) for k, v in bench_ops(SF_DIR).items()})
 
     gb_in = enc["bytes_in"] / 1e9
-    # token throughput: tokens ~= bytes_in/4 lower bound; recompute from fixture stats
     result = {
         "metric": "token-table encode wall sec (sf-scaled F1 fixture)",
         "value": queries["encode_tokens"],
@@ -146,9 +154,10 @@ def run_bench() -> dict:
         "bytes_in": enc["bytes_in"],
         "bytes_out": enc["bytes_out"],
         "encode_gb_per_s": round(gb_in / enc["sec"], 3),
-        "compression_ratio_vs_parquet": round(enc["bytes_out"] / base["bytes"], 4),
-        "speedup_vs_singlethread_baseline": round(base["sec"] / enc["sec"], 2),
     }
+    if not headline_only:
+        result["compression_ratio_vs_parquet"] = round(enc["bytes_out"] / base["bytes"], 4)
+        result["speedup_vs_singlethread_baseline"] = round(base["sec"] / enc["sec"], 2)
     ray.shutdown()
     return result
 
@@ -156,7 +165,7 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     out = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -1,0 +1,171 @@
+"""Command-line tools mirroring the reference's cmd/ utilities.
+
+  cat/head   print rows            (cmd/parquet-tool/cmds/readfile.go:16-45)
+  meta       schema + per-stream codec/page layout (readfile.go:111-142)
+  rowcount   footer-only count     (cmd/parquet-tool/cmds/rowcount.go)
+  split      re-shard a parquet file into N-byte partitions (split.go:31-117)
+  csv2parquet  typed CSV -> encoded partitions (cmd/csv2parquet/main.go)
+  encode/decode  parquet <-> our partition format
+
+Usage: python -m parquet_go_ray.cli <cmd> [...args]
+Each command owns its Ray session (guarded init), per the driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_head(args):
+    from .sources.partfile import read_partition
+
+    if args.path.endswith(".rdpg"):
+        t = read_partition(args.path)
+        print(t.slice(0, args.n).to_pandas().to_string())
+    else:
+        import pyarrow.parquet as pq
+
+        print(pq.read_table(args.path).slice(0, args.n).to_pandas().to_string())
+
+
+def cmd_meta(args):
+    from .sources.partfile import read_footer
+
+    with open(args.path, "rb") as f:
+        footer = read_footer(f.read())
+    import pyarrow as pa
+
+    schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(footer["schema_ipc"])))
+    print(f"rows: {footer['num_rows']}")
+    print("schema:")
+    for line in str(schema).splitlines():
+        print("  " + line)
+    print("streams:")
+    for s in footer["streams"]:
+        dict_note = f" dict({s['dict']['num_values']})" if s.get("dict") else ""
+        print(
+            f"  {s['path']:<30} {s['kind']:<9} {s['codec']:<16} {s['compression']:<7} "
+            f"pages={len(s['pages'])}{dict_note} values={s['num_values']}"
+        )
+
+
+def cmd_rowcount(args):
+    if args.path.endswith(".rdpg"):
+        from .sources.partfile import read_footer
+
+        with open(args.path, "rb") as f:
+            print(read_footer(f.read())["num_rows"])
+    else:
+        from .state import manifest as mf
+
+        print(sum(r["num_rows"] for r in mf.load_records(args.path)))
+
+
+def cmd_split(args):
+    _ray_session()
+    import ray.data as rd
+
+    from .pipelines.encode import encode_dataset
+    from .state import manifest as mf
+
+    ds = rd.read_parquet(args.input)
+    rows = ds.count()
+    size = ds.size_bytes()
+    batch_rows = max(1, int(rows * args.size / max(size, 1)))
+    encode_dataset(ds, args.out, batch_rows=batch_rows).materialize()
+    totals = mf.finalize(args.out)
+    print(json.dumps(totals))
+
+
+def cmd_encode(args):
+    _ray_session()
+    import ray.data as rd
+
+    from .pipelines.encode import encode_dataset, encode_grouped
+    from .sources.columns import EncodeConfig
+    from .state import manifest as mf
+
+    ds = rd.read_parquet(args.input)
+    cfg = EncodeConfig(mode=args.mode, compression=args.compression)
+    if args.group_by:
+        encode_grouped(ds, args.out, key=args.group_by, config=cfg).materialize()
+    else:
+        encode_dataset(ds, args.out, cfg).materialize()
+    print(json.dumps(mf.finalize(args.out)))
+
+
+def cmd_decode(args):
+    _ray_session()
+    from .pipelines.encode import decode_dataset
+
+    ds = decode_dataset(args.input, columns=args.columns.split(",") if args.columns else None)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+
+
+def cmd_csv2parquet(args):
+    """Typed CSV ingest: -type col=int64,col2=string like the reference's
+    csv2parquet type hints (cmd/csv2parquet/main.go:367-435)."""
+    _ray_session()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipelines.encode import encode_dataset
+    from .state import manifest as mf
+
+    type_map = {
+        "boolean": pa.bool_(), "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+        "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(), "uint32": pa.uint32(),
+        "uint64": pa.uint64(), "float": pa.float32(), "double": pa.float64(),
+        "bytes": pa.binary(), "string": pa.string(), "json": pa.string(),
+    }
+    hints = {}
+    for spec in (args.types or "").split(","):
+        if "=" in spec:
+            col, t = spec.split("=", 1)
+            hints[col] = type_map[t]
+    ds = rd.read_csv(args.input)
+    if hints:
+        def cast(batch: pa.Table) -> pa.Table:
+            fields = [
+                pa.field(f.name, hints.get(f.name, f.type)) for f in batch.schema
+            ]
+            return batch.cast(pa.schema(fields))
+
+        ds = ds.map_batches(cast, batch_format="pyarrow")
+    encode_dataset(ds, args.out).materialize()
+    print(json.dumps(mf.finalize(args.out)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="parquet_go_ray.cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("head"); s.add_argument("path"); s.add_argument("-n", type=int, default=10); s.set_defaults(fn=cmd_head)
+    s = sub.add_parser("meta"); s.add_argument("path"); s.set_defaults(fn=cmd_meta)
+    s = sub.add_parser("rowcount"); s.add_argument("path"); s.set_defaults(fn=cmd_rowcount)
+    s = sub.add_parser("split"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--size", type=int, default=128 << 20); s.set_defaults(fn=cmd_split)
+    s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.set_defaults(fn=cmd_encode)
+    s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
+    s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,11 @@ LSB-first within each byte — the bit order of Parquet's RLE/bit-packed hybrid
 runs (/root/reference/hybrid_encoder.go:55-70 packs 8-value groups the same
 way).
 
+Performance note: numpy uint64 broadcast shifts are ~70x slower than uint32
+ops, so the kernel works in the smallest unsigned dtype that holds the width
+and builds the bit matrix with one vectorized pass per bit (w passes of
+cheap ops beat one pass of catastrophically slow uint64 broadcasting).
+
 Widths 0..64 supported. ``pack`` pads the value count up to a multiple of 8
 (callers that need exact framing track the true count separately, as the
 reference does with its run headers).
@@ -16,12 +21,20 @@ from __future__ import annotations
 
 import numpy as np
 
-_SHIFTS = {w: np.arange(w, dtype=np.uint64) for w in range(1, 65)}
-
 
 def bit_width(max_value: int) -> int:
     """Bits needed for max_value (0 -> 0), like Go's bits.Len64."""
     return int(max_value).bit_length()
+
+
+def _work_dtype(width: int):
+    if width <= 8:
+        return np.uint8
+    if width <= 16:
+        return np.uint16
+    if width <= 32:
+        return np.uint32
+    return np.uint64
 
 
 def pack(values: np.ndarray, width: int) -> bytes:
@@ -32,13 +45,16 @@ def pack(values: np.ndarray, width: int) -> bytes:
     """
     if width == 0 or len(values) == 0:
         return b""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    dt = _work_dtype(width)
+    v = np.asarray(values).astype(dt, copy=False)
     n = len(v)
     pad = (-n) % 8
     if pad:
-        v = np.concatenate([v, np.zeros(pad, dtype=np.uint64)])
-    # (n, width) bit matrix, value-major, LSB first -> exact hybrid bit order.
-    bits = ((v[:, None] >> _SHIFTS[width]) & np.uint64(1)).astype(np.uint8)
+        v = np.concatenate([v, np.zeros(pad, dtype=dt)])
+    bits = np.empty((len(v), width), dtype=np.uint8)
+    one = dt(1)
+    for j in range(width):
+        np.bitwise_and(v >> dt(j), one, out=bits[:, j], casting="unsafe")
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
@@ -51,10 +67,12 @@ def unpack(data: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
     nbytes = padded * width // 8
     if len(raw) < nbytes:
         raise ValueError(f"bitpack: need {nbytes} bytes for {count}x{width}b, got {len(raw)}")
-    bits = np.unpackbits(raw[:nbytes], bitorder="little", count=padded * width)
-    bits = bits.reshape(padded, width).astype(np.uint64)
-    vals = (bits << _SHIFTS[width]).sum(axis=1, dtype=np.uint64)
-    return vals[:count]
+    bits = np.unpackbits(raw[:nbytes], bitorder="little", count=padded * width).reshape(padded, width)
+    dt = _work_dtype(width)
+    acc = np.zeros(padded, dtype=dt)
+    for j in range(width):
+        acc |= bits[:, j].astype(dt) << dt(j)
+    return acc[:count].astype(np.uint64)
 
 
 def packed_size(count: int, width: int) -> int:

@@ -35,10 +35,19 @@ class EncodeConfig:
     column_codecs: dict = field(default_factory=dict)  # path -> forced codec name
 
 
-def _compress(payload: bytes, codec: str) -> bytes:
-    if codec == "none" or not payload:
+def _buf(payload):
+    if isinstance(payload, np.ndarray):
+        return memoryview(np.ascontiguousarray(payload)).cast("B")
+    return payload
+
+
+def _compress(payload, codec: str):
+    """payload: any buffer-like (bytes, memoryview, C-contiguous ndarray).
+    Returns a buffer-like; no .to_pybytes() copy — the file writer streams
+    buffers directly (memory traffic matters: encode is bandwidth-bound)."""
+    if codec == "none" or len(payload) == 0:
         return payload
-    return pa.compress(payload, codec=codec).to_pybytes()
+    return pa.compress(payload, codec=codec)
 
 
 def _decompress(payload: bytes, codec: str, usize: int) -> bytes:
@@ -87,7 +96,8 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
     dict_meta = None
     stats: dict = {}
 
-    def add_page(payload: bytes, num_values: int) -> None:
+    def add_page(payload, num_values: int) -> None:
+        payload = _buf(payload)
         comp = _compress(payload, config.compression)
         pages.append(
             {
@@ -122,11 +132,15 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                  "distinct": st.distinct}
         codec = forced or sel.choose_int_codec(st, config.mode).codec
         if codec == "DICT":
-            uniq, inv = np.unique(v, return_inverse=True)
+            if st.uniques is not None:
+                uniq = st.uniques
+                inv = np.searchsorted(uniq, v)
+            else:
+                uniq, inv = np.unique(v, return_inverse=True)
             if len(uniq) > sel.DICT_MAX_CARD:  # forced dict past cutoff: fall back like the reference
                 codec = "PLAIN"
             else:
-                dpayload = plain.encode_fixed(uniq)
+                dpayload = _buf(plain.encode_fixed(uniq))
                 dcomp = _compress(dpayload, config.compression)
                 dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq),
                              "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
@@ -159,7 +173,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         codec = forced or ("DICT" if dict_ok and (config.mode == sel.MODE_REFERENCE or st.unique_bytes + st.num_values * bitpack.bit_width(max((st.distinct or 1) - 1, 0)) / 8 < st.plain_size) else "PLAIN")
         if codec == "DICT" and dict_ok:
             uniq_bits, inv = np.unique(bits, return_inverse=True)
-            dpayload = plain.encode_fixed(uniq_bits.view(raw.dtype))
+            dpayload = _buf(plain.encode_fixed(uniq_bits.view(raw.dtype)))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq_bits),
                          "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
@@ -209,7 +223,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             inv = np.asarray(denc.indices, dtype=np.int64)
             doff = np.frombuffer(duniq.buffers()[1], dtype=np.int32, count=len(duniq) + 1, offset=duniq.offset * 4).astype(np.int64)
             ddata = np.frombuffer(duniq.buffers()[2], dtype=np.uint8) if duniq.buffers()[2] is not None else np.empty(0, np.uint8)
-            dpayload = plain.encode_byte_array(doff, ddata)
+            dpayload = _buf(plain.encode_byte_array(doff, ddata))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(duniq),
                          "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}

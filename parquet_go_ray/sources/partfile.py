@@ -43,6 +43,11 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[b
         shred(arr, name, streams)
 
     body = bytearray(MAGIC)
+
+    def _append(part) -> None:
+        # parts may be bytes, memoryview, numpy, or pyarrow Buffer (buffer protocol)
+        body.extend(part if isinstance(part, (bytes, bytearray)) else memoryview(part))
+
     stream_metas = []
     bytes_in = table.nbytes
     for st in streams:
@@ -50,11 +55,11 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[b
         bi = 0
         if meta.get("dict"):
             meta["dict"]["offset"] = len(body)
-            body.extend(blobs[0])
+            _append(blobs[0])
             bi = 1
         for p, blob in zip(meta["pages"], blobs[bi:]):
             p["offset"] = len(body)
-            body.extend(blob)
+            _append(blob)
         stream_metas.append(meta)
 
     footer = {

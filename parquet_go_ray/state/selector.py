@@ -54,6 +54,7 @@ class ChunkStats:
     for_est: int | None = None
     for_delta_est: int | None = None
     fsst_est: int | None = None
+    uniques: object = None  # np.ndarray of sorted uniques when distinct survived the cap
 
     @property
     def dict_size(self) -> int:
@@ -61,39 +62,62 @@ class ChunkStats:
         return self.unique_bytes + 4 * self.num_values
 
 
+def capped_distinct(values: np.ndarray, cap: int = DICT_MAX_CARD, chunk: int = 1 << 18):
+    """Exact distinct values with early abort past ``cap``.
+
+    This is the reference's streaming cardinality cutoff
+    (/root/reference/type_dict.go:96-104: uniques tracked while adding, dict
+    flips off permanently once the cap is crossed) done in vectorized chunks:
+    high-cardinality data aborts after the first chunk, low-cardinality data
+    pays only small sorted merges. Returns the sorted uniques array (reused by
+    the DICT encoder) or None if the cap was exceeded.
+    """
+    uniq = None
+    for lo in range(0, len(values), chunk):
+        cu = np.unique(values[lo : lo + chunk])
+        uniq = cu if uniq is None else np.union1d(uniq, cu)
+        if len(uniq) > cap:
+            return None
+    return uniq
+
+
 def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkStats:
     n = len(values)
+    itemsize = values.dtype.itemsize
     if n == 0:
         return ChunkStats(0, 0, plain_size=0)
     vmin, vmax = values.min(), values.max()
-    itemsize = values.dtype.itemsize
     span = int(vmax) - int(vmin)
-    # cardinality: O(n) bincount when the value span is small, exact sort on
-    # small chunks, sample-screened otherwise (the "sampling-based" selector
-    # of the north star — a high-card sample skips the exact pass entirely)
-    if span < (1 << 22):
-        distinct = int(np.count_nonzero(np.bincount((values.astype(np.int64) - int(vmin)), minlength=span + 1)))
-    elif n <= sample_cap:
-        distinct = len(np.unique(values))
-    else:
-        sample = values[:: max(1, n // sample_cap)][:sample_cap]
-        s_uniq = len(np.unique(sample))
-        if s_uniq > 0.5 * len(sample) or s_uniq > DICT_MAX_CARD:
-            distinct = None  # clearly high-cardinality; skip the exact pass
-        else:
-            distinct = len(np.unique(values))
-    runs = int(np.count_nonzero(np.diff(values))) + 1
-    is_sorted = bool(np.all(values[1:] >= values[:-1])) if n > 1 else True
-    size_for, size_fd = forr.estimate_size(values, nbits)
-    # delta-binary-packed estimate: avg miniblock width over a sample
     sdt = values.dtype
     udt = np.uint32 if itemsize == 4 else np.uint64
-    d = (values[1:].astype(udt, copy=False) - values[:-1].astype(udt, copy=False)).view(sdt) if n > 1 else np.empty(0, sdt)
-    if len(d):
-        span = int(d.max()) - int(d.min())
-        delta_est = 8 + (n - 1) * max(span.bit_length(), 1) // 8 + (n // 128 + 1) * 6
+    # single delta pass shared by run-count / sortedness / delta / FOR estimates
+    if n > 1:
+        u = values.view(udt)
+        d = (u[1:] - u[:-1]).view(sdt)
+        dmin, dmax = int(d.min()), int(d.max())
+        runs = int(np.count_nonzero(d)) + 1
+        is_sorted = dmin >= 0
+        dspan = dmax - dmin
     else:
-        delta_est = 16
+        runs, is_sorted, dspan = 1, True, 0
+
+    # exact-with-early-abort cardinality (uniques kept for the DICT encoder);
+    # bincount fast path when the value span is small
+    uniques = None
+    if span < (1 << 20) and span >= 0:
+        counts = np.bincount(values - vmin, minlength=span + 1)
+        nz = np.flatnonzero(counts)
+        distinct = len(nz)
+        if distinct <= DICT_MAX_CARD:
+            uniques = (nz + int(vmin)).astype(sdt)
+    else:
+        uniques = capped_distinct(values)
+        distinct = len(uniques) if uniques is not None else None
+
+    base = 6 + itemsize + 1
+    size_for = base + bitpack.packed_size(n, span.bit_length())
+    size_fd = base + itemsize + bitpack.packed_size(max(n - 1, 0), dspan.bit_length())
+    delta_est = 8 + max(n - 1, 0) * max(dspan.bit_length(), 1) // 8 + (n // 128 + 1) * 6
     return ChunkStats(
         num_values=n,
         distinct=distinct,
@@ -106,6 +130,7 @@ def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkS
         delta_est=delta_est,
         for_est=size_for,
         for_delta_est=size_fd,
+        uniques=uniques,
     )
 
 

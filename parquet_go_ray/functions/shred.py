@@ -113,6 +113,17 @@ def shred(arr: pa.Array, path: str, out: list[Stream]) -> None:
         out.append(Stream(path, "bytes", "bytes", (offsets, data), len(vals)))
         return
 
+    if pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
+        # FIXED_LEN_BYTE_ARRAY analogue (/root/reference/type_bytearray.go:328-333);
+        # decimal128 is its 16-byte special case
+        width = t.byte_width if pa.types.is_fixed_size_binary(t) else 16
+        vals = arr.drop_null() if has_nulls else arr
+        data = np.frombuffer(
+            vals.buffers()[1], dtype=np.uint8, count=len(vals) * width, offset=vals.offset * width
+        )
+        out.append(Stream(path, "fixed_bytes", f"fixed:{width}", data, len(vals)))
+        return
+
     if pa.types.is_map(t):
         if has_nulls:
             raise NotImplementedError("nullable map columns not supported")
@@ -170,6 +181,12 @@ def assemble(t: pa.DataType, streams: dict[str, dict[str, Stream]], path: str, l
                 pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8)),
             ],
         )
+        return _scatter(flat, validity) if validity is not None else flat
+
+    if pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
+        width = t.byte_width if pa.types.is_fixed_size_binary(t) else 16
+        data = np.ascontiguousarray(np.asarray(node["fixed_bytes"].data, dtype=np.uint8))
+        flat = pa.Array.from_buffers(t, len(data) // width, [None, pa.py_buffer(data)])
         return _scatter(flat, validity) if validity is not None else flat
 
     if pa.types.is_boolean(t):

@@ -184,6 +184,34 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             codec = "PLAIN"
             for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
                 add_page(plain.encode_fixed(raw[lo:hi]), hi - lo)
+    elif kind == "fixed_bytes":
+        width = int(dtype.split(":")[1])
+        flat = np.ascontiguousarray(np.asarray(stream.data, dtype=np.uint8))
+        n = len(flat) // max(width, 1)
+        void = flat.view(f"V{width}").reshape(-1) if n else np.empty(0, f"V{max(width,1)}")
+        uniq_v = np.unique(void) if n and n <= (1 << 22) else None
+        distinct = len(uniq_v) if uniq_v is not None else None
+        stats = {"distinct": distinct}
+        dict_ok = distinct is not None and distinct <= sel.DICT_MAX_CARD
+        if forced:
+            codec = forced
+        elif config.mode == sel.MODE_REFERENCE:
+            codec = "DICT" if dict_ok else "PLAIN_FB"
+        else:
+            codec = "DICT" if dict_ok and distinct * width + n * 2 < n * width else "PLAIN_FB"
+        if codec == "DICT" and dict_ok:
+            inv = np.searchsorted(uniq_v, void)
+            dpayload = _buf(uniq_v.view(np.uint8))
+            dcomp = _compress(dpayload, config.compression)
+            dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": distinct,
+                         "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+            blobs.append(dcomp)
+            for lo, hi in _page_slices(n, max(bitpack.bit_width(max(distinct - 1, 0)), 1) / 8, config.page_bytes):
+                add_page(dictionary.encode_indices(inv[lo:hi], distinct), hi - lo)
+        else:
+            codec = "PLAIN_FB" if codec == "DICT" else codec
+            for lo, hi in _page_slices(n, width, config.page_bytes):
+                add_page(flat[lo * width : hi * width], hi - lo)
     elif kind == "bytes":
         offsets, data = stream.data
         offsets = np.asarray(offsets, dtype=np.int64)
@@ -290,6 +318,8 @@ def decode_stream(meta: dict, read_at) -> Stream:
             raise ValueError(f"CRC mismatch on {meta['path']} dict page")
         if kind == "bytes":
             dict_values = plain.decode_byte_array(dpayload, dmeta["num_values"])
+        elif kind == "fixed_bytes":
+            dict_values = np.frombuffer(dpayload, dtype=np.uint8)
         elif dtype in _INT_CLASS:
             nbits = _INT_CLASS[dtype]
             dict_values = plain.decode_fixed(dpayload, "int32" if nbits == 32 else "int64", dmeta["num_values"])
@@ -340,6 +370,20 @@ def decode_stream(meta: dict, read_at) -> Stream:
             else:
                 parts.append(plain.decode_fixed(payload, dtype, p["num_values"]))
         return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, dtype), meta["num_values"])
+
+    if kind == "fixed_bytes":
+        width = int(dtype.split(":")[1])
+        parts = []
+        for p in meta["pages"]:
+            payload = page_payload(p)
+            if codec == "DICT":
+                idx = dictionary.decode_indices(payload, p["num_values"]).astype(np.int64)
+                dmat = np.asarray(dict_values, dtype=np.uint8).reshape(-1, width)
+                parts.append(dmat[idx].reshape(-1))
+            else:
+                parts.append(np.frombuffer(payload, dtype=np.uint8, count=p["num_values"] * width))
+        data = np.concatenate(parts) if parts else np.empty(0, np.uint8)
+        return Stream(meta["path"], kind, dtype, data, meta["num_values"])
 
     if kind == "bytes":
         all_offsets = [np.zeros(1, dtype=np.int64)]

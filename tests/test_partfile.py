@@ -210,3 +210,27 @@ def test_compression_beats_plain_parquet_size():
     )
     blob, lineage = encode_table(t)
     assert lineage["bytes_out"] < lineage["bytes_in"] / 10
+
+
+def test_fixed_size_binary_and_decimal():
+    import decimal
+
+    rng = np.random.default_rng(2)
+    patterns = [bytes(rng.integers(0, 256, 8).astype(np.uint8)) for _ in range(10)]
+    fsb = pa.array([patterns[i % 10] for i in range(800)] + [None], type=pa.binary(8))
+    dec = pa.array([decimal.Decimal(f"{i}.{i % 100:02d}") for i in range(801)],
+                   type=pa.decimal128(12, 2))
+    t = pa.table({"fsb": fsb, "dec": dec})
+    assert_tables_equal(t, roundtrip(t))
+    # low-cardinality fsb should pick DICT
+    blob, lineage = encode_table(t)
+    assert lineage["codecs"]["fsb"] == "DICT"
+
+
+def test_int96_julian_time():
+    from parquet_go_ray.functions.int96 import int96_to_ns, ns_to_int96
+
+    ns = np.array([0, 1, 86_400_000_000_000, -1, 1_700_000_000_123_456_789], dtype=np.int64)
+    raw = ns_to_int96(ns)
+    assert raw.shape == (5, 12)
+    np.testing.assert_array_equal(int96_to_ns(raw), ns)

@@ -24,30 +24,41 @@ from ..pipelines.encode import _default_concurrency, _stable_hash
 
 
 # ---------------------------------------------------------------- exact dedup
-def dedup_exact(ds, col: str = "text", id_col: str = "doc_id"):
+DEFAULT_SHUFFLE_PARTITIONS = 64
+
+
+def dedup_exact(ds, col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
     """Keep the min-id row per distinct value of ``col``.
 
     Returns (doc_id, dup_count) — one row per distinct content. Equivalent
     SQL: SELECT min(doc_id) AS doc_id, count(*) AS dup_count GROUP BY text.
+
+    Shuffle pattern: rows hash-partition on a 64-bit content hash modulo
+    ``num_partitions`` (one map_groups call per partition, vectorized pandas
+    groupby inside — never one Python call per distinct value). Only
+    (hash, id, content) rows move; at 100 TB swap ``col`` for the hash alone
+    and verify collisions in a second narrow pass.
     """
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        h = _stable_hash(batch.column(col))
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 col: batch.column(col),
-                "__h": pa.array(_stable_hash(batch.column(col))),
+                "__h": pa.array(h),
+                "__p": pa.array(h % num_partitions),
             }
         )
 
     def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
-        # group by full content inside the hash bucket (collision-safe)
         agg = g.groupby(col, sort=False)[id_col].agg(["min", "size"]).reset_index(drop=True)
         return pd.DataFrame({id_col: agg["min"], "dup_count": agg["size"].astype("int64")})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__h")
+        .groupby("__p")
         .map_groups(first_per_content, batch_format="pandas")
     )
 
@@ -143,9 +154,34 @@ class BandEmitter:
         )
 
 
+def _pairs_in_partition(g: pd.DataFrame, key: str, id_col: str, extra_cols: list[str] | None = None) -> pd.DataFrame:
+    """All intra-bucket pairs (a<b) for every bucket in one hash partition —
+    vectorized self-merge, no per-bucket Python calls."""
+    cols = [key, id_col] + (extra_cols or [])
+    g = g[cols].drop_duplicates(subset=[key, id_col])
+    # prune singleton buckets before the quadratic self-merge
+    sizes = g.groupby(key, sort=False)[id_col].transform("size")
+    g = g[sizes > 1]
+    if not len(g):
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                             **{f"{c}_a": pd.Series(dtype=g.dtypes.get(c, "int64")) for c in (extra_cols or [])}})
+    m = g.merge(g, on=key, suffixes=("_a", "_b"))
+    m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+    out = m.rename(columns={f"{id_col}_a": "doc_a", f"{id_col}_b": "doc_b"})
+    keep = ["doc_a", "doc_b"] + [f"{c}_a" for c in (extra_cols or [])] + [f"{c}_b" for c in (extra_cols or [])]
+    return out[keep].drop_duplicates(subset=["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16, k: int = 8,
-                            text_col: str = "text", id_col: str = "doc_id", concurrency=None):
-    """documents -> candidate near-dup pairs (doc_a < doc_b) via MinHash-LSH."""
+                            text_col: str = "text", id_col: str = "doc_id", concurrency=None,
+                            num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+    """documents -> candidate near-dup pairs (doc_a < doc_b) via MinHash-LSH.
+
+    The LSH shuffle moves only (band_key, doc_id) pairs; buckets hash-partition
+    into ``num_partitions`` groups and pair generation is one vectorized
+    self-merge per partition. Cross-partition duplicate pairs are removed by a
+    second tiny shuffle keyed the same way on doc_a.
+    """
     conc = concurrency or _default_concurrency()
     sigs = ds.map_batches(
         MinHasher,
@@ -158,19 +194,32 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16, k: int =
         batch_format="pyarrow", zero_copy_batch=True, concurrency=conc,
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def add_partition(t: pa.Table) -> pa.Table:
+        key = (np.asarray(t.column("band_hash")).view(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)
+               + np.asarray(t.column("band_id")).astype(np.uint64))
+        bkey = key.view(np.int64)
+        return pa.table({"__key": pa.array(bkey),
+                         "__p": pa.array((key % np.uint64(num_partitions)).view(np.int64)),
+                         id_col: t.column(id_col)})
 
-    pairs = triples.groupby(["band_id", "band_hash"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    keyed = triples.map_batches(add_partition, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = keyed.groupby("__p").map_groups(
+        lambda g: _pairs_in_partition(g, "__key", id_col), batch_format="pandas"
+    )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
+    def dedup_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    return pairs.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
+    return (
+        pairs.map_batches(
+            lambda t: t.append_column("__p2", pa.array(np.asarray(t.column("doc_a")) % num_partitions)),
+            batch_format="pyarrow",
+        )
+        .groupby("__p2")
+        .map_groups(dedup_in_partition, batch_format="pandas")
+        .select_columns(["doc_a", "doc_b"])
+    )
 
 
 def minhash_verify_pairs(pairs_df: pd.DataFrame, sig_map: dict, threshold: float = 0.7) -> pd.DataFrame:
@@ -209,8 +258,15 @@ class SimHasher:
         return pa.table({self.id_col: batch.column(self.id_col), "simhash": pa.array(sim.view(np.int64))})
 
 
-def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", concurrency=None):
-    """SimHash near-dup: bucket on 4x16-bit bands, verify Hamming in-bucket."""
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", concurrency=None,
+                            num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+    """SimHash near-dup: bucket on 4x16-bit bands (any pair within Hamming<=3
+    of the full 64 bits shares at least one exact band), verify Hamming
+    in-bucket. Same hash-partitioned vectorized pairing as MinHash-LSH."""
     conc = concurrency or _default_concurrency()
     sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"id_col": id_col},
                           batch_format="pyarrow", zero_copy_batch=True, concurrency=conc)
@@ -218,34 +274,43 @@ def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
     def emit_bands(batch: pa.Table) -> pa.Table:
         h = np.asarray(batch.column("simhash"), dtype=np.int64).view(np.uint64)
         n = len(h)
-        band = np.tile(np.arange(4, dtype=np.int32), n)
-        chunk = np.empty(4 * n, dtype=np.int64)
+        band = np.tile(np.arange(4, dtype=np.uint64), n)
+        chunk = np.empty(4 * n, dtype=np.uint64)
         for b in range(4):
-            chunk[b::4] = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64)
+            chunk[b::4] = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        key = ((chunk * np.uint64(5) + band) * np.uint64(0x9E3779B97F4A7C15))
         return pa.table(
             {
-                "band_id": pa.array(band),
-                "band_hash": pa.array(chunk),
+                "__key": pa.array(key.view(np.int64)),
+                "__p": pa.array((key % np.uint64(num_partitions)).view(np.int64)),
                 id_col: pa.array(np.repeat(np.asarray(batch.column(id_col)), 4)),
                 "simhash": pa.array(np.repeat(h.view(np.int64), 4)),
             }
         )
 
-    triples = sigs.map_batches(emit_bands, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = sigs.map_batches(emit_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        h = g["simhash"].to_numpy().view(np.uint64)
-        a, b = np.triu_indices(len(ids), 1)
-        ham = np.array([bin(int(x)).count("1") for x in (h[a] ^ h[b])])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep].astype("int64")})
+    def pairs_with_hamming(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs_in_partition(g, "__key", id_col, extra_cols=["simhash"])
+        if not len(out):
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        ham = _popcount64(out["simhash_a"].to_numpy().view(np.uint64)
+                          ^ out["simhash_b"].to_numpy().view(np.uint64))
+        out = out.assign(hamming=ham.astype("int64"))
+        out = out[out.hamming <= max_hamming]
+        return out[["doc_a", "doc_b", "hamming"]]
 
-    pairs = triples.groupby(["band_id", "band_hash"]).map_groups(pairs_in_bucket, batch_format="pandas")
-    return pairs.groupby("doc_a").map_groups(lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]), batch_format="pandas")
+    pairs = keyed.groupby("__p").map_groups(pairs_with_hamming, batch_format="pandas")
+    return (
+        pairs.map_batches(
+            lambda t: t.append_column("__p2", pa.array(np.asarray(t.column("doc_a")) % num_partitions)),
+            batch_format="pyarrow",
+        )
+        .groupby("__p2")
+        .map_groups(lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]), batch_format="pandas")
+        .select_columns(["doc_a", "doc_b", "hamming"])
+    )
 
 
 # ----------------------------------------------------------- n-gram Jaccard

@@ -171,9 +171,16 @@ def decode_dataset(
     out_dir: str,
     columns: list[str] | None = None,
     *,
+    stats_filter: dict[str, tuple] | None = None,
     concurrency=None,
 ) -> rd.Dataset:
-    """Read back an encoded run as a streaming Dataset of decoded rows."""
+    """Read back an encoded run as a streaming Dataset of decoded rows.
+
+    ``stats_filter={"col": (lo, hi)}`` prunes whole partitions whose footer
+    [min,max] range cannot intersect — the row-group skip of the reference
+    (/root/reference/file_reader.go:275-277) at partition granularity. It is
+    an optimization only; callers still apply the exact row filter.
+    """
     records = mf.load_records(out_dir)
     if records:
         paths = sorted({r["path"] for r in records})
@@ -181,6 +188,20 @@ def decode_dataset(
         paths = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rdpg")
         )
+    if stats_filter:
+        from ..sources.partfile import partition_stats
+
+        def overlaps(p: str) -> bool:
+            st = partition_stats(p)
+            for col, (lo, hi) in stats_filter.items():
+                s = st.get(col) or {}
+                if s.get("min") is None:
+                    continue  # no stats -> cannot prune
+                if (hi is not None and s["min"] > hi) or (lo is not None and s["max"] < lo):
+                    return False
+            return True
+
+        paths = [p for p in paths if overlaps(p)]
     if concurrency is None:
         lo, hi = _default_concurrency()
         concurrency = max(2, hi - 2)

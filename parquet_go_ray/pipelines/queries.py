@@ -216,6 +216,29 @@ def q_csv2parquet_nation(sf_dir):
     return decode_dataset(out)
 
 
+def q_filter_pushdown_lineitem(sf_dir):
+    """Partition pruning by footer stats (row-group-skip analogue): sort by
+    key so partitions carry tight [min,max], prune at decode, exact-filter
+    the survivors."""
+    import pyarrow.compute as pc2
+
+    from .encode import decode_dataset, encode_dataset
+
+    out = _tmp_out("prune")
+    encode_dataset(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).sort("l_orderkey"),
+        out, batch_rows=2048,
+    ).materialize()
+    lo, hi = 1000, 3000
+    pruned = decode_dataset(out, stats_filter={"l_orderkey": (lo, hi)})
+    return pruned.map_batches(
+        lambda t: t.filter(
+            pc2.and_(pc2.greater_equal(t["l_orderkey"], lo), pc2.less_equal(t["l_orderkey"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_distinct_returnflag(sf_dir):
     import pandas as pd
 
@@ -324,6 +347,7 @@ QUERIES = {
     "head_orders": q_head_orders,
     "split_customer": q_split_customer,
     "projection_lineitem": q_projection_lineitem,
+    "filter_pushdown_lineitem": q_filter_pushdown_lineitem,
     "csv2parquet_nation": q_csv2parquet_nation,
     "distinct_returnflag": q_distinct_returnflag,
     "token_count_documents": q_token_count_documents,
@@ -361,6 +385,9 @@ ORACLE_SQL = {
     "head_orders": "SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
     "split_customer": "SELECT * FROM customer",
     "projection_lineitem": "SELECT l_orderkey, l_quantity FROM lineitem",
+    "filter_pushdown_lineitem": (
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000"
+    ),
     "csv2parquet_nation": "SELECT * FROM nation",
     "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",
     "token_count_documents": (

@@ -136,3 +136,27 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
 def read_partition(path: str, columns: list[str] | None = None) -> pa.Table:
     with open(path, "rb") as f:
         return decode_table(f.read(), columns)
+
+
+def read_partition_footer(path: str) -> dict:
+    """Footer-only read (seek to tail) — the analogue of the reference's
+    ReadFileMetaData (/root/reference/file_meta.go:18-74): no page data moves."""
+    with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        tail = min(size, 64 * 1024)
+        f.seek(size - tail)
+        blob = f.read(tail)
+        if blob[-len(MAGIC):] != MAGIC:
+            raise ValueError(f"{path}: bad trailing magic")
+        flen = int.from_bytes(blob[-len(MAGIC) - 4 : -len(MAGIC)], "little")
+        if flen + 4 + len(MAGIC) > len(blob):
+            f.seek(size - flen - 4 - len(MAGIC))
+            blob = f.read(flen + 4 + len(MAGIC))
+        return json.loads(blob[-len(MAGIC) - 4 - flen : -len(MAGIC) - 4])
+
+
+def partition_stats(path: str) -> dict[str, dict]:
+    """path-level stream stats {stream_path: {min,max,distinct,null_count}}."""
+    footer = read_partition_footer(path)
+    return {s["path"]: (s.get("stats") or {}) for s in footer["streams"]}

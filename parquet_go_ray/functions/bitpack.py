@@ -51,7 +51,12 @@ def pack(values: np.ndarray, width: int) -> bytes:
     pad = (-n) % 8
     if pad:
         v = np.concatenate([v, np.zeros(pad, dtype=dt)])
-    bits = np.empty((len(v), width), dtype=np.uint8)
+    # bit matrix from the scratch arena: fresh large allocations cost ~20x a
+    # warm buffer on cold-page VMs (see arena.py); consumed by packbits below,
+    # never escapes this frame
+    from .arena import scratch
+
+    bits = scratch(len(v) * width).reshape(len(v), width)
     one = dt(1)
     for j in range(width):
         np.bitwise_and(v >> dt(j), one, out=bits[:, j], casting="unsafe")

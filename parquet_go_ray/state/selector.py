@@ -90,10 +90,15 @@ def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkS
     span = int(vmax) - int(vmin)
     sdt = values.dtype
     udt = np.uint32 if itemsize == 4 else np.uint64
-    # single delta pass shared by run-count / sortedness / delta / FOR estimates
+    from ..functions.arena import scratch_view
+
+    # single delta pass shared by run-count / sortedness / delta / FOR
+    # estimates; scratch-arena temp (d is dead before the next arena draw)
     if n > 1:
         u = values.view(udt)
-        d = (u[1:] - u[:-1]).view(sdt)
+        d = scratch_view(n - 1, udt)
+        np.subtract(u[1:], u[:-1], out=d)
+        d = d.view(sdt)
         dmin, dmax = int(d.min()), int(d.max())
         runs = int(np.count_nonzero(d)) + 1
         is_sorted = dmin >= 0
@@ -105,7 +110,9 @@ def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkS
     # bincount fast path when the value span is small
     uniques = None
     if span < (1 << 20) and span >= 0:
-        counts = np.bincount(values - vmin, minlength=span + 1)
+        shifted = scratch_view(n, values.dtype)  # reuses d's size class
+        np.subtract(values, vmin, out=shifted)
+        counts = np.bincount(shifted, minlength=span + 1)
         nz = np.flatnonzero(counts)
         distinct = len(nz)
         if distinct <= DICT_MAX_CARD:

@@ -117,3 +117,33 @@ def test_embeddings_list_float_roundtrip(ray_session, tmp_path):
     ga = np.stack(got.embedding.to_numpy())
     wa = np.stack(want.embedding.to_numpy())
     np.testing.assert_array_equal(ga, wa)
+
+
+def test_verify_roundtrip_pipeline(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquet_go_ray.pipelines.queries import token_table_dataset
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    out = str(tmp_path / "enc")
+    src = token_table_dataset(SF)
+    encode_dataset(src, out, batch_rows=200).materialize()
+    res = verify_roundtrip(token_table_dataset(SF), decode_dataset(out))
+    assert res == {"rows": 500, "mismatches": 0, "missing": 0}
+
+    # sabotage one decoded row -> must be detected
+    def corrupt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        arr = batch.column("tokens").combine_chunks()
+        vals = np.asarray(arr.values).copy()
+        if len(vals):
+            vals[0] += 1
+        tokens = pa.ListArray.from_arrays(arr.offsets, pa.array(vals, type=pa.int32()))
+        return batch.set_column(batch.schema.get_field_index("tokens"), "tokens", tokens)
+
+    bad = decode_dataset(out).map_batches(corrupt, batch_format="pyarrow")
+    res2 = verify_roundtrip(token_table_dataset(SF), bad)
+    assert res2["mismatches"] > 0

@@ -314,29 +314,73 @@ def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
 
 
 # ----------------------------------------------------------- n-gram Jaccard
-def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id"):
-    """Exact word-n-gram Jaccard for candidate pairs found by MinHash-LSH.
+def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str,
+                 num_partitions: int):
+    """Distributed pair←text join: hash-partition both sides on the pair's
+    ``on`` id, merge inside each partition. Only (pair, one text) rows move —
+    never the full corpus to the driver."""
 
-    LSH prunes the quadratic space; this stage recomputes exact Jaccard per
-    candidate pair inside bucket groups (pandas set ops on small groups).
+    pschema = pairs.schema()
+    type_of = dict(zip(pschema.names, pschema.types))
+    pair_cols = [c for c in pschema.names if c != "__p"]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        t = t.select(pair_cols)
+        t = t.append_column(out_col, pa.nulls(t.num_rows, pa.string()))
+        return t.append_column("__p", pa.array(np.asarray(t.column(on)) % num_partitions))
+
+    def tag_texts(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        cols = {}
+        for c in pair_cols:
+            if c == on:
+                cols[c] = t.column(id_col)
+            else:
+                cols[c] = pa.nulls(n_rows, type_of[c])
+        cols[out_col] = t.column(text_col).cast(pa.string())
+        cols["__p"] = pa.array(np.asarray(t.column(id_col)) % num_partitions)
+        return pa.table(cols)
+
+    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        texts.map_batches(tag_texts, batch_format="pyarrow")
+    )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g[out_col].isna()].drop(columns=[out_col])
+        t = g[g[out_col].notna()][[on, out_col]]
+        return p.merge(t, on=on, how="inner")
+
+    return both.groupby("__p").map_groups(join, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+    """Exact word-n-gram Jaccard over MinHash-LSH candidate pairs.
+
+    LSH prunes the quadratic space; texts are attached to candidate pairs via
+    two hash-partitioned joins (one per side), then Jaccard is computed
+    per-pair inside the final partition groups — no driver-side corpus.
     """
     cands = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col)
-    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
+    texts = ds.select_columns([id_col, text_col])
+    with_a = _attach_text(cands, texts, "doc_a", "__text_a", id_col, text_col, num_partitions)
+    with_b = _attach_text(with_a.drop_columns(["__p"]), texts, "doc_b", "__text_b", id_col, text_col, num_partitions)
 
     def grams(s: str) -> set:
         w = s.split()
         return set(zip(*[w[i:] for i in range(n)])) if len(w) >= n else {tuple(w)}
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        j = []
-        for a, b in zip(g.doc_a, g.doc_b):
-            ga, gb = grams(texts[a]), grams(texts[b])
-            j.append(len(ga & gb) / max(len(ga | gb), 1))
+        j = [
+            len(grams(a) & grams(b)) / max(len(grams(a) | grams(b)), 1)
+            for a, b in zip(g.__text_a, g.__text_b)
+        ]
         out = g.assign(jaccard=j)
-        return out[out.jaccard >= threshold]
+        out = out[out.jaccard >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
 
-    return cands.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 # ------------------------------------------------- embedding-cosine near-dup

@@ -307,6 +307,14 @@ def q_dedup_simhash_documents(sf_dir):
     return simhash_candidate_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_ngram_jaccard_documents(sf_dir):
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.3
+    ).select_columns(["doc_a", "doc_b"])
+
+
 def q_embedding_neardup(sf_dir):
     from ..ops.dedup import embedding_neardup_pairs
 
@@ -357,6 +365,7 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "embedding_neardup": q_embedding_neardup,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,

@@ -180,3 +180,22 @@ def test_multimodal_decode_plumbing(ray_session):
     # real decode is stubbed: must raise cleanly without the image lib
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)
+
+
+def test_ngram_jaccard_distributed(ray_session):
+    from parquet_go_ray.ops.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(30):
+        t = " ".join(rng.choice(words, 50))
+        texts.append(t); ids.append(2 * i)
+        if i < 6:  # plant a near-dup with one changed word
+            toks = t.split(); toks[7] = "XX"
+            texts.append(" ".join(toks)); ids.append(2 * i + 1)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "text": texts}))
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    found = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert {(2 * i, 2 * i + 1) for i in range(6)} <= found
+    assert (out.jaccard >= 0.5).all()

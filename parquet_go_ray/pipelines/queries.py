@@ -322,6 +322,30 @@ def q_embedding_neardup(sf_dir):
     return pairs[["vec_a", "vec_b"]]
 
 
+# -------------------------------------------------------------------- window
+def q_window_events(sf_dir):
+    """Tumbling 1-hour windows per user over events (partial-agg combiner)."""
+    from ..ops.window import tumbling_window
+
+    return tumbling_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+def q_agg_after_roundtrip(sf_dir):
+    """Engine composes with Ray Data relational ops: decode our format, then
+    groupby-aggregate (exact aggregates only — see ops/window.py note)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .encode import decode_dataset, encode_dataset
+
+    out = _tmp_out("aggrt")
+    encode_dataset(_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]), out).materialize()
+    return (
+        decode_dataset(out)
+        .groupby("l_returnflag")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n"))
+    )
+
+
 # ---------------------------------------------------------------- similarity
 KNN_QUERIES = [0, 1, 2, 3]
 
@@ -367,6 +391,8 @@ QUERIES = {
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "embedding_neardup": q_embedding_neardup,
+    "window_events": q_window_events,
+    "agg_after_roundtrip": q_agg_after_roundtrip,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
 }
@@ -415,6 +441,15 @@ ORACLE_SQL = {
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
         f"JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {TOKEN_VOCAB_TAU}"
+    ),
+    "window_events": (
+        "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events, min(value) AS min_value, max(value) AS max_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "agg_after_roundtrip": (
+        "SELECT l_returnflag, sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
     "knn_bruteforce": (
         "SELECT query_id, neighbor_id FROM ("

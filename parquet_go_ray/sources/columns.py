@@ -272,6 +272,11 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                     lens_enc = delta.encode(np.diff(po).astype(np.int32), 32)
                     payload_bytes = d[int(po[0]) : int(po[-1])]
                     table = fsst.train(payload_bytes)
+                    # symbol-table hash goes to lineage (north-star checkpoint
+                    # record: resumed runs must reproduce identical tables)
+                    stats.setdefault("fsst_table_crc32s", []).append(
+                        zlib.crc32(table.tobytes()) & 0xFFFFFFFF
+                    )
                     fenc = fsst.encode(payload_bytes, table)
                     add_page(len(lens_enc).to_bytes(4, "little") + lens_enc + fenc, hi - lo)
                 else:

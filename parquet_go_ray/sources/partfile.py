@@ -81,6 +81,13 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[b
         "pages": {m["path"]: len(m["pages"]) for m in stream_metas},
         "crc32": zlib.crc32(bytes(body)) & 0xFFFFFFFF,
     }
+    tables = {
+        m["path"]: m["stats"]["fsst_table_crc32s"]
+        for m in stream_metas
+        if m.get("stats", {}).get("fsst_table_crc32s")
+    }
+    if tables:
+        lineage["symbol_tables"] = tables
     return bytes(body), lineage
 
 

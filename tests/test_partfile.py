@@ -234,3 +234,12 @@ def test_int96_julian_time():
     raw = ns_to_int96(ns)
     assert raw.shape == (5, 12)
     np.testing.assert_array_equal(int96_to_ns(raw), ns)
+
+
+def test_fsst_symbol_table_lineage_deterministic():
+    t = pa.table({"text": pa.array(["the quick brown fox " * 5 + str(i) for i in range(500)])})
+    cfg = EncodeConfig(column_codecs={"text": "FSST_BA"})
+    _, l1 = encode_table(t, cfg)
+    _, l2 = encode_table(t, cfg)
+    assert "symbol_tables" in l1 and l1["symbol_tables"]["text"]
+    assert l1["symbol_tables"] == l2["symbol_tables"]  # retry-determinism

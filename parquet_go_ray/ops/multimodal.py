@@ -114,3 +114,74 @@ def decode_images(ds, *, fake: bool = True, concurrency=None, batch_size: int = 
         zero_copy_batch=True,
         concurrency=concurrency or _default_concurrency(),
     )
+
+
+class ResizeImage:
+    """Actor stage: deterministic fake resize (halves header dims, truncates
+    blob proportionally). Real pixel resample needs an image lib (absent) —
+    the Ray plumbing (schema in/out, per-batch vectorized header rewrite) is
+    the tested part."""
+
+    def __init__(self, scale: float = 0.5, payload_col: str = "payload"):
+        self.scale = scale
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8).copy() if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+        starts = offsets[:-1]
+        ok = np.diff(offsets) >= 13
+        for off in (4, 6):  # width, height u16 fields
+            lo = data[starts[ok] + off].astype(np.uint32) | (data[starts[ok] + off + 1].astype(np.uint32) << 8)
+            nv = np.maximum((lo * self.scale).astype(np.uint32), 1)
+            data[starts[ok] + off] = (nv & 0xFF).astype(np.uint8)
+            data[starts[ok] + off + 1] = ((nv >> 8) & 0xFF).astype(np.uint8)
+        out = pa.Array.from_buffers(pa.binary(), len(arr), [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(data)])
+        return batch.set_column(batch.schema.get_field_index(self.payload_col), self.payload_col, out)
+
+
+VMAGIC = b"FVID"
+
+
+def make_fake_video_table(n: int, seed: int = 0) -> pa.Table:
+    """(video_id, payload, n_frames) — payload = FVID | n_frames:u16 | frames
+    (each frame 32 bytes, deterministic)."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(4, 40, n)
+    payloads = []
+    for i in range(n):
+        nf = int(frames[i])
+        body = rng.integers(0, 256, nf * 32, dtype=np.uint8).tobytes()
+        payloads.append(VMAGIC + nf.to_bytes(2, "little") + body)
+    return pa.table({"video_id": pa.array(np.arange(n)),
+                     "payload": pa.array(payloads, type=pa.binary()),
+                     "n_frames": pa.array(frames.astype(np.int32))})
+
+
+class SampleFrames:
+    """Actor stage: every k-th frame -> (video_id, frame_index, frame_bytes)
+    rows. Real video decode is stubbed (no av lib in this container); frame
+    extraction over the synthetic FVID layout is real and vectorized."""
+
+    def __init__(self, every: int = 4, payload_col: str = "payload"):
+        self.every = every
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+        vids = np.asarray(batch.column("video_id"))
+        starts = offsets[:-1]
+        nf = (data[starts + 4].astype(np.int64) | (data[starts + 5].astype(np.int64) << 8))
+        n_samp = (nf + self.every - 1) // self.every
+        vid_rep = np.repeat(vids, n_samp)
+        base = np.repeat(starts + 6, n_samp)
+        within = (np.arange(int(n_samp.sum())) - np.repeat(np.concatenate([[0], np.cumsum(n_samp[:-1])]), n_samp))
+        fidx = within * self.every
+        fstart = base + fidx * 32
+        frame_bytes = [data[s : s + 32].tobytes() for s in fstart]  # 32B slices
+        return pa.table({"video_id": pa.array(vid_rep),
+                         "frame_index": pa.array(fidx),
+                         "frame": pa.array(frame_bytes, type=pa.binary())})

@@ -199,3 +199,39 @@ def test_ngram_jaccard_distributed(ray_session):
     found = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
     assert {(2 * i, 2 * i + 1) for i in range(6)} <= found
     assert (out.jaccard >= 0.5).all()
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    from parquet_go_ray.ops.multimodal import (
+        DecodeImage,
+        ResizeImage,
+        SampleFrames,
+        make_fake_image_table,
+        make_fake_video_table,
+    )
+
+    imgs = make_fake_image_table(50, seed=3)
+    resized = (
+        rd.from_arrow(imgs)
+        .map_batches(ResizeImage, fn_constructor_kwargs={"scale": 0.5},
+                     batch_format="pyarrow", concurrency=2, batch_size=16)
+        .map_batches(DecodeImage, fn_constructor_kwargs={"fake": True},
+                     batch_format="pyarrow", concurrency=2, batch_size=16)
+        .to_pandas().sort_values("image_id")
+    )
+    meta = imgs.column("meta").to_pylist()
+    np.testing.assert_array_equal(resized.width.to_numpy(),
+                                  [max(m["width"] // 2, 1) for m in meta])
+
+    vids = make_fake_video_table(30, seed=4)
+    frames = (
+        rd.from_arrow(vids)
+        .map_batches(SampleFrames, fn_constructor_kwargs={"every": 4},
+                     batch_format="pyarrow", concurrency=2, batch_size=8)
+        .to_pandas()
+    )
+    nf = vids.column("n_frames").to_pandas()
+    want_counts = ((nf + 3) // 4).sum()
+    assert len(frames) == want_counts
+    assert (frames.frame_index % 4 == 0).all()
+    assert frames.frame.map(len).eq(32).all()

@@ -1,0 +1,87 @@
+"""Compaction: merge small same-key partition files up to a target size.
+
+Completes the shuffle-free keyed layout (:func:`encode.encode_partitioned`):
+that path writes one file per (key, batch), so low-frequency keys leave a
+tail of small files. Compaction plans driver-side over the manifest (metadata
+only), then each merge group is one Ray task: decode the small files, concat,
+re-encode as one partition, write the new manifest record, and only then
+retire the old records + files — a crash mid-compaction leaves both the old
+(still-listed) and new (unlisted or listed) states readable, never a loss.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.columns import EncodeConfig
+from ..sources.partfile import read_partition
+from ..stages.codec import EncodeStage
+from ..state import manifest as mf
+
+
+def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int = 2) -> list[list[dict]]:
+    """Groups of small same-key partition records to merge (driver, metadata only)."""
+    by_key: dict[str, list[dict]] = {}
+    for rec in mf.load_records(out_dir):
+        if rec.get("bytes_out", 0) >= target_bytes:
+            continue
+        by_key.setdefault(rec.get("key", ""), []).append(rec)
+    groups = []
+    for key, recs in by_key.items():
+        recs.sort(key=lambda r: r["bytes_out"])
+        cur, size = [], 0
+        for r in recs:
+            cur.append(r)
+            size += r["bytes_out"]
+            if size >= target_bytes:
+                groups.append(cur)
+                cur, size = [], 0
+        if len(cur) >= min_group:
+            groups.append(cur)
+    return groups
+
+
+def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
+                       config: EncodeConfig | None = None, concurrency=None) -> dict:
+    """Run the compaction plan; returns {"groups": n, "merged_files": m}."""
+    groups = plan_compaction(out_dir, target_bytes)
+    if not groups:
+        return {"groups": 0, "merged_files": 0}
+    cfg = config or EncodeConfig()
+
+    class CompactStage(EncodeStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import json
+
+            out_rows = []
+            for spec in batch.column("group").to_pylist():
+                recs = json.loads(spec)
+                tables = [read_partition(r["path"]) for r in recs]
+                merged = pa.concat_tables(tables)
+                out_rows.append(EncodeStage.__call__(self, merged, tag=recs[0].get("key")))
+                # retire old records + files only after the new one is durable
+                for r in recs:
+                    rec_path = mf.record_path(self.out_dir, r["partition_id"])
+                    if os.path.exists(rec_path):
+                        os.remove(rec_path)
+                    if os.path.exists(r["path"]):
+                        os.remove(r["path"])
+            return pa.concat_tables(out_rows)
+
+    import json
+
+    items = rd.from_items([{"group": json.dumps(g)} for g in groups])
+    from .encode import _default_concurrency
+
+    lo, hi = _default_concurrency()
+    items.map_batches(
+        CompactStage,
+        fn_constructor_args=(out_dir, cfg),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=min(len(groups), max(2, hi - 2)),
+    ).materialize()
+    return {"groups": len(groups), "merged_files": sum(len(g) for g in groups)}

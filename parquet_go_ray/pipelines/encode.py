@@ -139,6 +139,52 @@ def encode_grouped(
     return salted.groupby([key, "__salt"]).map_groups(encode_group, batch_format="pyarrow")
 
 
+def encode_partitioned(
+    ds: rd.Dataset,
+    out_dir: str,
+    key: str = "source",
+    config: EncodeConfig | None = None,
+    *,
+    batch_rows: int | None = None,
+    concurrency=None,
+) -> rd.Dataset:
+    """Shuffle-free keyed layout: split each batch by ``key`` locally and write
+    one partition file per (key, batch) — no all-to-all exchange at all.
+
+    Compared to :func:`encode_grouped` (true groupby shuffle): same per-file
+    key purity (so dictionary pages stay dense), ~the stateless pipeline's
+    throughput, but more files per key (one per batch a key appears in —
+    compact later if the tail matters). This is the 100 TB default: the
+    measured groupby shuffle costs ~20x the encode itself, while batch-local
+    splitting costs nothing (SURVEY.md §4.3 discusses why key-pure files
+    compress better).
+    """
+    cfg = config or EncodeConfig()
+
+    class SplitEncode(EncodeStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            parts = []
+            keys = batch.column(key)
+            for val in pc.unique(keys):
+                sub = batch.filter(pc.equal(keys, val))
+                parts.append(EncodeStage.__call__(self, sub, tag=str(val)))
+            return pa.concat_tables(parts) if parts else EncodeStage.__call__(self, batch)
+
+    if concurrency is None:
+        lo, hi = _default_concurrency()
+        concurrency = max(2, hi - 2)
+    return ds.map_batches(
+        SplitEncode,
+        fn_constructor_args=(out_dir, cfg),
+        batch_format="pyarrow",
+        batch_size=batch_rows,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def _stable_hash(col: pa.ChunkedArray) -> np.ndarray:
     """Deterministic per-row int64 hash of a string/int column (FNV-1a over bytes,
     vectorized; role of the reference's DefaultHashFunc /root/reference/helpers.go:16-24)."""

@@ -35,7 +35,7 @@ class EncodeStage:
         self.config = config or EncodeConfig()
         os.makedirs(out_dir, exist_ok=True)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, tag: str | None = None) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({k: pa.array([], type=t) for k, t in _LINEAGE_SCHEMA})
         body, lineage = encode_table(batch, self.config)
@@ -48,6 +48,8 @@ class EncodeStage:
             os.replace(tmp, path)
         lineage["partition_id"] = pid
         lineage["path"] = path
+        if tag is not None:
+            lineage["key"] = tag
         mf.write_record(self.out_dir, lineage)
         return _lineage_table(lineage)
 

@@ -147,3 +147,29 @@ def test_verify_roundtrip_pipeline(ray_session, tmp_path):
     bad = decode_dataset(out).map_batches(corrupt, batch_format="pyarrow")
     res2 = verify_roundtrip(token_table_dataset(SF), bad)
     assert res2["mismatches"] > 0
+
+
+def test_partitioned_encode_and_compaction(ray_session, tmp_path):
+    from parquet_go_ray.pipelines.compact import compact_partitions, plan_compaction
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_partitioned
+
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/documents.parquet")
+    lineage = encode_partitioned(src, out, key="source", batch_rows=100).to_pandas()
+    assert lineage.num_rows.sum() == 500
+    assert len(lineage) > 20  # one file per (source, batch)
+    recs = mf.load_records(out)
+    assert all("key" in r for r in recs)
+
+    plan = plan_compaction(out, target_bytes=1 << 20)
+    assert plan  # plenty of small files
+    res = compact_partitions(out, target_bytes=1 << 20)
+    assert res["merged_files"] > 0
+    after = mf.load_records(out)
+    assert len(after) < len(recs)
+
+    got = decode_dataset(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = pq.read_table(f"{SF}/documents.parquet").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 500
+    for col in want.columns:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)

@@ -12,6 +12,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer split (GPT-2 style simplified to RE2-compatible
+# alternations — both pyarrow and DuckDB use RE2, so counts agree exactly)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 PUNCT_CLASS = "[.,;:!?]"
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -27,6 +30,12 @@ STOPWORDS = {
 def add_token_count(batch: pa.Table, col: str = "text", out: str = "n_tok") -> pa.Table:
     """Whitespace token count (vectorized regex count)."""
     counts = pc.count_substring_regex(batch.column(col), TOKEN_RE)
+    return batch.append_column(out, pc.cast(counts, pa.int64()))
+
+
+def add_token_count_bpe(batch: pa.Table, col: str = "text", out: str = "n_bpe") -> pa.Table:
+    """BPE-ish pre-token count (letter runs / digit runs / symbol runs)."""
+    counts = pc.count_substring_regex(batch.column(col), BPE_RE)
     return batch.append_column(out, pc.cast(counts, pa.int64()))
 
 

@@ -251,11 +251,14 @@ def decode_dataset(
     if concurrency is None:
         lo, hi = _default_concurrency()
         concurrency = max(2, hi - 2)
+    conc_hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    # several files per task when there are many small partitions
+    per_task = min(16, max(1, len(paths) // max(4 * conc_hi, 1)))
     items = rd.from_items([{"path": p} for p in paths])
     return items.map_batches(
         DecodeStage,
         fn_constructor_args=(columns,),
         batch_format="pyarrow",
-        batch_size=1,
+        batch_size=per_task,
         concurrency=concurrency,
     )

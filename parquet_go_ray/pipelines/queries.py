@@ -255,6 +255,27 @@ def q_token_count_documents(sf_dir):
     ).select_columns(["doc_id", "n_tok"])
 
 
+def q_token_count_bpe_documents(sf_dir):
+    from ..ops.text import add_token_count_bpe
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_token_count_bpe, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_bpe"])
+
+
+def q_roundtrip_partitioned_documents(sf_dir):
+    """Shuffle-free keyed layout + compaction, decoded back losslessly."""
+    from .compact import compact_partitions
+    from .encode import decode_dataset, encode_partitioned
+
+    out = _tmp_out("rt-part")
+    encode_partitioned(
+        _read(sf_dir, "documents"), out, key="source", batch_rows=128
+    ).materialize()
+    compact_partitions(out, target_bytes=1 << 20)
+    return decode_dataset(out)
+
+
 def q_text_signals_documents(sf_dir):
     """Integer-valued quality signals (float-division-free for hash stability)."""
 
@@ -383,6 +404,8 @@ QUERIES = {
     "csv2parquet_nation": q_csv2parquet_nation,
     "distinct_returnflag": q_distinct_returnflag,
     "token_count_documents": q_token_count_documents,
+    "token_count_bpe_documents": q_token_count_bpe_documents,
+    "roundtrip_partitioned_documents": q_roundtrip_partitioned_documents,
     "text_signals_documents": q_text_signals_documents,
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
@@ -428,6 +451,11 @@ ORACLE_SQL = {
     "token_count_documents": (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok FROM documents"
     ),
+    "token_count_bpe_documents": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe FROM documents"
+    ),
+    "roundtrip_partitioned_documents": "SELECT * FROM documents",
     "text_signals_documents": (
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
         "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct, "

@@ -173,3 +173,19 @@ def test_partitioned_encode_and_compaction(ray_session, tmp_path):
     assert len(got) == 500
     for col in want.columns:
         np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+
+
+def test_ray_datasource_read(ray_session, tmp_path):
+    from parquet_go_ray.pipelines.encode import encode_dataset
+    from parquet_go_ray.sources.ray_datasource import read_rdpg
+
+    out = str(tmp_path / "enc")
+    encode_dataset(rd.read_parquet(f"{SF}/nation.parquet"), out, batch_rows=10).materialize()
+    ds = read_rdpg(out)
+    df = ds.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    want = pq.read_table(f"{SF}/nation.parquet").to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    for col in want.columns:
+        np.testing.assert_array_equal(df[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    # projection pushdown
+    dfp = read_rdpg(out, columns=["n_name"]).to_pandas()
+    assert list(dfp.columns) == ["n_name"]

@@ -171,6 +171,20 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 stats["min"], stats["max"] = float(finite.min()), float(finite.max())
         dict_ok = st.distinct is not None and st.distinct <= sel.DICT_MAX_CARD
         codec = forced or ("DICT" if dict_ok and (config.mode == sel.MODE_REFERENCE or st.unique_bytes + st.num_values * bitpack.bit_width(max((st.distinct or 1) - 1, 0)) / 8 < st.plain_size) else "PLAIN")
+        if codec == "PLAIN" and not forced and config.mode == sel.MODE_EXTENDED \
+                and config.compression != "none" and len(raw) >= 1024:
+            # BYTE_STREAM_SPLIT trial (unimplemented in the reference,
+            # README.md:44-51; our extended arm): transpose value bytes so the
+            # compressor sees the highly-repetitive exponent planes. Fires
+            # only when a sampled compression trial strictly wins.
+            sample = raw[:8192]
+            plain_c = len(_compress(_buf(sample), config.compression))
+            bss = np.ascontiguousarray(
+                sample.view(np.uint8).reshape(len(sample), sample.dtype.itemsize).T
+            )
+            bss_c = len(_compress(_buf(bss), config.compression))
+            if bss_c < plain_c * 0.95:
+                codec = "BSS"
         if codec == "DICT" and dict_ok:
             uniq_bits, inv = np.unique(bits, return_inverse=True)
             dpayload = _buf(plain.encode_fixed(uniq_bits.view(raw.dtype)))
@@ -180,6 +194,13 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             blobs.append(dcomp)
             for lo, hi in _page_slices(len(raw), max(bitpack.bit_width(max(len(uniq_bits) - 1, 0)), 1) / 8, config.page_bytes):
                 add_page(dictionary.encode_indices(inv[lo:hi], len(uniq_bits)), hi - lo)
+        elif codec == "BSS":
+            for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
+                pv = raw[lo:hi]
+                add_page(
+                    np.ascontiguousarray(pv.view(np.uint8).reshape(len(pv), pv.dtype.itemsize).T),
+                    hi - lo,
+                )
         else:
             codec = "PLAIN"
             for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
@@ -366,12 +387,16 @@ def decode_stream(meta: dict, read_at) -> Stream:
         return Stream(meta["path"], kind, dtype, _from_class(v, dtype), meta["num_values"])
 
     if kind == "values":  # float
+        itemsize = np.dtype(dtype).itemsize
         parts = []
         for p in meta["pages"]:
             payload = page_payload(p)
             if codec == "DICT":
                 idx = dictionary.decode_indices(payload, p["num_values"])
                 parts.append(dict_values[idx])
+            elif codec == "BSS":
+                planes = np.frombuffer(payload, dtype=np.uint8).reshape(itemsize, p["num_values"])
+                parts.append(np.ascontiguousarray(planes.T).reshape(-1).view(dtype))
             else:
                 parts.append(plain.decode_fixed(payload, dtype, p["num_values"]))
         return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, dtype), meta["num_values"])

@@ -243,3 +243,19 @@ def test_fsst_symbol_table_lineage_deterministic():
     _, l2 = encode_table(t, cfg)
     assert "symbol_tables" in l1 and l1["symbol_tables"]["text"]
     assert l1["symbol_tables"] == l2["symbol_tables"]  # retry-determinism
+
+
+def test_byte_stream_split_floats():
+    # smooth-ish doubles: BSS + snappy should beat PLAIN + snappy
+    n = 20_000
+    vals = np.cumsum(np.random.default_rng(123).standard_normal(n)) / 1000.0
+    t = pa.table({"f64": pa.array(vals), "f32": pa.array(vals.astype(np.float32))})
+    cfg = EncodeConfig(column_codecs={"f64": "BSS", "f32": "BSS"})
+    out = roundtrip(t, cfg)
+    assert_tables_equal(t, out)
+    # extended selector picks BSS on its own for this shape and shrinks output
+    blob_auto, lin_auto = encode_table(t)
+    blob_plain, _ = encode_table(t, EncodeConfig(column_codecs={"f64": "PLAIN", "f32": "PLAIN"}))
+    assert lin_auto["codecs"]["f64"] == "BSS"
+    assert len(blob_auto) < len(blob_plain)
+    assert_tables_equal(t, decode_table(blob_auto))

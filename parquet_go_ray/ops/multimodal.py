@@ -185,3 +185,65 @@ class SampleFrames:
         return pa.table({"video_id": pa.array(vid_rep),
                          "frame_index": pa.array(fidx),
                          "frame": pa.array(frame_bytes, type=pa.binary())})
+
+
+AMAGIC = b"FAUD"
+
+
+def make_fake_audio_table(n: int, seed: int = 0) -> pa.Table:
+    """(audio_id, payload, sample_rate) — FAUD | rate:u16 | n_samples:u32 |
+    int16 PCM samples (deterministic)."""
+    rng = np.random.default_rng(seed)
+    rates = rng.choice([8000, 16000, 44100], n).astype(np.uint32)
+    counts = rng.integers(64, 512, n)
+    payloads = []
+    for i in range(n):
+        pcm = rng.integers(-32768, 32767, counts[i], dtype=np.int16).tobytes()
+        payloads.append(AMAGIC + int(rates[i]).to_bytes(2, "little")
+                        + int(counts[i]).to_bytes(4, "little") + pcm)
+    return pa.table({"audio_id": pa.array(np.arange(n)),
+                     "payload": pa.array(payloads, type=pa.binary()),
+                     "sample_rate": pa.array(rates.astype(np.int32))})
+
+
+class DecodeAudio:
+    """Actor stage: audio payload -> (sample_rate, n_samples, rms). Real codec
+    decode (mp3/flac) is stubbed like DecodeImage — construct with fake=True
+    for the FAUD PCM parser; the Ray plumbing is real and vectorized."""
+
+    def __init__(self, fake: bool = False, payload_col: str = "payload"):
+        self.payload_col = payload_col
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires an audio library (not in this container); "
+                "pass fake=True for the deterministic FAUD parser"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+        starts = offsets[:-1]
+        rate = data[starts + 4].astype(np.int32) | (data[starts + 5].astype(np.int32) << 8)
+        nsamp = np.zeros(len(arr), dtype=np.int64)
+        for b in range(4):
+            nsamp |= data[starts + 6 + b].astype(np.int64) << (8 * b)
+        rms = np.zeros(len(arr), dtype=np.float64)
+        pcm_starts = starts + 10
+        lens = nsamp * 2
+        total = int(lens.sum())
+        if total:
+            flat_idx = np.repeat(pcm_starts, lens) + (
+                np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(lens[:-1])]), lens)
+            )
+            pcm = data[flat_idx].reshape(-1)  # little-endian int16 pairs
+            samples = pcm[: total - (total % 2)].view(np.uint8).copy().view("<i2").astype(np.float64)
+            sq = samples * samples
+            bounds = np.concatenate([[0], np.cumsum(nsamp[:-1])]).astype(np.int64)
+            sums = np.add.reduceat(sq, bounds)
+            nz = nsamp > 0
+            rms[nz] = np.sqrt(sums[nz] / nsamp[nz])
+        return pa.table({"audio_id": batch.column("audio_id"),
+                         "sample_rate": pa.array(rate),
+                         "n_samples": pa.array(nsamp),
+                         "rms": pa.array(rms)})

@@ -24,7 +24,10 @@ def tumbling_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: 
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(batch.column(ts_col), pa.int64())
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = ts.cast(pa.timestamp("us"))
+        epoch = pc.cast(ts, pa.int64())
         bucket = pc.cast(pc.floor(pc.divide(epoch, float(width_us))), pa.int64())
         t = pa.table(
             {
@@ -46,3 +49,47 @@ def tumbling_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: 
         Max("max_partial", alias_name="max_value"),
     )
     return out
+
+
+def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_us: int = 600_000_000):
+    """Sessionization: per key, events sorted by time split where the gap to
+    the previous event exceeds ``gap_us``. Returns one row per session:
+    (key, session_id, n_events, start_us, end_us) with session_id = the
+    0-based session index per key.
+
+    Shuffle pattern: one groupby on ``key``; the per-group body is vectorized
+    pandas (sort + diff + cumsum), the streaming-shaped map_groups idiom from
+    the Ray guide. Session ids are deterministic (time order within key).
+    """
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__us", kind="stable")
+        us = g["__us"].to_numpy()
+        new_session = np.zeros(len(g), dtype=np.int64)
+        if len(us) > 1:
+            new_session[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_session)
+        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "__us": us})
+        agg = out.groupby("session_id", sort=True).agg(
+            n_events=("__us", "size"), start_us=("__us", "min"), end_us=("__us", "max")
+        ).reset_index()
+        agg[key] = g[key].iloc[0]
+        return agg[[key, "session_id", "n_events", "start_us", "end_us"]]
+
+    def add_us(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = ts.cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                key: batch.column(key),
+                "__us": pc.cast(ts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_us, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )

@@ -351,6 +351,13 @@ def q_window_events(sf_dir):
     return tumbling_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
 
 
+def q_session_windows_events(sf_dir):
+    """Sessionization (10-minute gap) over the event stream."""
+    from ..ops.window import session_windows
+
+    return session_windows(_read(sf_dir, "events", ["user_id", "ts"]), gap_us=600_000_000)
+
+
 def q_agg_after_roundtrip(sf_dir):
     """Engine composes with Ray Data relational ops: decode our format, then
     groupby-aggregate (exact aggregates only — see ops/window.py note)."""
@@ -415,6 +422,7 @@ QUERIES = {
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "embedding_neardup": q_embedding_neardup,
     "window_events": q_window_events,
+    "session_windows_events": q_session_windows_events,
     "agg_after_roundtrip": q_agg_after_roundtrip,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
@@ -474,6 +482,17 @@ ORACLE_SQL = {
         "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, "
         "CAST(count(*) AS BIGINT) AS n_events, min(value) AS min_value, max(value) AS max_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "session_windows_events": (
+        "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "min(us) AS start_us, max(us) AS end_us FROM ("
+        "  SELECT user_id, us, CAST(sum(new_s) OVER ("
+        "    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id"
+        "  FROM ("
+        "    SELECT user_id, epoch_us(ts) AS us, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "      PARTITION BY user_id ORDER BY epoch_us(ts)) > 600000000 THEN 1 ELSE 0 END AS new_s"
+        "    FROM events)"
+        ") GROUP BY 1, 2"
     ),
     "agg_after_roundtrip": (
         "SELECT l_returnflag, sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n "

@@ -235,3 +235,40 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     assert len(frames) == want_counts
     assert (frames.frame_index % 4 == 0).all()
     assert frames.frame.map(len).eq(32).all()
+
+
+def test_audio_decode_plumbing(ray_session):
+    from parquet_go_ray.ops.multimodal import DecodeAudio, make_fake_audio_table
+
+    t = make_fake_audio_table(40, seed=6)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(DecodeAudio, fn_constructor_kwargs={"fake": True},
+                     batch_format="pyarrow", concurrency=2, batch_size=8)
+        .to_pandas().sort_values("audio_id").reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out.sample_rate.to_numpy() % 65536,
+                                  t.column("sample_rate").to_numpy() % 65536)
+    assert (out.n_samples >= 64).all()
+    assert (out.rms > 0).all()
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(fake=False)
+
+
+def test_session_windows(ray_session):
+    from parquet_go_ray.ops.window import session_windows
+
+    ts = []
+    users = []
+    # user 1: two sessions (gap 1h), user 2: one session
+    base = 1_700_000_000_000_000
+    for off in (0, 60_000_000, 120_000_000, 7_200_000_000, 7_260_000_000):
+        users.append(1); ts.append(base + off)
+    for off in (0, 1_000_000):
+        users.append(2); ts.append(base + off)
+    df = pd.DataFrame({"user_id": np.array(users, dtype=np.int64),
+                       "ts": pd.to_datetime(np.array(ts), unit="us")})
+    out = session_windows(rd.from_pandas(df), gap_us=600_000_000).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_id")
+    assert list(u1.n_events) == [3, 2]
+    assert len(out[out.user_id == 2]) == 1

@@ -62,6 +62,8 @@ def prefix_lengths(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
     if n <= 1:
         return out
     maxlen = int(lengths.max())
+    if maxlen == 0:  # all-empty values: every prefix is 0
+        return out
     if maxlen <= _MAX_PAD:
         mat = _to_padded_matrix(offsets, data, lengths)
         pair_min = np.minimum(lengths[1:], lengths[:-1]).astype(np.int64)

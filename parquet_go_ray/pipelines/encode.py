@@ -7,9 +7,10 @@ path (file_reader.go: NextRow*), re-expressed as streaming Dataset stages:
   read_parquet → map_batches(EncodeStage)  → lineage Dataset (tiny)
   from_items(partition paths) → map_batches(DecodeStage) → rows Dataset
 
-Two partitioning strategies:
+Three partitioning strategies (measured head-to-head in BENCH/BASELINE.md):
   * ``encode_dataset`` — stateless: each incoming block becomes one partition
-    (partition id = content hash; idempotent under retries).
+    (partition id = content hash; idempotent under retries). Fastest wall
+    clock; mixed-key streams compress worst.
   * ``encode_grouped`` — groupby-on-source with explicit salting: a driver
     pre-pass counts rows per source, hot sources are split into
     ceil(source_bytes / target_partition_bytes) salt buckets, cold sources
@@ -17,7 +18,11 @@ Two partitioning strategies:
     rows by source also makes per-partition dictionaries denser, directly
     shrinking the dictionary pages (SURVEY.md §4.3). Partition ids are
     ``<source>-<salt>``: deterministic by key, so resume skips completed
-    groups *before* any encode work.
+    groups *before* any encode work. Best compression; pays one full
+    all-to-all exchange.
+  * ``encode_partitioned`` (+ ``compact.compact_partitions``) — batch-local
+    key split, no shuffle: ~the stateless throughput at ~the grouped
+    compression; the 100 TB default.
 """
 
 from __future__ import annotations

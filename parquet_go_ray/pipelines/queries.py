@@ -246,6 +246,29 @@ def q_distinct_returnflag(sf_dir):
     return pd.DataFrame({"l_returnflag": sorted(vals)})
 
 
+def q_distinct_from_dict_pages(sf_dir):
+    """Distinct source values read from dictionary pages ONLY (no data-page
+    decode): encode documents with forced DICT on source, then union the
+    per-partition dictionary pages — the format-level shortcut the reference's
+    dictionaries enable (/root/reference/type_dict.go:127-129)."""
+    import pandas as pd
+
+    from ..sources.partfile import read_dictionary_page
+    from ..state import manifest as mf2
+    from .encode import encode_dataset
+
+    out = _tmp_out("dictpages")
+    cfg = EncodeConfig(column_codecs={"source": "DICT"})
+    encode_dataset(_read(sf_dir, "documents", ["doc_id", "source"]), out, cfg,
+                   batch_rows=128).materialize()
+    vals: set[str] = set()
+    for rec in mf.load_records(out):
+        arr = read_dictionary_page(rec["path"], "source")
+        assert arr is not None, "source stream must be dictionary-encoded"
+        vals.update(v.as_py().decode() for v in arr)
+    return pd.DataFrame({"source": sorted(vals)})
+
+
 # ------------------------------------------------------------------ text ops
 def q_token_count_documents(sf_dir):
     from ..ops.text import add_token_count
@@ -410,6 +433,7 @@ QUERIES = {
     "filter_pushdown_lineitem": q_filter_pushdown_lineitem,
     "csv2parquet_nation": q_csv2parquet_nation,
     "distinct_returnflag": q_distinct_returnflag,
+    "distinct_from_dict_pages": q_distinct_from_dict_pages,
     "token_count_documents": q_token_count_documents,
     "token_count_bpe_documents": q_token_count_bpe_documents,
     "roundtrip_partitioned_documents": q_roundtrip_partitioned_documents,
@@ -456,6 +480,7 @@ ORACLE_SQL = {
     ),
     "csv2parquet_nation": "SELECT * FROM nation",
     "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",
+    "distinct_from_dict_pages": "SELECT DISTINCT source FROM documents ORDER BY source",
     "token_count_documents": (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok FROM documents"
     ),

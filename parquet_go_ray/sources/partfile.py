@@ -167,3 +167,36 @@ def partition_stats(path: str) -> dict[str, dict]:
     """path-level stream stats {stream_path: {min,max,distinct,null_count}}."""
     footer = read_partition_footer(path)
     return {s["path"]: (s.get("stats") or {}) for s in footer["streams"]}
+
+
+def read_dictionary_page(path: str, column: str):
+    """Distinct values of a DICT-encoded stream WITHOUT touching data pages —
+    the dictionary page *is* the per-chunk distinct set (the property the
+    reference exploits for its distinct-count stats, type_dict.go:127-129).
+    Returns a pa.Array of the dictionary values, or None if the stream isn't
+    dictionary-encoded in this partition."""
+    from .columns import _INT_CLASS, _decompress
+
+    footer = read_partition_footer(path)
+    meta = next((s for s in footer["streams"] if s["path"] == column), None)
+    if meta is None or not meta.get("dict"):
+        return None
+    dmeta = meta["dict"]
+    with open(path, "rb") as f:
+        f.seek(dmeta["offset"])
+        raw = f.read(dmeta["size"])
+    payload = _decompress(raw, meta["compression"], dmeta["usize"])
+    from ..functions import plain
+
+    if meta["kind"] == "bytes":
+        offsets, data = plain.decode_byte_array(payload, dmeta["num_values"])
+        return pa.Array.from_buffers(
+            pa.binary(), dmeta["num_values"],
+            [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
+             pa.py_buffer(np.ascontiguousarray(data))],
+        )
+    dtype = meta["dtype"]
+    if dtype in _INT_CLASS:
+        nbits = _INT_CLASS[dtype]
+        return pa.array(plain.decode_fixed(payload, "int32" if nbits == 32 else "int64", dmeta["num_values"]))
+    return pa.array(plain.decode_fixed(payload, dtype, dmeta["num_values"]))

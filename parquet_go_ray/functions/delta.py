@@ -107,9 +107,17 @@ def encode(values: np.ndarray, nbits: int) -> bytes:
 
 
 def decode(data, nbits: int) -> np.ndarray:
+    values, _ = decode_stream(data, nbits)
+    return values
+
+
+def decode_stream(data, nbits: int, start: int = 0) -> tuple[np.ndarray, int]:
+    """Decode one self-delimiting DELTA_BINARY_PACKED stream; returns
+    (values, end position) — the spec layout has no length prefix, so readers
+    of DELTA_LENGTH/DELTA_BYTE_ARRAY need the consumed length."""
     sdt, udt = _dtypes(nbits)
     buf = bytes(data)
-    block, pos = read_uvarint(buf, 0)
+    block, pos = read_uvarint(buf, start)
     nmb, pos = read_uvarint(buf, pos)
     n, pos = read_uvarint(buf, pos)
     first, pos = read_varint(buf, pos)
@@ -117,9 +125,9 @@ def decode(data, nbits: int) -> np.ndarray:
         raise ValueError("delta: block size not divisible by miniblock count")
     mbv = block // nmb
     if n == 0:
-        return np.empty(0, dtype=sdt)
+        return np.empty(0, dtype=sdt), pos
     if n == 1:
-        return np.array([first], dtype=np.int64).astype(sdt)
+        return np.array([first], dtype=np.int64).astype(sdt), pos
 
     nd = n - 1
     nblocks = (nd + block - 1) // block
@@ -157,4 +165,4 @@ def decode(data, nbits: int) -> np.ndarray:
     out[0] = np.int64(first).astype(udt)
     np.cumsum(deltas, out=out[1:], dtype=udt)
     out[1:] += out[0]
-    return out.view(sdt)
+    return out.view(sdt), pos

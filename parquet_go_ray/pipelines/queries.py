@@ -129,6 +129,14 @@ def q_roundtrip_tokens(sf_dir):
 
 
 # ------------------------------------------------------------------ metadata
+def q_parquet_compat_orders(sf_dir):
+    """Read the stock orders.parquet with OUR kernels only (thrift footer +
+    page decode) — bitstream conformance against the real format."""
+    from ..sources.parquet_compat import read_parquet_with_our_kernels
+
+    return read_parquet_with_our_kernels(os.path.join(sf_dir, "orders.parquet"))
+
+
 def q_rowcount_orders(sf_dir):
     """Footer-only rowcount (parquet-tool rowcount analogue: no value decode)."""
     import pandas as pd
@@ -425,6 +433,7 @@ QUERIES = {
     "roundtrip_supplier_delta_ba": q_roundtrip_supplier_delta_ba,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "roundtrip_tokens": q_roundtrip_tokens,
+    "parquet_compat_orders": q_parquet_compat_orders,
     "rowcount_orders": q_rowcount_orders,
     "column_stats_lineitem": q_column_stats_lineitem,
     "head_orders": q_head_orders,
@@ -466,6 +475,7 @@ ORACLE_SQL = {
         "list_transform(string_split(text, ''), x -> unicode(x)) AS tokens, "
         "CAST(length(text) AS INTEGER) AS n_tok, source FROM documents"
     ),
+    "parquet_compat_orders": "SELECT * FROM orders",
     "rowcount_orders": "SELECT count(*) AS n FROM orders",
     "column_stats_lineitem": (
         "SELECT min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "

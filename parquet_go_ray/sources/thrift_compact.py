@@ -1,0 +1,111 @@
+"""Minimal Thrift Compact Protocol reader (read-only, schema-less).
+
+Just enough of the compact protocol to parse Apache Parquet metadata
+(FileMetaData, PageHeader) — the role of the reference's generated bindings
+(/root/reference/parquet/parquet.go) without code generation: structs come
+back as {field_id: value} dicts and are interpreted by the caller
+(parquet_compat.py) using the field ids from the parquet.thrift spec.
+
+Wire format (thrift compact protocol spec):
+  varint        ULEB128
+  int16/32/64   zigzag varint
+  struct field  header byte (delta<<4)|type; delta==0 -> long form
+                (zigzag-varint field id follows); type 0 terminates
+  bool          encoded IN the field type (1=true, 2=false)
+  binary        varint length + bytes
+  list/set      header (size<<4)|elem_type; size==15 -> varint size follows
+  double        8 bytes little-endian
+"""
+
+from __future__ import annotations
+
+import struct
+
+T_STOP = 0
+T_TRUE = 1
+T_FALSE = 2
+T_BYTE = 3
+T_I16 = 4
+T_I32 = 5
+T_I64 = 6
+T_DOUBLE = 7
+T_BINARY = 8
+T_LIST = 9
+T_SET = 10
+T_MAP = 11
+T_STRUCT = 12
+
+
+class CompactReader:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def uvarint(self) -> int:
+        result = 0
+        shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+
+    def zigzag(self) -> int:
+        u = self.uvarint()
+        return (u >> 1) ^ -(u & 1)
+
+    def read_value(self, ftype: int):
+        if ftype == T_TRUE:
+            return True
+        if ftype == T_FALSE:
+            return False
+        if ftype == T_BYTE:
+            v = self.buf[self.pos]
+            self.pos += 1
+            return v - 256 if v > 127 else v
+        if ftype in (T_I16, T_I32, T_I64):
+            return self.zigzag()
+        if ftype == T_DOUBLE:
+            v = struct.unpack_from("<d", self.buf, self.pos)[0]
+            self.pos += 8
+            return v
+        if ftype == T_BINARY:
+            n = self.uvarint()
+            v = self.buf[self.pos : self.pos + n]
+            self.pos += n
+            return v
+        if ftype in (T_LIST, T_SET):
+            header = self.buf[self.pos]
+            self.pos += 1
+            size = header >> 4
+            etype = header & 0x0F
+            if size == 15:
+                size = self.uvarint()
+            return [self.read_value(etype) for _ in range(size)]
+        if ftype == T_MAP:
+            size = self.uvarint()
+            if size == 0:
+                return {}
+            kv = self.buf[self.pos]
+            self.pos += 1
+            kt, vt = kv >> 4, kv & 0x0F
+            return {self.read_value(kt): self.read_value(vt) for _ in range(size)}
+        if ftype == T_STRUCT:
+            return self.read_struct()
+        raise ValueError(f"thrift compact: unknown type {ftype}")
+
+    def read_struct(self) -> dict:
+        out: dict[int, object] = {}
+        last_id = 0
+        while True:
+            header = self.buf[self.pos]
+            self.pos += 1
+            if header == T_STOP:
+                return out
+            delta = header >> 4
+            ftype = header & 0x0F
+            fid = last_id + delta if delta else self.zigzag()
+            last_id = fid
+            out[fid] = self.read_value(ftype)

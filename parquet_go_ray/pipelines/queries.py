@@ -137,6 +137,25 @@ def q_parquet_compat_orders(sf_dir):
     return read_parquet_with_our_kernels(os.path.join(sf_dir, "orders.parquet"))
 
 
+def q_parquet_write_compat_customer(sf_dir):
+    """Write a REAL parquet file with our encoders (thrift footer + pages:
+    DELTA_BINARY_PACKED ints, DICT strings), then read it back with pyarrow —
+    wire-level conformance of the write path."""
+    import pyarrow.parquet as pq2
+
+    from ..sources.parquet_compat import write_parquet_with_our_kernels
+
+    t = pq2.read_table(os.path.join(sf_dir, "customer.parquet"))
+    p = os.path.join(_tmp_out("pqw"), "customer.parquet")
+    write_parquet_with_our_kernels(
+        t, p, compression="snappy",
+        column_encoding={"c_custkey": "DELTA_BINARY_PACKED", "c_mktsegment": "DICT"},
+    )
+    import ray.data as rd
+
+    return rd.read_parquet(p)
+
+
 def q_rowcount_orders(sf_dir):
     """Footer-only rowcount (parquet-tool rowcount analogue: no value decode)."""
     import pandas as pd
@@ -434,6 +453,7 @@ QUERIES = {
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "roundtrip_tokens": q_roundtrip_tokens,
     "parquet_compat_orders": q_parquet_compat_orders,
+    "parquet_write_compat_customer": q_parquet_write_compat_customer,
     "rowcount_orders": q_rowcount_orders,
     "column_stats_lineitem": q_column_stats_lineitem,
     "head_orders": q_head_orders,
@@ -476,6 +496,7 @@ ORACLE_SQL = {
         "CAST(length(text) AS INTEGER) AS n_tok, source FROM documents"
     ),
     "parquet_compat_orders": "SELECT * FROM orders",
+    "parquet_write_compat_customer": "SELECT * FROM customer",
     "rowcount_orders": "SELECT count(*) AS n FROM orders",
     "column_stats_lineitem": (
         "SELECT min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "

@@ -109,3 +109,69 @@ class CompactReader:
             fid = last_id + delta if delta else self.zigzag()
             last_id = fid
             out[fid] = self.read_value(ftype)
+
+
+# ----------------------------------------------------------------- writer
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> bytes:
+    return _uvarint((v << 1) ^ (v >> 63))
+
+
+class CompactWriter:
+    """Minimal compact-protocol emitter: structs are lists of
+    (field_id, type, value) with ids strictly increasing."""
+
+    @staticmethod
+    def value(ftype: int, v) -> bytes:
+        if ftype in (T_TRUE, T_FALSE):
+            return b""
+        if ftype in (T_I16, T_I32, T_I64):
+            return _zigzag(int(v))
+        if ftype == T_DOUBLE:
+            return struct.pack("<d", v)
+        if ftype == T_BINARY:
+            b = v.encode() if isinstance(v, str) else bytes(v)
+            return _uvarint(len(b)) + b
+        if ftype == T_STRUCT:
+            return CompactWriter.struct_(v)
+        if ftype == T_LIST:
+            etype, items = v
+            head = bytearray()
+            if len(items) < 15:
+                head.append((len(items) << 4) | etype)
+            else:
+                head.append((15 << 4) | etype)
+                head += _uvarint(len(items))
+            for it in items:
+                head += CompactWriter.value(etype, it)
+            return bytes(head)
+        raise ValueError(f"thrift write: unsupported type {ftype}")
+
+    @staticmethod
+    def struct_(fields) -> bytes:
+        out = bytearray()
+        last = 0
+        for fid, ftype, v in fields:
+            if ftype == T_TRUE and v is False:
+                ftype = T_FALSE
+            delta = fid - last
+            if 0 < delta < 16:
+                out.append((delta << 4) | ftype)
+            else:
+                out.append(ftype)
+                out += _zigzag(fid)
+            last = fid
+            out += CompactWriter.value(ftype, v)
+        out.append(T_STOP)
+        return bytes(out)

@@ -267,3 +267,60 @@ def decode_dataset(
         batch_size=per_task,
         concurrency=concurrency,
     )
+
+
+def encode_dataset_to_parquet(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    compression: str | None = "snappy",
+    column_encoding: dict[str, str] | None = None,
+    batch_rows: int | None = 64 * 1024,
+    concurrency=None,
+) -> rd.Dataset:
+    """Ray-scale sink emitting REAL Parquet partition files whose pages are
+    produced by OUR encoders (sources/parquet_compat.py) — the drop-in role of
+    the reference's FileWriter for users who need standard .parquet output,
+    with the same content-hash partition ids + lineage manifest as the .rdpg
+    path. Any parquet reader (pyarrow, DuckDB, Spark, parquet-go itself)
+    consumes the output."""
+    import hashlib
+
+    from ..sources.parquet_compat import write_parquet_with_our_kernels
+
+    class ParquetEncodeStage:
+        def __init__(self):
+            os.makedirs(out_dir, exist_ok=True)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import io
+
+            tmp_name = os.path.join(out_dir, f".tmp-{os.getpid()}-{batch.num_rows}")
+            write_parquet_with_our_kernels(batch, tmp_name, compression=compression,
+                                           column_encoding=column_encoding)
+            with open(tmp_name, "rb") as f:
+                body = f.read()
+            pid = hashlib.blake2b(body, digest_size=12).hexdigest()
+            path = os.path.join(out_dir, f"part-{pid}.parquet")
+            os.replace(tmp_name, path)
+            lineage = {
+                "partition_id": pid, "path": path, "num_rows": batch.num_rows,
+                "bytes_in": batch.nbytes, "bytes_out": len(body),
+                "codecs": dict(column_encoding or {}), "pages": {},
+                "crc32": 0,
+            }
+            mf.write_record(out_dir, lineage)
+            from ..stages.codec import _lineage_table
+
+            return _lineage_table(lineage)
+
+    if concurrency is None:
+        lo, hi = _default_concurrency()
+        concurrency = max(2, hi - 2)
+    return ds.map_batches(
+        ParquetEncodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_rows,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -156,6 +156,28 @@ def q_parquet_write_compat_customer(sf_dir):
     return rd.read_parquet(p)
 
 
+def q_tokens_to_real_parquet(sf_dir):
+    """Flagship-as-parquet: token table written as REAL parquet partitions by
+    our encoders (list<int32> via Dremel levels), read back by pyarrow."""
+    import ray.data as rd
+
+    from .encode import encode_dataset_to_parquet
+
+    out = _tmp_out("tokpq")
+    encode_dataset_to_parquet(
+        token_table_dataset(sf_dir), out,
+        column_encoding={"doc_id": "DELTA_BINARY_PACKED", "source": "DICT",
+                         "n_tok": "DELTA_BINARY_PACKED"},
+        batch_rows=200,
+    ).materialize()
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out)) if f.endswith(".parquet")]
+    return rd.read_parquet(files).map_batches(
+        lambda t: t.cast(pa.schema([("doc_id", pa.int64()), ("tokens", pa.list_(pa.int32())),
+                                    ("n_tok", pa.int32()), ("source", pa.string())])),
+        batch_format="pyarrow",
+    )
+
+
 def q_rowcount_orders(sf_dir):
     """Footer-only rowcount (parquet-tool rowcount analogue: no value decode)."""
     import pandas as pd
@@ -454,6 +476,7 @@ QUERIES = {
     "roundtrip_tokens": q_roundtrip_tokens,
     "parquet_compat_orders": q_parquet_compat_orders,
     "parquet_write_compat_customer": q_parquet_write_compat_customer,
+    "tokens_to_real_parquet": q_tokens_to_real_parquet,
     "rowcount_orders": q_rowcount_orders,
     "column_stats_lineitem": q_column_stats_lineitem,
     "head_orders": q_head_orders,
@@ -497,6 +520,11 @@ ORACLE_SQL = {
     ),
     "parquet_compat_orders": "SELECT * FROM orders",
     "parquet_write_compat_customer": "SELECT * FROM customer",
+    "tokens_to_real_parquet": (
+        "SELECT doc_id, "
+        "list_transform(string_split(text, ''), x -> unicode(x)) AS tokens, "
+        "CAST(length(text) AS INTEGER) AS n_tok, source FROM documents"
+    ),
     "rowcount_orders": "SELECT count(*) AS n FROM orders",
     "column_stats_lineitem": (
         "SELECT min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "

@@ -331,9 +331,16 @@ def write_parquet_with_our_kernels(
     body = bytearray(MAGIC)
     col_chunks = []
 
+    list_schema_elems: dict[str, list[bytes]] = {}
     for name in table.column_names:
         col = table.column(name)
         arr = col.chunk(0) if col.num_chunks else pa.nulls(0, col.type)
+        if pa.types.is_list(arr.type) and pa.types.is_int32(arr.type.value_type) and arr.null_count == 0:
+            chunk_start = len(body)
+            meta_fields, total_cmp, elems = _write_list_int32_chunk(arr, name, body, compression)
+            col_chunks.append((name, chunk_start, meta_fields, total_cmp))
+            list_schema_elems[name] = elems
+            continue
         phys, conv = _phys_of(arr.type)
         n = len(arr)
         has_nulls = arr.null_count > 0
@@ -463,6 +470,9 @@ def write_parquet_with_our_kernels(
                                            (5, T_I32, table.num_columns)])]
     for name in table.column_names:
         t = table.column(name).type
+        if name in list_schema_elems:
+            schema_elems.extend(list_schema_elems[name])
+            continue
         phys, conv = _phys_of(t)
         nullable = table.column(name).null_count > 0
         fields = [(1, T_I32, _PHYS_ID[phys]), (3, T_I32, 1 if nullable else 0), (4, T_BINARY, name)]
@@ -513,3 +523,59 @@ def write_parquet_with_our_kernels(
     body += MAGIC
     with open(path, "wb") as f:
         f.write(body)
+
+
+def _write_list_int32_chunk(arr: pa.Array, name: str, body: bytearray, compression):
+    """Column chunk for a non-null list<int32> column (the token-table shape):
+    3-level LIST convention, max_rep=1 / max_def=1, levels hybrid-encoded.
+    Empty lists emit a single (rep=0, def=0) entry — the same levels-only path
+    the reference takes for empty repeated fields
+    (/root/reference/data_store.go:116-119)."""
+    from ..functions import hybrid as hyb
+
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    values = np.asarray(arr.values.view(pa.int32())) if len(arr.values) else np.empty(0, np.int32)
+    values = values[offsets[0] : offsets[-1]]
+    lens = np.diff(offsets)
+    n_rows = len(lens)
+    # one level entry per value, plus one per empty list
+    n_entries = int(np.maximum(lens, 1).sum())
+    rep = np.ones(n_entries, dtype=np.uint64)
+    defs = np.ones(n_entries, dtype=np.uint64)
+    entry_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.maximum(lens, 1), out=entry_starts[1:])
+    rep[entry_starts[:-1]] = 0  # first entry of each row
+    defs[entry_starts[:-1][lens == 0]] = 0  # empty rows: levels-only marker
+
+    rep_b = hyb.encode(rep, 1)
+    def_b = hyb.encode(defs, 1)
+    payload = (
+        len(rep_b).to_bytes(4, "little") + rep_b
+        + len(def_b).to_bytes(4, "little") + def_b
+        + bytes(memoryview(plain.encode_fixed(values)))
+    )
+    comp = _compress_page(payload, compression)
+    header = CompactWriter.struct_([
+        (1, T_I32, 0), (2, T_I32, len(payload)), (3, T_I32, len(comp)),
+        (5, T_STRUCT, [(1, T_I32, n_entries), (2, T_I32, ENC_PLAIN),
+                       (3, T_I32, ENC_RLE), (4, T_I32, ENC_RLE)]),
+    ])
+    data_off = len(body)
+    body += header + comp
+    meta_fields = [
+        (1, T_I32, _PHYS_ID["int32"]),
+        (2, T_LIST, (T_I32, [ENC_PLAIN, ENC_RLE])),
+        (3, T_LIST, (T_BINARY, [name, "list", "element"])),
+        (4, T_I32, _CODEC_ID[compression]),
+        (5, T_I64, n_entries),
+        (6, T_I64, len(header) + len(payload)),
+        (7, T_I64, len(header) + len(comp)),
+        (9, T_I64, data_off),
+    ]
+    total_cmp = len(header) + len(comp)
+    schema_elems = [
+        CompactWriter.struct_([(3, T_I32, 0), (4, T_BINARY, name), (5, T_I32, 1), (6, T_I32, 3)]),  # LIST
+        CompactWriter.struct_([(3, T_I32, 2), (4, T_BINARY, "list"), (5, T_I32, 1)]),  # repeated
+        CompactWriter.struct_([(1, T_I32, _PHYS_ID["int32"]), (3, T_I32, 0), (4, T_BINARY, "element")]),
+    ]
+    return meta_fields, total_cmp, schema_elems

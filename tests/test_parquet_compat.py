@@ -184,3 +184,28 @@ def test_write_then_read_with_our_reader(tmp_path):
         if pa.types.is_binary(a.type):
             a = a.cast(pa.string())
         assert a.equals(b), name
+
+
+def test_write_token_table_list_column(tmp_path):
+    """The flagship shape — (doc_id, tokens:list<int32>, n_tok, source) — as a
+    REAL parquet file written by our kernels, read back by pyarrow + DuckDB."""
+    from parquet_go_ray.sources.fixtures import token_table_shard
+
+    t = token_table_shard(2000, shard=0)
+    p = str(tmp_path / "tokens.parquet")
+    write_parquet_with_our_kernels(
+        t, p, compression="snappy",
+        column_encoding={"doc_id": "DELTA_BYTE_ARRAY", "source": "DICT",
+                         "n_tok": "DELTA_BINARY_PACKED"},
+    )
+    ref = pq.read_table(p)
+    assert ref.column("tokens").combine_chunks().cast(pa.list_(pa.int32())).equals(
+        t.column("tokens").combine_chunks())
+    assert ref.column("doc_id").combine_chunks().cast(pa.string()).equals(
+        t.column("doc_id").combine_chunks())
+    assert ref.column("n_tok").combine_chunks().equals(t.column("n_tok").combine_chunks())
+    n_empty = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{p}') WHERE len(tokens) = 0"
+    ).fetchone()[0]
+    want_empty = sum(1 for x in t.column("n_tok").to_pylist() if x == 0)
+    assert n_empty == want_empty

@@ -178,6 +178,27 @@ def q_tokens_to_real_parquet(sf_dir):
     )
 
 
+def q_roundtrip_fixture_strata(sf_dir):
+    """F1 fixture roundtrip across every codec-selector stratum (low_card /
+    boundary-32767 / runs / sorted / uniform32 / constant / zipf sources):
+    encode -> decode -> distributed hash verification. Self-validating
+    (raises on any mismatch); driver records the rows-only check."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..sources.fixtures import token_table_shard
+    from .encode import decode_dataset, encode_dataset
+    from .verify import verify_roundtrip
+
+    t = token_table_shard(5000, shard=0)
+    out = _tmp_out("strata")
+    encode_dataset(rd.from_arrow(t), out, batch_rows=1000).materialize()
+    res = verify_roundtrip(rd.from_arrow(t), decode_dataset(out))
+    if res["mismatches"] or res["missing"]:
+        raise AssertionError(f"fixture strata roundtrip failed: {res}")
+    return pd.DataFrame([res])
+
+
 def q_rowcount_orders(sf_dir):
     """Footer-only rowcount (parquet-tool rowcount analogue: no value decode)."""
     import pandas as pd
@@ -477,6 +498,7 @@ QUERIES = {
     "parquet_compat_orders": q_parquet_compat_orders,
     "parquet_write_compat_customer": q_parquet_write_compat_customer,
     "tokens_to_real_parquet": q_tokens_to_real_parquet,
+    "roundtrip_fixture_strata": q_roundtrip_fixture_strata,
     "rowcount_orders": q_rowcount_orders,
     "column_stats_lineitem": q_column_stats_lineitem,
     "head_orders": q_head_orders,

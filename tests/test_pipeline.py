@@ -189,3 +189,33 @@ def test_ray_datasource_read(ray_session, tmp_path):
     # projection pushdown
     dfp = read_rdpg(out, columns=["n_name"]).to_pandas()
     assert list(dfp.columns) == ["n_name"]
+
+
+def test_grouped_encode_without_salt_column(ray_session, tmp_path):
+    """encode_grouped on a table lacking the salt column (events has no
+    doc_id): the salt falls back to row position; roundtrip must hold."""
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_grouped
+
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/events.parquet")
+    lineage = encode_grouped(src, out, key="event_type",
+                             target_partition_bytes=32 * 1024, resume=False).to_pandas()
+    assert lineage.num_rows.sum() == 1000
+    got = decode_dataset(out).to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values("event_id").reset_index(drop=True)
+    for col in want.columns:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+
+
+def test_all_empty_lists_roundtrip(ray_session, tmp_path):
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    t = pa.table({
+        "id": pa.array(np.arange(50, dtype=np.int64)),
+        "l": pa.array([[] for _ in range(50)], type=pa.list_(pa.int32())),
+    })
+    out = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out, batch_rows=10).materialize()
+    got = decode_dataset(out).to_pandas()
+    assert len(got) == 50
+    assert got.l.map(len).eq(0).all()

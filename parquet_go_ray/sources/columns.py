@@ -239,8 +239,17 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         n = len(offsets) - 1
         st = sel.bytes_stats(offsets, np.asarray(data))
         stats = {"distinct": st.distinct}
+        dict_clearly_wins = (
+            st.distinct is not None
+            and st.distinct <= sel.DICT_MAX_CARD
+            and st.dict_size < st.plain_size // 2
+        )
         if forced:
             codec = forced
+        elif dict_clearly_wins:
+            # skip the prefix/FSST trial passes when the dictionary is at
+            # least 2x smaller than plain — they can't win and cost a scan
+            codec = "DICT"
         else:
             pref_ratio = 0.0
             if n > 1:

@@ -239,6 +239,22 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         n = len(offsets) - 1
         st = sel.bytes_stats(offsets, np.asarray(data))
         stats = {"distinct": st.distinct}
+        if n:
+            # byte-compare min/max like the reference (stats.go byte arrays);
+            # stored as utf-8 (lossy for non-utf8 binary -> skipped then)
+            _arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(np.ascontiguousarray(offsets - offsets[0], dtype=np.int32)),
+                 pa.py_buffer(np.ascontiguousarray(np.asarray(data, dtype=np.uint8)[int(offsets[0]):int(offsets[-1])]))],
+            )
+            try:
+                import pyarrow.compute as _pc
+
+                mm = _pc.min_max(_arr).as_py()
+                stats["min"] = mm["min"].decode()
+                stats["max"] = mm["max"].decode()
+            except (UnicodeDecodeError, pa.ArrowInvalid):
+                pass
         dict_clearly_wins = (
             st.distinct is not None
             and st.distinct <= sel.DICT_MAX_CARD

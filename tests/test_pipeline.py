@@ -219,3 +219,22 @@ def test_all_empty_lists_roundtrip(ray_session, tmp_path):
     got = decode_dataset(out).to_pandas()
     assert len(got) == 50
     assert got.l.map(len).eq(0).all()
+
+
+def test_string_stats_pruning(ray_session, tmp_path):
+    """bytes-stream min/max stats enable partition pruning on string keys."""
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquet_go_ray.sources.partfile import partition_stats
+    from parquet_go_ray.state import manifest as mfx
+
+    out = str(tmp_path / "enc")
+    src = rd.read_parquet(f"{SF}/customer.parquet").sort("c_name")
+    encode_dataset(src, out, batch_rows=30).materialize()
+    recs = mfx.load_records(out)
+    st = partition_stats(recs[0]["path"])
+    assert st["c_name"].get("min") is not None
+
+    pruned = decode_dataset(out, stats_filter={"c_name": ("Customer#000000001",
+                                                          "Customer#000000050")})
+    full = decode_dataset(out)
+    assert pruned.count() < full.count()

@@ -155,9 +155,7 @@ def decode_stream(data, nbits: int, start: int = 0) -> tuple[np.ndarray, int]:
         per = mbv * w // 8
         chunk = b"".join(buf[spans[i][0] : spans[i][0] + per] for i in idx)
         vals = bitpack.unpack(chunk, w, len(idx) * mbv).reshape(len(idx), mbv)
-        base = idx * mbv
-        for j, s in enumerate(base):
-            adj[s : s + mbv] = vals[j]
+        adj.reshape(-1, mbv)[idx] = vals
 
     adj = adj.reshape(nblocks, block)
     deltas = (adj.astype(udt) + min_deltas.astype(udt)[:, None]).reshape(-1)[:nd]

@@ -36,6 +36,21 @@ def _dtypes(nbits: int):
     return (np.int32, np.uint32) if nbits == 32 else (np.int64, np.uint64)
 
 
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length over uint64 (float log2 rounds values near
+    powers of two upward, which once emitted an invalid width of 65 for
+    full-range int64 delta spreads — see deltabp_encoder.go:101-123 for the
+    reference's exact-shift equivalent)."""
+    w = np.zeros(x.shape, dtype=np.uint8)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        w[m] += s
+        v[m] >>= np.uint64(s)
+    w[x > 0] += 1
+    return w
+
+
 def encode(values: np.ndarray, nbits: int) -> bytes:
     sdt, udt = _dtypes(nbits)
     v = np.ascontiguousarray(values, dtype=sdt)
@@ -69,20 +84,7 @@ def encode(values: np.ndarray, nbits: int) -> bytes:
 
     mbs = adj.reshape(nblocks * MINIBLOCKS, MB_VALUES)
     mb_max = mbs.max(axis=1)
-    # bit width per miniblock (vectorized bit_length)
-    widths = np.zeros(len(mb_max), dtype=np.uint8)
-    nz = mb_max > 0
-    if nz.any():
-        widths[nz] = np.floor(np.log2(mb_max[nz].astype(np.float64))).astype(np.uint8) + 1
-        # float log2 can be off by one near 2**53+; an underestimate would make
-        # pack() silently truncate, so verify (shift-by->=64 is UB -> guard it).
-        def _under(w):
-            return (w < 64) & ((mb_max >> w.astype(np.uint64)) > 0)
-
-        bad = _under(widths)
-        while bad.any():
-            widths[bad] += 1
-            bad = _under(widths)
+    widths = _bit_length_u64(mb_max)
 
     # Group miniblocks by width; one vectorized pack per distinct width.
     payloads: list[bytes | None] = [None] * len(mbs)

@@ -117,6 +117,13 @@ def decode(data, width: int, count: int) -> np.ndarray:
     out = np.empty(count, dtype=np.uint64)
     if count == 0:
         return out
+    if width == 0:
+        # The reference's encoder emits ZERO bytes for width 0
+        # (hybrid_encoder.go bpEncode returns early), so a constant
+        # dictionary-index stream from a parquet-go file has no runs to parse;
+        # and a width-0 bit-packed header would make nbytes/nvals_per zero.
+        out[:] = 0
+        return out
     buf = bytes(data)
     vb = _rle_value_bytes(width)
     pos = 0

@@ -73,16 +73,24 @@ def _shingle_hashes(offsets: np.ndarray, data: np.ndarray, k: int) -> tuple[np.n
     n_sh = np.maximum(lengths - k + 1, 1)  # short docs get 1 padded shingle
     bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(n_sh, out=bounds[1:])
-    # polynomial rolling hash over a sliding window, vectorized via k shifted adds
+    # polynomial rolling hash over a sliding window, vectorized via k shifted
+    # adds. Windows are masked at document boundaries: a position only absorbs
+    # bytes of its OWN document (shorter-than-k docs hash as zero-padded), so a
+    # doc's shingle hashes never depend on which document follows it in the
+    # batch.
     d = data.astype(np.uint64)
     total = int(offsets[-1] - offsets[0])
     base = np.uint64(1099511628211)
     acc = np.zeros(total, dtype=np.uint64)
-    for j in range(k):
-        shifted = np.empty(total, dtype=np.uint64)
-        shifted[: total - j] = d[j:total]
-        shifted[total - j :] = 0
-        acc = acc * base + shifted
+    if total:
+        pos = np.arange(total, dtype=np.int64)
+        ends = np.repeat(offsets[1:] - offsets[0], lengths)
+        for j in range(k):
+            shifted = np.zeros(total, dtype=np.uint64)
+            src = pos + j
+            valid = src < ends
+            shifted[valid] = d[src[valid]]
+            acc = acc * base + shifted
     # valid shingle start positions per doc
     starts = np.repeat(offsets[:-1] - offsets[0], n_sh) + (
         np.arange(int(n_sh.sum()), dtype=np.int64) - np.repeat(bounds[:-1], n_sh)

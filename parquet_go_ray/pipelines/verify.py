@@ -37,8 +37,14 @@ def _row_hashes(batch: pa.Table, id_col: str, list_col: str) -> pa.Table:
             weights[mask] *= base
             base = base * base
         terms = (v + np.uint64(0x9E37)) * weights
-        sums = np.add.reduceat(terms, (offsets[:-1] - offsets[0])) if n else np.empty(0, np.uint64)
-        sums = np.where(lens > 0, sums, np.uint64(0))
+        # Prefix-sum segment sums (modular in uint64). reduceat would reject a
+        # trailing empty row (its start index == len(terms)); this handles any
+        # pattern of empty rows uniformly.
+        cs = np.empty(len(terms) + 1, dtype=np.uint64)
+        cs[0] = 0
+        np.cumsum(terms, dtype=np.uint64, out=cs[1:])
+        base0 = offsets[0]
+        sums = cs[offsets[1:] - base0] - cs[offsets[:-1] - base0]
         h ^= sums
     h ^= lens.view(np.uint64) if lens.dtype == np.int64 else lens.astype(np.uint64)
     return pa.table({id_col: batch.column(id_col), "__rh": pa.array(h.view(np.int64))})

@@ -34,6 +34,8 @@ def write_record(out_dir: str, record: dict) -> str:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(record, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
     return path
 
@@ -45,8 +47,13 @@ def load_records(out_dir: str) -> list[dict]:
     out = []
     for name in sorted(os.listdir(d)):
         if name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                out.append(json.load(f))
+            try:
+                with open(os.path.join(d, name)) as f:
+                    out.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                # A torn record (crash mid-rename without fsync on old kernels)
+                # means that one partition re-encodes; it must not brick resume.
+                continue
     return out
 
 

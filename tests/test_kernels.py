@@ -209,3 +209,40 @@ def test_for_estimate_matches_encode():
     assert est_for == len(forr.encode(vals, 64, forr.MODE_FOR))
     assert est_fd == len(forr.encode(vals, 64, forr.MODE_FOR_DELTA))
     assert est_for < 2048 * 8 / 4  # 10-bit residuals
+
+
+def test_delta_full_range_int64_widths_valid():
+    """Exact bit widths: full-range int64 delta spreads must never emit a
+    width > 64 (float log2 once rounded up to 65 — ADVICE r1)."""
+    from parquet_go_ray.functions.varint import read_uvarint, read_varint
+
+    v = np.array([0, 2**63 - 1, -1], dtype=np.int64)
+    enc = delta.encode(v, 64)
+    np.testing.assert_array_equal(delta.decode(enc, 64), v)
+    pos = 0
+    for _ in range(3):
+        _, pos = read_uvarint(enc, pos)
+    _, pos = read_varint(enc, pos)
+    _, pos = read_varint(enc, pos)  # min_delta of first block
+    widths = list(enc[pos : pos + 4])
+    assert max(widths) <= 64
+
+
+@pytest.mark.parametrize("nbits", [32, 64])
+def test_delta_extreme_spreads_roundtrip(nbits):
+    dt = np.int32 if nbits == 32 else np.int64
+    info = np.iinfo(dt)
+    for vals in [
+        np.array([info.min, info.max] * 100, dtype=dt),
+        RNG.integers(info.min, info.max, 500, dtype=dt),
+        np.array([0, info.max, info.min, -1, 1], dtype=dt),
+    ]:
+        np.testing.assert_array_equal(delta.decode(delta.encode(vals, nbits), nbits), vals)
+
+
+def test_hybrid_width0_empty_buffer():
+    """The reference's encoder emits zero bytes at width 0
+    (hybrid_encoder.go bpEncode early return) — decode must not parse runs."""
+    out = hybrid.decode(b"", 0, 7)
+    np.testing.assert_array_equal(out, np.zeros(7, dtype=np.uint64))
+    assert hybrid.decode(b"", 0, 0).shape == (0,)

@@ -272,3 +272,26 @@ def test_session_windows(ray_session):
     u1 = out[out.user_id == 1].sort_values("session_id")
     assert list(u1.n_events) == [3, 2]
     assert len(out[out.user_id == 2]) == 1
+
+
+def test_shingle_hashes_boundary_independent():
+    """A doc's shingle hashes must not depend on the following doc in the
+    batch (windows are masked at doc boundaries — ADVICE r1)."""
+    from parquet_go_ray.ops.dedup import _shingle_hashes
+
+    def per_doc(docs, k=8):
+        data = np.frombuffer(b"".join(docs), dtype=np.uint8)
+        offs = np.cumsum([0] + [len(d) for d in docs]).astype(np.int64)
+        h, b = _shingle_hashes(offs, data, k)
+        return [h[b[i] : b[i + 1]] for i in range(len(docs))]
+
+    short1 = per_doc([b"abc", b"XXXXXXXXXXXX"])
+    short2 = per_doc([b"abc", b"YYYYYYYYYYYY"])
+    np.testing.assert_array_equal(short1[0], short2[0])
+    long1 = per_doc([b"hello world this is a doc", b"ZZZZ"])
+    long2 = per_doc([b"hello world this is a doc", b"WWWW"])
+    np.testing.assert_array_equal(long1[0], long2[0])
+    # identical short docs in different batch positions hash identically
+    a = per_doc([b"tiny", b"other content here"])
+    b2 = per_doc([b"something else entirely", b"tiny"])
+    np.testing.assert_array_equal(a[0], b2[1])

@@ -238,3 +238,45 @@ def test_string_stats_pruning(ray_session, tmp_path):
                                                           "Customer#000000050")})
     full = decode_dataset(out)
     assert pruned.count() < full.count()
+
+
+def test_verify_roundtrip_trailing_empty_list(ray_session):
+    """_row_hashes must survive an empty token list in the LAST row of a batch
+    (reduceat used to IndexError there — ADVICE r1)."""
+    from parquet_go_ray.pipelines.verify import _row_hashes, verify_roundtrip
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "tokens": pa.array([[1, 2], [3], []], type=pa.list_(pa.int32())),
+    })
+    h = _row_hashes(t, "doc_id", "tokens")
+    assert h.num_rows == 3
+    # empty rows hash equal regardless of position
+    t2 = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "tokens": pa.array([[], [1, 2], [3]], type=pa.list_(pa.int32())),
+    })
+    h2 = _row_hashes(t2, "doc_id", "tokens")
+    m1 = dict(zip(h.column("doc_id").to_pylist(), h.column("__rh").to_pylist()))
+    m2 = dict(zip(h2.column("doc_id").to_pylist(), h2.column("__rh").to_pylist()))
+    assert m1[3] == m2[1] and m1[1] == m2[2] and m1[2] == m2[3]
+
+    res = verify_roundtrip(rd.from_arrow(t), rd.from_arrow(t), num_partitions=4)
+    assert res == {"rows": 3, "mismatches": 0, "missing": 0}
+
+
+def test_manifest_torn_record_skipped(tmp_path):
+    """A zero-length or truncated manifest record re-encodes one partition, it
+    must not brick resume (ADVICE r1)."""
+    from parquet_go_ray.state import manifest as mfx
+
+    out = str(tmp_path)
+    mfx.write_record(out, {"partition_id": "p0", "path": str(tmp_path / "x"),
+                           "num_rows": 1, "bytes_in": 1, "bytes_out": 1, "crc32": 0})
+    # torn records
+    open(mfx.record_path(out, "p1"), "w").close()
+    with open(mfx.record_path(out, "p2"), "w") as f:
+        f.write('{"partition_id": "p2", "num_ro')
+    recs = mfx.load_records(out)
+    assert [r["partition_id"] for r in recs] == ["p0"]
+    assert mfx.completed_ids(out) == set()  # p0's path doesn't exist on disk

@@ -181,10 +181,21 @@ class SampleFrames:
         within = (np.arange(int(n_samp.sum())) - np.repeat(np.concatenate([[0], np.cumsum(n_samp[:-1])]), n_samp))
         fidx = within * self.every
         fstart = base + fidx * 32
-        frame_bytes = [data[s : s + 32].tobytes() for s in fstart]  # 32B slices
+        # one fancy-indexed gather for every frame, zero-copy into an Arrow
+        # binary array (uniform 32-byte offsets) — no per-frame Python slices
+        m = len(fstart)
+        flat = (
+            data[fstart[:, None] + np.arange(32, dtype=np.int64)[None, :]].reshape(-1)
+            if m
+            else np.empty(0, np.uint8)
+        )
+        frame_arr = pa.Array.from_buffers(
+            pa.binary(), m,
+            [None, pa.py_buffer((np.arange(m + 1, dtype=np.int32) * 32)), pa.py_buffer(flat)],
+        )
         return pa.table({"video_id": pa.array(vid_rep),
                          "frame_index": pa.array(fidx),
-                         "frame": pa.array(frame_bytes, type=pa.binary())})
+                         "frame": frame_arr})
 
 
 AMAGIC = b"FAUD"

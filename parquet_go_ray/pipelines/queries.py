@@ -244,8 +244,12 @@ def q_column_stats_lineitem(sf_dir):
 
 
 def q_head_orders(sf_dir):
-    """parquet-tool head analogue: first 10 rows by key."""
-    return _read(sf_dir, "orders").sort("o_orderkey").limit(10)
+    """parquet-tool head analogue: first 10 rows by key — per-block top-k +
+    tiny driver merge, no all-to-all sort (cmds/head.go reads n rows and
+    stops; it never sorts the file)."""
+    from ..ops.topk import head_by_key
+
+    return head_by_key(_read(sf_dir, "orders"), "o_orderkey", 10)
 
 
 def q_split_customer(sf_dir):

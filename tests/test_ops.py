@@ -295,3 +295,40 @@ def test_shingle_hashes_boundary_independent():
     a = per_doc([b"tiny", b"other content here"])
     b2 = per_doc([b"something else entirely", b"tiny"])
     np.testing.assert_array_equal(a[0], b2[1])
+
+
+def test_embedding_neardup_exact_vs_numpy(ray_session):
+    """Distributed blocked cross-join must match the driver-side exact answer
+    (multi-block: force several blocks + tiny tiles so tiling paths all run)."""
+    from parquet_go_ray.ops.dedup import _block_pair_neardup, embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 24
+    M = rng.standard_normal((n, d))
+    ids = rng.permutation(n).astype(np.int64)  # ids NOT aligned with block order
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(M.reshape(-1).astype(np.float32)), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    tau = 0.35
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = embedding_neardup_pairs(ds, tau=tau)
+
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    a, b = np.triu_indices(n, 1)
+    keep = S[a, b] >= tau
+    lo = np.minimum(ids[a[keep]], ids[b[keep]])
+    hi = np.maximum(ids[a[keep]], ids[b[keep]])
+    exp = sorted(zip(lo.tolist(), hi.tolist()))
+    assert sorted(zip(got.vec_a.tolist(), got.vec_b.tolist())) == exp
+    assert len(exp) > 5  # nontrivial
+
+    # tiny tiles exercise every tile-boundary branch incl. the same-block skip
+    t = pa.table({"vec_id": pa.array(ids),
+                  "__vec": pa.FixedSizeListArray.from_arrays(
+                      pa.array(Mn.reshape(-1).astype(np.float32)), d)})
+    df = _block_pair_neardup(t, t, True, tau, "vec_id", a_tile=16, b_tile=32)
+    assert sorted(zip(df.vec_a.tolist(), df.vec_b.tolist())) == exp

@@ -280,3 +280,22 @@ def test_manifest_torn_record_skipped(tmp_path):
     recs = mfx.load_records(out)
     assert [r["partition_id"] for r in recs] == ["p0"]
     assert mfx.completed_ids(out) == set()  # p0's path doesn't exist on disk
+
+
+def test_stable_hash_bounded_memory_large_doc():
+    """One 1 MB string in a 10k-row batch must hash in O(total_bytes), not
+    O(n * maxlen) padded-matrix memory (VERDICT r1 #5)."""
+    import time
+
+    from parquet_go_ray.pipelines.encode import _stable_hash
+
+    big = ["x"] * 10_000
+    big[5_000] = "y" * (1 << 20)
+    arr = pa.chunked_array([pa.array(big)])
+    t0 = time.time()
+    h = _stable_hash(arr)
+    assert time.time() - t0 < 10  # padded matrix would OOM/stall (~80 GB)
+    assert h[0] == h[1] and h[0] != h[5_000]
+    # deterministic + position/chunk independent
+    h2 = _stable_hash(pa.chunked_array([pa.array(["y" * (1 << 20), "x"])]))
+    assert h2[0] == h[5_000] and h2[1] == h[0]

@@ -16,8 +16,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def entry() -> Any:
-    """Flagship pipeline on sf0.001: documents -> token table -> salted
-    groupby-on-source encode (full codec stack + lineage manifest) -> decode.
+    """Flagship pipeline on sf0.001: documents -> token table -> shuffle-free
+    keyed layout (batch-local split by source + compaction, full codec stack +
+    lineage manifest) -> decode.
 
     Returns the decoded token-table Dataset (doc_id, tokens, n_tok, source).
     """

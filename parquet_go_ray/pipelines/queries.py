@@ -118,11 +118,29 @@ def token_table_dataset(sf_dir):
 
 
 def q_roundtrip_tokens(sf_dir):
-    """The flagship shape: token table -> salted groupby-on-source encode ->
-    decode; per-row token-array equality is exactly the north-rule invariant."""
-    from .encode import decode_dataset, encode_grouped
+    """The flagship shape: token table -> shuffle-free keyed layout
+    (batch-local split by source, no all-to-all) -> metadata-planned
+    compaction of the small-file tail -> decode. The measured groupby shuffle
+    costs ~20x the encode itself for ~4% footprint (BENCH/BASELINE.md), so
+    the 100 TB default is this layout; the groupby strategy stays available
+    as q_roundtrip_tokens_grouped."""
+    from .compact import compact_partitions
+    from .encode import decode_dataset, encode_partitioned
 
     out = _tmp_out("rt-tokens")
+    encode_partitioned(token_table_dataset(sf_dir), out, key="source").materialize()
+    compact_partitions(out, target_bytes=1 << 20)
+    return decode_dataset(out)
+
+
+def q_roundtrip_tokens_grouped(sf_dir):
+    """Capability query: the same token roundtrip via the salted
+    groupby-on-source strategy (one true all-to-all exchange, densest
+    dictionaries) — kept for parity with the reference's row-group-per-key
+    layout, not as the default."""
+    from .encode import decode_dataset, encode_grouped
+
+    out = _tmp_out("rt-tokens-grp")
     encode_grouped(token_table_dataset(sf_dir), out, key="source",
                    target_partition_bytes=1 << 20, resume=False).materialize()
     return decode_dataset(out)
@@ -499,6 +517,7 @@ QUERIES = {
     "roundtrip_supplier_delta_ba": q_roundtrip_supplier_delta_ba,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "roundtrip_tokens": q_roundtrip_tokens,
+    "roundtrip_tokens_grouped": q_roundtrip_tokens_grouped,
     "parquet_compat_orders": q_parquet_compat_orders,
     "parquet_write_compat_customer": q_parquet_write_compat_customer,
     "tokens_to_real_parquet": q_tokens_to_real_parquet,
@@ -540,6 +559,11 @@ ORACLE_SQL = {
     "roundtrip_supplier_delta_ba": "SELECT * FROM supplier",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "roundtrip_tokens": (
+        "SELECT doc_id, "
+        "list_transform(string_split(text, ''), x -> unicode(x)) AS tokens, "
+        "CAST(length(text) AS INTEGER) AS n_tok, source FROM documents"
+    ),
+    "roundtrip_tokens_grouped": (
         "SELECT doc_id, "
         "list_transform(string_split(text, ''), x -> unicode(x)) AS tokens, "
         "CAST(length(text) AS INTEGER) AS n_tok, source FROM documents"

@@ -176,7 +176,9 @@ def q_parquet_write_compat_customer(sf_dir):
 
 def q_tokens_to_real_parquet(sf_dir):
     """Flagship-as-parquet: token table written as REAL parquet partitions by
-    our encoders (list<int32> via Dremel levels), read back by pyarrow."""
+    our encoders (list<int32> via Dremel levels), read back by pyarrow.
+    batch_rows sizes partition files for real runs (a 200-row batch here once
+    meant millions of tiny files at scale)."""
     import ray.data as rd
 
     from .encode import encode_dataset_to_parquet
@@ -186,7 +188,7 @@ def q_tokens_to_real_parquet(sf_dir):
         token_table_dataset(sf_dir), out,
         column_encoding={"doc_id": "DELTA_BINARY_PACKED", "source": "DICT",
                          "n_tok": "DELTA_BINARY_PACKED"},
-        batch_rows=200,
+        batch_rows=64 * 1024,
     ).materialize()
     files = [os.path.join(out, f) for f in sorted(os.listdir(out)) if f.endswith(".parquet")]
     return rd.read_parquet(files).map_batches(
@@ -194,6 +196,95 @@ def q_tokens_to_real_parquet(sf_dir):
                                     ("n_tok", pa.int32()), ("source", pa.string())])),
         batch_format="pyarrow",
     )
+
+
+def q_parquet_write_nested_documents(sf_dir):
+    """Nested-schema write conformance: documents reshaped into a struct
+    column + nullable text + nullable token list, written as REAL parquet
+    (multi row group, v2 pages, page CRCs) by OUR writer, read back by
+    pyarrow, then flattened for the SQL oracle. Mirrors the reference's
+    readwrite_test.go:252-533 nested matrix."""
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from ..sources.parquet_compat import write_parquet_with_our_kernels
+
+    src = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"]).to_arrow_refs()
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in src]).combine_chunks()
+    n_chars = np.asarray(t.column("n_chars"), dtype=np.int64)
+    doc_id = np.asarray(t.column("doc_id"), dtype=np.int64)
+    # nullable text: null where n_chars % 5 == 0; tokens list: null where % 7 == 0
+    text = pa.array(np.asarray(t.column("text")).astype(object), mask=(n_chars % 5 == 0))
+    meta = pa.StructArray.from_arrays(
+        [t.column("source").combine_chunks(), pa.array(n_chars)], ["source", "n_chars"])
+    null_tok = n_chars % 7 == 0
+    # null lists must carry a zero extent: masked offsets with a non-empty
+    # range would hand their elements to a neighboring list
+    lens = np.where(null_tok, 0, np.minimum(n_chars % 4, 3))
+    offs = np.zeros(len(t) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    vals = pa.array(np.arange(int(offs[-1]), dtype=np.int32) % 100)
+    tokens = pa.ListArray.from_arrays(pa.array(offs, mask=np.append(null_tok, False)), vals)
+    nested = pa.table({"doc_id": pa.array(doc_id), "text": text, "meta": meta,
+                       "tokens": tokens})
+    p = os.path.join(_tmp_out("pqn"), "nested.parquet")
+    write_parquet_with_our_kernels(nested, p, compression="snappy",
+                                   row_group_rows=max(len(t) // 3, 1),
+                                   data_page_version=2)
+    back = pq2.read_table(p)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        m = b.column("meta").combine_chunks()
+        toks = b.column("tokens").combine_chunks()
+        tok_lens = np.asarray(pc.list_value_length(toks), dtype=np.float64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+            "source": m.field("source"),
+            "n_chars": m.field("n_chars"),
+            "n_tok": pc.list_value_length(toks).cast(pa.int64()),
+        })
+
+    return rd.read_parquet(p).map_batches(flatten, batch_format="pyarrow")
+
+
+def q_parquet_compat_nested_read(sf_dir):
+    """Nested-schema read conformance: pyarrow writes a struct + list + map
+    file derived from orders; OUR kernels read it (dremel assembly, v2 pages,
+    dictionary), flattened for the SQL oracle. Role of the reference's
+    nested_lists.snappy.parquet golden (parquet_test.go:11-67)."""
+    import pyarrow.parquet as pq2
+
+    from ..sources.parquet_compat import read_parquet_with_our_kernels
+
+    src = pq2.read_table(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                                  "o_totalprice"])
+    ok = np.asarray(src.column("o_orderkey"), dtype=np.int64)
+    cust = pa.StructArray.from_arrays(
+        [src.column("o_custkey").combine_chunks(),
+         src.column("o_orderstatus").combine_chunks()],
+        ["custkey", "status"])
+    lens = (ok % 3).astype(np.int32)
+    offs = np.zeros(len(ok) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    items = pa.ListArray.from_arrays(
+        pa.array(offs), pa.array(np.arange(int(offs[-1]), dtype=np.int32)))
+    t = pa.table({"o_orderkey": src.column("o_orderkey"), "cust": cust, "items": items,
+                  "o_totalprice": src.column("o_totalprice")})
+    p = os.path.join(_tmp_out("pqnr"), "nested_orders.parquet")
+    pq2.write_table(t, p, row_group_size=max(len(ok) // 3, 1), data_page_version="2.0")
+    back = read_parquet_with_our_kernels(p)
+    m = back.column("cust").combine_chunks()
+    return pa.table({
+        "o_orderkey": back.column("o_orderkey"),
+        "o_custkey": m.field("custkey"),
+        "o_orderstatus": m.field("status"),
+        "n_items": pc.list_value_length(back.column("items").combine_chunks()).cast(pa.int64()),
+        "o_totalprice": back.column("o_totalprice"),
+    })
 
 
 def q_roundtrip_fixture_strata(sf_dir):
@@ -520,6 +611,8 @@ QUERIES = {
     "roundtrip_tokens_grouped": q_roundtrip_tokens_grouped,
     "parquet_compat_orders": q_parquet_compat_orders,
     "parquet_write_compat_customer": q_parquet_write_compat_customer,
+    "parquet_write_nested_documents": q_parquet_write_nested_documents,
+    "parquet_compat_nested_read": q_parquet_compat_nested_read,
     "tokens_to_real_parquet": q_tokens_to_real_parquet,
     "roundtrip_fixture_strata": q_roundtrip_fixture_strata,
     "rowcount_orders": q_rowcount_orders,
@@ -570,6 +663,18 @@ ORACLE_SQL = {
     ),
     "parquet_compat_orders": "SELECT * FROM orders",
     "parquet_write_compat_customer": "SELECT * FROM customer",
+    "parquet_write_nested_documents": (
+        "SELECT doc_id, "
+        "CASE WHEN n_chars % 5 = 0 THEN NULL ELSE text END AS text, "
+        "source, n_chars, "
+        "CASE WHEN n_chars % 7 = 0 THEN NULL "
+        "ELSE CAST(least(n_chars % 4, 3) AS BIGINT) END AS n_tok "
+        "FROM documents"
+    ),
+    "parquet_compat_nested_read": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(o_orderkey % 3 AS BIGINT) AS n_items, o_totalprice FROM orders"
+    ),
     "tokens_to_real_parquet": (
         "SELECT doc_id, "
         "list_transform(string_split(text, ''), x -> unicode(x)) AS tokens, "

@@ -10,12 +10,17 @@ DELTA_BINARY_PACKED / DELTA_LENGTH / DELTA_BYTE_ARRAY kernels — proving the
 kernels are bitstream-compatible with the real format, not just
 self-consistent.
 
-Scope (enough for the conformance matrix, documented limits):
-  * flat columns (no nesting), REQUIRED or OPTIONAL (def levels via the
-    hybrid decoder, 4-byte length prefix in V1 pages / header lengths in V2);
-  * physical types BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY;
+Scope (the conformance matrix, both directions):
+  * ARBITRARY nesting — structs, LIST (3-level, legacy 2-level, bare
+    repeated), MAP, optional-in-repeated — shredded/assembled by the
+    vectorized Dremel module (dremel.py); reference equivalents
+    schema.go:837-891, data_store.go:96-136, data_store.go:262-309;
+  * physical types BOOLEAN/INT32/INT64/INT96/FLOAT/DOUBLE/BYTE_ARRAY/
+    FIXED_LEN_BYTE_ARRAY (incl. DECIMAL-as-FLBA, INT96 Julian timestamps);
   * encodings PLAIN, PLAIN_DICTIONARY/RLE_DICTIONARY, DELTA_BINARY_PACKED,
     DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT;
+  * v1 AND v2 data pages (read + write), multiple row groups, page CRC32
+    write + optional validation;
   * codecs UNCOMPRESSED/SNAPPY/GZIP/ZSTD/LZ4 (raw frame).
 """
 
@@ -59,7 +64,8 @@ def read_file_metadata(blob: bytes) -> dict:
     return CompactReader(blob, len(blob) - 8 - flen).read_struct()
 
 
-def _decode_values(payload: bytes, encoding: int, phys: str, n: int, dict_values):
+def _decode_values(payload: bytes, encoding: int, phys: str, n: int, dict_values,
+                   type_length: int | None = None):
     """Decode n non-null values from a data-page payload."""
     if encoding in (ENC_PLAIN_DICT, ENC_RLE_DICT):
         width = payload[0]
@@ -83,6 +89,10 @@ def _decode_values(payload: bytes, encoding: int, phys: str, n: int, dict_values
             return plain.decode_bool(payload, n)
         if phys == "byte_array":
             return plain.decode_byte_array(payload, n)
+        if phys == "int96":
+            return plain.decode_fixed_len_byte_array(payload, 12, n).reshape(-1, 12)
+        if phys == "flba":
+            return plain.decode_fixed_len_byte_array(payload, type_length, n).reshape(-1, type_length)
         return plain.decode_fixed(payload, phys, n)
     if encoding == ENC_DELTA_BP:
         return delta.decode(payload, 32 if phys == "int32" else 64)
@@ -124,8 +134,118 @@ def _decode_values(payload: bytes, encoding: int, phys: str, n: int, dict_values
     raise NotImplementedError(f"parquet encoding {encoding} for {phys}")
 
 
-def _read_chunk(blob: bytes, col_meta: dict, max_def: int):
-    """Decode one column chunk -> (values, validity|None)."""
+def _schema_tree(schema_elems: list[dict]):
+    """Parse flat thrift SchemaElements into normalized PNode trees (one per
+    top-level field) + the leaf nodes in schema order. Legacy 2-level lists
+    and bare repeated groups/leaves normalize to the 3-level shape so the
+    dremel assembler handles every vintage (the reference's schema.go:216-312
+    walks the same variants)."""
+    from .dremel import PNode, fix_levels
+
+    REPS = {0: "required", 1: "optional", 2: "repeated"}
+    i = 1
+
+    def leaf_arrow(e) -> tuple:
+        phys = PHYS[e[1]]
+        conv = e.get(6)
+        logical = e.get(10) or {}
+        tl = e.get(2)
+        t = None
+        if phys == "boolean":
+            t = pa.bool_()
+        elif phys == "int32":
+            t = {6: pa.date32(), 7: pa.time32("ms"), 15: pa.int8(), 16: pa.int16(),
+                 11: pa.uint8(), 12: pa.uint16(), 13: pa.uint32()}.get(conv, pa.int32())
+        elif phys == "int64":
+            t = {9: pa.timestamp("ms"), 10: pa.timestamp("us"), 8: pa.time64("us"),
+                 14: pa.uint64()}.get(conv, pa.int64())
+            ts = logical.get(8)
+            if ts is not None:  # LogicalType.TIMESTAMP
+                unit = {1: "ms", 2: "us", 3: "ns"}[next(iter(ts[2]))]
+                t = pa.timestamp(unit)
+        elif phys == "int96":
+            t = pa.timestamp("ns")
+        elif phys == "float32":
+            t = pa.float32()
+        elif phys == "float64":
+            t = pa.float64()
+        elif phys == "byte_array":
+            t = pa.string() if (conv == 0 or 1 in logical) else pa.binary()
+        elif phys == "flba":
+            if conv == 5:  # DECIMAL
+                t = pa.decimal128(e.get(8, 38), e.get(7, 0))
+            else:
+                t = pa.binary(tl)
+        return phys, t, tl, conv, e.get(7), e.get(8)
+
+    def parse() -> "PNode":
+        nonlocal i
+        e = schema_elems[i]
+        i += 1
+        name = e[4].decode()
+        rep = REPS.get(e.get(3, 0), "required")
+        nch = e.get(5, 0)
+        if nch:
+            kids = [parse() for _ in range(nch)]
+            conv = e.get(6)
+            node = PNode(name, rep, "struct", kids, converted=conv)
+            if conv == CONV_LIST_ID or (len(kids) == 1 and kids[0].repetition == "repeated"
+                                        and conv != CONV_MAP_ID and kids[0].kind == "struct"
+                                        and len(kids[0].children) == 1
+                                        and kids[0].name in ("list", "bag", "array",
+                                                             name + "_tuple")):
+                mid = kids[0]
+                if mid.is_leaf or len(mid.children) != 1:
+                    # legacy 2-level: repeated element directly under the group
+                    elem = PNode(mid.name, "required", mid.kind, mid.children,
+                                 phys=mid.phys, type_length=mid.type_length,
+                                 converted=mid.converted, precision=mid.precision,
+                                 scale=mid.scale, arrow=mid.arrow)
+                    mid = PNode(mid.name, "repeated", "struct", [elem])
+                node.kind, node.children = "list", [mid]
+            elif conv in (CONV_MAP_ID, CONV_MAP_KV_ID) and len(kids) == 1 \
+                    and kids[0].repetition == "repeated" and len(kids[0].children) == 2:
+                node.kind = "map"
+            return node
+        if rep == "repeated":
+            # bare repeated leaf/group -> normalize to list-of-element
+            phys, t, tl, conv, sc, prec = leaf_arrow(e)
+            elem = PNode(name, "required", "leaf", phys=phys, type_length=tl,
+                         converted=conv, scale=sc, precision=prec, arrow=t)
+            mid = PNode(name, "repeated", "struct", [elem])
+            return PNode(name, "required", "list", [mid])
+        phys, t, tl, conv, sc, prec = leaf_arrow(e)
+        return PNode(name, rep, "leaf", phys=phys, type_length=tl, converted=conv,
+                     scale=sc, precision=prec, arrow=t)
+
+    root = schema_elems[0]
+    tops = []
+    for _ in range(root.get(5, 0)):
+        n = parse()
+        fix_levels(n)
+        tops.append(n)
+
+    leaves = []  # (top_index, path tuple incl. top name, leaf node)
+    def collect(node, path, ti):
+        if node.is_leaf:
+            leaves.append((ti, tuple(path), node))
+            return
+        for c in node.children:
+            collect(c, path + [c.name], ti)
+    for ti, n in enumerate(tops):
+        collect(n, [n.name], ti)
+    return tops, leaves
+
+
+CONV_LIST_ID = 3
+CONV_MAP_ID = 1
+CONV_MAP_KV_ID = 2
+
+
+def _read_chunk(blob: bytes, col_meta: dict, leaf, validate_crc: bool = False):
+    """Decode one column chunk -> (values (np or (offsets, data)), defs, reps)."""
+    import zlib
+
     phys = PHYS[col_meta[1]]
     codec = col_meta[4]
     num_values = col_meta[5]
@@ -133,12 +253,19 @@ def _read_chunk(blob: bytes, col_meta: dict, max_def: int):
     data_off = col_meta[9]
     dict_off = col_meta.get(11)
     start = dict_off if dict_off is not None and dict_off < data_off else data_off
+    max_d, max_r = leaf and getattr(leaf, "max_d", 0) or 0, leaf and getattr(leaf, "max_r", 0) or 0
+    if leaf is not None:
+        max_d, max_r = leaf.max_d, leaf.max_r
+    dw = max_d.bit_length()
+    rw = max_r.bit_length()
+    type_length = getattr(leaf, "type_length", None)
 
     pos = start
     consumed = 0
     dict_values = None
     out_parts = []
     defs_parts = []
+    reps_parts = []
     n_seen = 0
     while consumed < total_compressed and n_seen < num_values:
         r = CompactReader(blob, pos)
@@ -148,55 +275,73 @@ def _read_chunk(blob: bytes, col_meta: dict, max_def: int):
         usize, csize = header[2], header[3]
         pos = payload_start + csize
         consumed = pos - start
-        if ptype != 3:  # v2 pages leave their level section uncompressed
-            payload = _decompress(blob[payload_start : payload_start + csize], codec, usize)
+        raw = blob[payload_start : payload_start + csize]
+        if validate_crc and 4 in header:
+            want = header[4] & 0xFFFFFFFF
+            if (zlib.crc32(raw) & 0xFFFFFFFF) != want:
+                raise ValueError(
+                    f"parquet page CRC mismatch in column {col_meta[3]}")
+        if ptype != 3:
+            payload = _decompress(raw, codec, usize)
         if ptype == 2:  # dictionary page
             dph = header[7]
             dn = dph[1]
             if phys == "byte_array":
                 dict_values = plain.decode_byte_array(payload, dn)
+            elif phys == "int96":
+                dict_values = plain.decode_fixed_len_byte_array(payload, 12, dn).reshape(-1, 12)
+            elif phys == "flba":
+                dict_values = plain.decode_fixed_len_byte_array(
+                    payload, type_length, dn).reshape(-1, type_length)
             else:
                 dict_values = plain.decode_fixed(payload, phys, dn)
             continue
-        if ptype == 0:  # data page v1
+        if ptype == 0:  # data page v1: [4b len + reps][4b len + defs][values]
             dph = header[5]
             n = dph[1]
             enc = dph[2]
             body = payload
-            if max_def > 0:
+            if max_r > 0:
+                rlen = int.from_bytes(body[:4], "little")
+                reps = hybrid.decode(body[4 : 4 + rlen], rw, n).astype(np.uint8)
+                body = body[4 + rlen :]
+            else:
+                reps = np.zeros(n, dtype=np.uint8)
+            if max_d > 0:
                 dlen = int.from_bytes(body[:4], "little")
-                defs = hybrid.decode(body[4 : 4 + dlen], 1, n).astype(np.bool_)
+                defs = hybrid.decode(body[4 : 4 + dlen], dw, n).astype(np.uint8)
                 body = body[4 + dlen :]
             else:
-                defs = None
-            nn = int(defs.sum()) if defs is not None else n
-            out_parts.append(_decode_values(body, enc, phys, nn, dict_values))
-            defs_parts.append(defs if defs is not None else np.ones(n, dtype=np.bool_))
+                defs = np.full(n, max_d, dtype=np.uint8)
+            nn = int((defs == max_d).sum())
+            out_parts.append(_decode_values(body, enc, phys, nn, dict_values, type_length))
+            defs_parts.append(defs)
+            reps_parts.append(reps)
             n_seen += n
-        elif ptype == 3:  # data page v2
+        elif ptype == 3:  # data page v2: uncompressed levels precede values
             dph = header[8]
             n, num_nulls = dph[1], dph[2]
             enc = dph[4]
             dl_len = dph[5]
             rl_len = dph[6]
-            # v2: levels are NOT compressed and precede the (compressed) values
-            raw = blob[payload_start : payload_start + csize]
             levels = raw[: rl_len + dl_len]
             vals_bytes = raw[rl_len + dl_len :]
             if dph.get(7, True) and CODEC.get(codec):
                 vals_bytes = _decompress(vals_bytes, codec, usize - rl_len - dl_len)
-            if max_def > 0 and dl_len:
-                defs = hybrid.decode(levels[rl_len:], 1, n).astype(np.bool_)
-            else:
-                defs = np.ones(n, dtype=np.bool_)
+            reps = (hybrid.decode(levels[:rl_len], rw, n).astype(np.uint8)
+                    if max_r > 0 and rl_len else np.zeros(n, dtype=np.uint8))
+            defs = (hybrid.decode(levels[rl_len : rl_len + dl_len], dw, n).astype(np.uint8)
+                    if max_d > 0 and dl_len else np.full(n, max_d, dtype=np.uint8))
             nn = n - num_nulls
-            out_parts.append(_decode_values(vals_bytes, enc, phys, nn, dict_values))
+            out_parts.append(_decode_values(vals_bytes, enc, phys, nn, dict_values, type_length))
             defs_parts.append(defs)
+            reps_parts.append(reps)
             n_seen += n
         else:
             raise NotImplementedError(f"page type {ptype}")
 
-    validity = np.concatenate(defs_parts) if defs_parts else np.empty(0, np.bool_)
+    defs = np.concatenate(defs_parts) if defs_parts else np.empty(0, np.uint8)
+    reps = np.concatenate(reps_parts) if reps_parts else np.empty(0, np.uint8)
     if phys == "byte_array":
         offs = [np.zeros(1, dtype=np.int64)]
         datas = []
@@ -207,64 +352,99 @@ def _read_chunk(blob: bytes, col_meta: dict, max_def: int):
             base += int(po[-1] - po[0])
             datas.append(np.asarray(pd_bytes, dtype=np.uint8))
         values = (np.concatenate(offs), np.concatenate(datas) if datas else np.empty(0, np.uint8))
+    elif out_parts and getattr(out_parts[0], "ndim", 1) == 2:
+        values = np.concatenate(out_parts) if out_parts else np.empty((0, type_length or 12), np.uint8)
     else:
-        values = np.concatenate(out_parts) if out_parts else np.empty(0, phys if phys != "boolean" else np.bool_)
-    return values, (None if max_def == 0 else validity)
+        values = np.concatenate(out_parts) if out_parts else np.empty(0, np.uint8)
+    return values, defs, reps
 
 
-def read_parquet_with_our_kernels(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Decode a flat parquet file entirely with our kernels."""
+def _values_to_arrow(values, leaf) -> pa.Array:
+    """Physical decode output -> non-null arrow array of the leaf type."""
+    t = leaf.arrow
+    if leaf.phys == "byte_array":
+        offsets, data = values
+        flat = pa.Array.from_buffers(
+            pa.binary(), len(offsets) - 1,
+            [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
+             pa.py_buffer(np.ascontiguousarray(data))])
+        return flat.cast(t) if t != pa.binary() else flat
+    if leaf.phys == "int96":
+        from ..functions.int96 import int96_to_ns
+
+        ns = int96_to_ns(np.asarray(values, dtype=np.uint8))
+        return pa.Array.from_buffers(pa.timestamp("ns"), len(ns),
+                                     [None, pa.py_buffer(np.ascontiguousarray(ns))])
+    if leaf.phys == "flba":
+        raw = np.ascontiguousarray(np.asarray(values, dtype=np.uint8))
+        n = raw.shape[0]
+        if pa.types.is_decimal128(t):
+            from decimal import Decimal
+
+            ints = [int.from_bytes(raw[i].tobytes(), "big", signed=True) for i in range(n)]
+            sc = t.scale
+            return pa.array([Decimal(v).scaleb(-sc) for v in ints], type=t)
+        return pa.Array.from_buffers(pa.binary(leaf.type_length), n,
+                                     [None, pa.py_buffer(raw.reshape(-1))])
+    if leaf.phys == "boolean":
+        return pa.array(np.asarray(values, dtype=np.bool_))
+    v = np.ascontiguousarray(np.asarray(values))
+    flat = pa.Array.from_buffers(pa.from_numpy_dtype(v.dtype), len(v), [None, pa.py_buffer(v)])
+    if t is not None and t != flat.type:
+        if t.bit_width == flat.type.bit_width:
+            return flat.view(t)
+        return flat.cast(t)
+    return flat
+
+
+def read_parquet_with_our_kernels(path: str, columns: list[str] | None = None,
+                                  validate_crc: bool = False) -> pa.Table:
+    """Decode a real parquet file entirely with our kernels — arbitrary
+    nesting (structs, LIST, MAP — assembled by the vectorized dremel module;
+    reference: data_store.go:262-309, schema.go:216-312), INT96 and
+    FIXED_LEN_BYTE_ARRAY (type_int96.go, type_bytearray.go:328-333), v1 + v2
+    pages, multiple row groups, optional page-CRC validation
+    (chunk_reader.go:173-177)."""
+    from .dremel import assemble_column
+
     with open(path, "rb") as f:
         blob = f.read()
     meta = read_file_metadata(blob)
-    schema_elems = meta[2]
-    root = schema_elems[0]
-    fields = schema_elems[1:]  # flat: every element is a leaf
-    names = [e[4].decode() for e in fields]
-    reps = [e.get(3, 0) for e in fields]
-    if any(e.get(5) for e in fields):
-        raise NotImplementedError("nested parquet schemas not supported by the compat reader")
+    tops, leaves = _schema_tree(meta[2])
+    want = [t for t in tops if columns is None or t.name in columns]
 
-    arrays = {}
+    per_col: dict[int, list] = {}  # top index -> list per rg of {path: streams}
     for rg in meta[4]:
-        for chunk in rg[1]:
-            cm = chunk[3]
-            name = cm[3][0].decode()
-            if columns is not None and name not in columns:
+        chunks = rg[1]
+        if len(chunks) != len(leaves):
+            raise ValueError("column chunk count != schema leaf count")
+        rg_streams: dict[int, dict] = {}
+        for (ti, lpath, leaf), chunk in zip(leaves, chunks):
+            if columns is not None and tops[ti].name not in columns:
                 continue
-            i = names.index(name)
-            max_def = 1 if reps[i] == 1 else 0
-            values, validity = _read_chunk(blob, cm, max_def)
-            arrays.setdefault(name, []).append((values, validity, PHYS[cm[1]]))
-
-    # converted_type (SchemaElement field 6) -> arrow logical type
-    CONVERTED = {0: pa.string(), 6: pa.date32(), 9: pa.timestamp("ms"), 10: pa.timestamp("us")}
+            cm = chunk[3]
+            values, defs, reps = _read_chunk(blob, cm, leaf, validate_crc)
+            rg_streams.setdefault(ti, {})[lpath] = {
+                "reps": reps, "defs": defs,
+                "values": _values_to_arrow(values, leaf),
+            }
+        for ti, smap in rg_streams.items():
+            per_col.setdefault(ti, []).append(smap)
 
     out = {}
-    for name, parts in arrays.items():
-        i = names.index(name)
-        logical = CONVERTED.get(fields[i].get(6))
-        cols = []
-        for values, validity, phys in parts:
-            if phys == "byte_array":
-                offsets, data = values
-                flat = pa.Array.from_buffers(
-                    pa.binary(), len(offsets) - 1,
-                    [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
-                     pa.py_buffer(np.ascontiguousarray(data))],
-                )
-            else:
-                flat = pa.array(np.asarray(values))
-            if validity is not None:
-                pos = np.cumsum(validity, dtype=np.int64) - 1
-                idx = pa.array(pos, mask=~validity)
-                flat = flat.take(idx)
-            if logical is not None:
-                flat = flat.cast(logical) if pa.types.is_string(logical) else flat.view(logical)
-            cols.append(flat)
-        out[name] = pa.concat_arrays(cols) if len(cols) > 1 else cols[0]
-    order = [n for n in (columns or names) if n in out]
-    return pa.table({n: out[n] for n in order})
+    for t in want:
+        ti = tops.index(t)
+        parts = [assemble_column(t, smap) for smap in per_col.get(ti, [])]
+        if not parts:
+            # zero row groups: build an empty array of the right type
+            empty = {lp: {"reps": np.empty(0, np.uint8), "defs": np.empty(0, np.uint8),
+                          "values": _values_to_arrow(
+                              (np.zeros(1, np.int64), np.empty(0, np.uint8))
+                              if leaf.phys == "byte_array" else np.empty(0, np.uint8), leaf)}
+                     for (i2, lp, leaf) in leaves if i2 == ti}
+            parts = [assemble_column(t, empty)]
+        out[t.name] = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+    return pa.table(out)
 
 
 # ------------------------------------------------------------------- writer
@@ -278,34 +458,18 @@ from .thrift_compact import (  # noqa: E402
     T_TRUE,
 )
 
-_PHYS_ID = {"boolean": 0, "int32": 1, "int64": 2, "float32": 4, "float64": 5, "byte_array": 6}
+_PHYS_ID = {"boolean": 0, "int32": 1, "int64": 2, "int96": 3, "float32": 4, "float64": 5,
+            "byte_array": 6, "flba": 7}
 _CODEC_ID = {None: 0, "none": 0, "snappy": 1, "gzip": 2, "zstd": 6}
+_REP_ID = {"required": 0, "optional": 1, "repeated": 2}
 
 
-def _phys_of(t: pa.DataType) -> tuple[str, int | None]:
-    """(physical, converted_type) for a supported flat arrow type."""
-    if pa.types.is_boolean(t):
-        return "boolean", None
-    if pa.types.is_int32(t):
-        return "int32", None
-    if pa.types.is_int64(t):
-        return "int64", None
-    if pa.types.is_float32(t):
-        return "float32", None
-    if pa.types.is_float64(t):
-        return "float64", None
-    if pa.types.is_string(t):
-        return "byte_array", 0  # UTF8
-    if pa.types.is_binary(t):
-        return "byte_array", None
-    if pa.types.is_timestamp(t) and t.unit in ("ms", "us"):
-        # ("ts", unit): emitted as a LogicalType TIMESTAMP with
-        # isAdjustedToUTC=false (naive), matching Arrow naive timestamps —
-        # the legacy ConvertedType would force UTC semantics on read
-        return "int64", ("ts", t.unit)
-    if pa.types.is_date32(t):
-        return "int32", 6
-    raise NotImplementedError(f"parquet writer: unsupported type {t}")
+def _crc_i32(data: bytes) -> int:
+    """Full 32-bit CRC stored as a signed thrift i32 (PageHeader field 4)."""
+    import zlib
+
+    c = zlib.crc32(data) & 0xFFFFFFFF
+    return c - (1 << 32) if c >= (1 << 31) else c
 
 
 def _compress_page(payload: bytes, codec: str | None) -> bytes:
@@ -314,207 +478,319 @@ def _compress_page(payload: bytes, codec: str | None) -> bytes:
     return pa.compress(payload, codec=codec).to_pybytes()
 
 
+def _leaf_values_physical(values: pa.Array, node):
+    """Non-null leaf pa.Array -> physical representation for the encoders:
+    np array (fixed types), (offsets, data) for byte_array, (n, L) uint8 for
+    flba/int96."""
+    from ..functions.int96 import ns_to_int96
+
+    t = values.type
+    if node.phys == "boolean":
+        return np.asarray(values)
+    if node.phys == "int32":
+        if pa.types.is_date32(t) or pa.types.is_time32(t):
+            values = values.view(pa.int32())
+        return np.asarray(values).astype(np.int32)
+    if node.phys == "int64":
+        if pa.types.is_timestamp(t) or pa.types.is_time64(t):
+            values = values.view(pa.int64())
+        return np.asarray(values).astype(np.int64)
+    if node.phys == "int96":
+        ns = np.asarray(values.view(pa.int64()), dtype=np.int64)
+        return ns_to_int96(ns)
+    if node.phys in ("float32", "float64"):
+        return np.asarray(values)
+    if node.phys == "byte_array":
+        b = values.cast(pa.binary()) if not pa.types.is_binary(t) else values
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        offsets = np.frombuffer(b.buffers()[1], dtype=np.int32, count=len(b) + 1,
+                                offset=b.offset * 4).astype(np.int64)
+        data = (np.frombuffer(b.buffers()[2], dtype=np.uint8)
+                if b.buffers()[2] is not None else np.empty(0, np.uint8))
+        return offsets, data
+    if node.phys == "flba":
+        L = node.type_length
+        if pa.types.is_decimal128(t):
+            # arrow decimal128 storage: 16-byte little-endian two's complement;
+            # parquet FLBA DECIMAL is big-endian — byte-reverse each value
+            buf = values.buffers()[1]
+            raw = np.frombuffer(buf, dtype=np.uint8,
+                                count=len(values) * 16, offset=values.offset * 16)
+            return raw.reshape(-1, 16)[:, ::-1].copy()
+        raw = np.frombuffer(values.buffers()[1], dtype=np.uint8,
+                            count=len(values) * L, offset=values.offset * L)
+        return raw.reshape(-1, L).copy()
+    raise NotImplementedError(f"physical conversion for {node.phys}")
+
+
+def _encode_leaf_values(vals, node, encoding: str):
+    """-> (values_payload: bytes, data_enc_id, dict_page: bytes|None, ndict)."""
+    from ..functions import hybrid as hyb
+
+    phys = node.phys
+    if encoding == "DICT":
+        if phys == "byte_array":
+            offsets, data = vals
+            arr2 = pa.Array.from_buffers(
+                pa.binary(), len(offsets) - 1,
+                [None,
+                 pa.py_buffer(np.ascontiguousarray(offsets - offsets[0], dtype=np.int32)),
+                 pa.py_buffer(np.ascontiguousarray(
+                     np.asarray(data, dtype=np.uint8)[int(offsets[0]):int(offsets[-1])]))])
+            denc = arr2.dictionary_encode()
+            duniq = denc.dictionary
+            inv = np.asarray(denc.indices, dtype=np.int64)
+            doff = np.frombuffer(duniq.buffers()[1], dtype=np.int32, count=len(duniq) + 1,
+                                 offset=duniq.offset * 4).astype(np.int64)
+            ddata = (np.frombuffer(duniq.buffers()[2], dtype=np.uint8)
+                     if duniq.buffers()[2] is not None else np.empty(0, np.uint8))
+            dict_payload = bytes(memoryview(plain.encode_byte_array(doff, ddata)))
+            ndict = len(duniq)
+        elif phys in ("int32", "int64", "float32", "float64"):
+            uniq, inv = np.unique(np.asarray(vals), return_inverse=True)
+            dict_payload = bytes(memoryview(plain.encode_fixed(uniq)))
+            ndict = len(uniq)
+        else:
+            raise NotImplementedError(f"DICT encoding for {phys}")
+        width = max(int(ndict - 1).bit_length(), 1)
+        return bytes([width]) + hyb.encode(inv.astype(np.uint64), width), ENC_RLE_DICT, dict_payload, ndict
+    if encoding == "DELTA_BINARY_PACKED":
+        return delta.encode(np.asarray(vals), 32 if phys == "int32" else 64), ENC_DELTA_BP, None, 0
+    if encoding == "DELTA_LENGTH_BYTE_ARRAY":
+        offsets, data = vals
+        lens = np.diff(np.asarray(offsets, dtype=np.int64)).astype(np.int32)
+        payload_bytes = np.asarray(data, dtype=np.uint8)[int(offsets[0]):int(offsets[-1])].tobytes()
+        return delta.encode(lens, 32) + payload_bytes, ENC_DELTA_LEN, None, 0
+    if encoding == "DELTA_BYTE_ARRAY":
+        offsets, data = vals
+        offsets = np.asarray(offsets, dtype=np.int64)
+        d8 = np.asarray(data, dtype=np.uint8)
+        pref = ba.prefix_lengths(offsets, d8).astype(np.int64)
+        lens = np.diff(offsets)
+        suf_lens = (lens - pref).astype(np.int32)
+        total = int(suf_lens.sum())
+        if total:
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(suf_lens[:-1].astype(np.int64))]), suf_lens)
+            suf = d8[np.repeat(offsets[:-1] + pref, suf_lens) + within].tobytes()
+        else:
+            suf = b""
+        return (delta.encode(pref.astype(np.int32), 32) + delta.encode(suf_lens, 32) + suf,
+                ENC_DELTA_BA, None, 0)
+    # PLAIN
+    if phys == "boolean":
+        payload = plain.encode_bool(np.asarray(vals))
+    elif phys == "byte_array":
+        offsets, data = vals
+        payload = plain.encode_byte_array(np.asarray(offsets), np.asarray(data))
+    elif phys in ("flba", "int96"):
+        payload = plain.encode_fixed_len_byte_array(np.asarray(vals, dtype=np.uint8))
+    else:
+        payload = plain.encode_fixed(np.asarray(vals))
+    return bytes(memoryview(payload)), ENC_PLAIN, None, 0
+
+
+def _schema_element_bytes(node) -> list[bytes]:
+    """Flatten a PNode subtree into thrift SchemaElement blobs (pre-order)."""
+    fields = []
+    if node.is_leaf:
+        fields.append((1, T_I32, _PHYS_ID[node.phys]))
+        if node.phys in ("flba",):
+            fields.append((2, T_I32, node.type_length))
+    fields.append((3, T_I32, _REP_ID[node.repetition]))
+    fields.append((4, T_BINARY, node.name))
+    if node.children:
+        fields.append((5, T_I32, len(node.children)))
+    if node.converted is not None:
+        fields.append((6, T_I32, node.converted))
+    if node.scale is not None:
+        fields.append((7, T_I32, node.scale))
+    if node.precision is not None:
+        fields.append((8, T_I32, node.precision))
+    if node.logical is not None and node.logical[0] == "ts":
+        unit_fid = {"ms": 1, "us": 2, "ns": 3}[node.logical[1]]
+        fields.append((10, T_STRUCT, [  # LogicalType.TIMESTAMP
+            (8, T_STRUCT, [
+                (1, T_TRUE, False),  # isAdjustedToUTC = false (naive)
+                (2, T_STRUCT, [(unit_fid, T_STRUCT, [])]),
+            ]),
+        ]))
+    # field ids must be sorted for the compact writer
+    fields.sort(key=lambda f: f[0])
+    out = [CompactWriter.struct_(fields)]
+    for c in node.children:
+        out.extend(_schema_element_bytes(c))
+    return out
+
+
 def write_parquet_with_our_kernels(
     table: pa.Table, path: str, *, compression: str | None = "snappy",
     column_encoding: dict[str, str] | None = None,
+    row_group_rows: int | None = None,
+    data_page_version: int = 1,
+    write_crc: bool = True,
+    int96_timestamps: bool = False,
 ) -> None:
-    """Write a REAL Parquet file (flat schema, one row group, v1 pages) whose
-    pages are produced by OUR encoders — readable by pyarrow/DuckDB, proving
-    the encoders are spec-conformant on the wire. Encodings per column:
-    "PLAIN" (default), "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY",
-    "DELTA_BYTE_ARRAY", "DICT" (PLAIN dict page + RLE_DICTIONARY data)."""
+    """Write a REAL Parquet file whose pages are produced by OUR encoders —
+    readable by pyarrow/DuckDB — for ARBITRARY nesting (structs, LIST, MAP,
+    optional-in-repeated via the vectorized Dremel shredder in dremel.py; the
+    reference's equivalents are schema.go:837-891 and data_store.go:96-136),
+    with multiple row groups (file_writer.go:229-276 FlushRowGroup), v1 or v2
+    data pages (page_v2.go:173-190, WithDataPageV2), page CRCs
+    (page_v1.go:210-215) and INT96 timestamps (type_int96.go).
+
+    ``column_encoding`` keys are dotted leaf paths ("meta.list.element") or
+    top-level column names; values: PLAIN (default), DICT,
+    DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY.
+    """
+    import zlib
+
     from ..functions import hybrid as hyb
-    from ..functions.shred import Stream, shred
+    from .dremel import fix_levels, node_from_arrow, shred_column
 
     table = table.combine_chunks()
     enc_map = column_encoding or {}
+    nodes = [node_from_arrow(table.schema.field(i), int96_ns=int96_timestamps)
+             for i in range(table.num_columns)]
+    for n in nodes:
+        fix_levels(n)
+
+    rg_rows = row_group_rows or table.num_rows or 1
     body = bytearray(MAGIC)
-    col_chunks = []
+    row_groups = []  # (col_chunks, num_rows)
 
-    list_schema_elems: dict[str, list[bytes]] = {}
-    for name in table.column_names:
-        col = table.column(name)
-        arr = col.chunk(0) if col.num_chunks else pa.nulls(0, col.type)
-        if pa.types.is_list(arr.type) and pa.types.is_int32(arr.type.value_type) and arr.null_count == 0:
-            chunk_start = len(body)
-            meta_fields, total_cmp, elems = _write_list_int32_chunk(arr, name, body, compression)
-            col_chunks.append((name, chunk_start, meta_fields, total_cmp))
-            list_schema_elems[name] = elems
-            continue
-        phys, conv = _phys_of(arr.type)
-        n = len(arr)
-        has_nulls = arr.null_count > 0
+    for rg_start in range(0, max(table.num_rows, 1), rg_rows):
+        sl = table.slice(rg_start, rg_rows)
+        if sl.num_rows == 0 and table.num_rows > 0:
+            break
+        col_chunks = []  # (path, meta_fields, total_cmp)
+        for ci, node in enumerate(nodes):
+            for leaf in shred_column(sl.column(ci), node):
+                dotted = ".".join(leaf.path)
+                encoding = enc_map.get(dotted, enc_map.get(leaf.path[0], "PLAIN"))
+                n_entries = len(leaf.reps)
+                vals = _leaf_values_physical(leaf.values, leaf.node)
+                values_payload, data_enc_id, dict_page, ndict = _encode_leaf_values(
+                    vals, leaf.node, encoding)
 
-        # definition levels (max_def=1, optional column) — v1: 4-byte len prefix
-        if has_nulls:
-            validity = np.zeros(n, dtype=np.uint64)
-            streams: list[Stream] = []
-            shred(arr, name, streams)
-            by_kind = {s.kind: s for s in streams}
-            validity[:] = np.asarray(by_kind["validity"].data, dtype=np.uint64)
-            levels = hyb.encode(validity, 1)
-            level_bytes = len(levels).to_bytes(4, "little") + levels
-            vals_stream = by_kind.get("values") or by_kind.get("bytes")
-        else:
-            streams = []
-            shred(arr, name, streams)
-            level_bytes = b""
-            vals_stream = streams[0]
+                rep_b = (hyb.encode(leaf.reps.astype(np.uint64), leaf.max_r.bit_length())
+                         if leaf.max_r > 0 else b"")
+                def_b = (hyb.encode(leaf.defs.astype(np.uint64), leaf.max_d.bit_length())
+                         if leaf.max_d > 0 else b"")
 
-        encoding = enc_map.get(name, "PLAIN")
-        dict_page = None
-        if encoding == "DICT":
-            if phys == "byte_array":
-                offsets, data = vals_stream.data
-                arr2 = pa.Array.from_buffers(
-                    pa.binary(), len(offsets) - 1,
-                    [None, pa.py_buffer(np.ascontiguousarray(offsets - offsets[0], dtype=np.int32)),
-                     pa.py_buffer(np.ascontiguousarray(np.asarray(data, dtype=np.uint8)[int(offsets[0]):int(offsets[-1])]))])
-                denc = arr2.dictionary_encode()
-                duniq = denc.dictionary
-                inv = np.asarray(denc.indices, dtype=np.int64)
-                doff = np.frombuffer(duniq.buffers()[1], dtype=np.int32, count=len(duniq) + 1,
-                                     offset=duniq.offset * 4).astype(np.int64)
-                ddata = np.frombuffer(duniq.buffers()[2], dtype=np.uint8) if duniq.buffers()[2] is not None else np.empty(0, np.uint8)
-                dict_payload = plain.encode_byte_array(doff, ddata)
-                ndict = len(duniq)
-            else:
-                uniq, inv = np.unique(np.asarray(vals_stream.data), return_inverse=True)
-                dict_payload = plain.encode_fixed(uniq)
-                ndict = len(uniq)
-            width = max(int(ndict - 1).bit_length(), 1)
-            values_payload = bytes([width]) + hyb.encode(inv, width)
-            data_enc_id = ENC_RLE_DICT
-            dict_page = bytes(dict_payload) if not isinstance(dict_payload, bytes) else dict_payload
-        elif encoding == "DELTA_BINARY_PACKED":
-            values_payload = delta.encode(np.asarray(vals_stream.data), 32 if phys == "int32" else 64)
-            data_enc_id = ENC_DELTA_BP
-        elif encoding == "DELTA_LENGTH_BYTE_ARRAY":
-            offsets, data = vals_stream.data
-            lens = np.diff(np.asarray(offsets, dtype=np.int64)).astype(np.int32)
-            payload_bytes = np.asarray(data, dtype=np.uint8)[int(offsets[0]):int(offsets[-1])].tobytes()
-            values_payload = delta.encode(lens, 32) + payload_bytes  # spec: no length prefix
-            data_enc_id = ENC_DELTA_LEN
-        elif encoding == "DELTA_BYTE_ARRAY":
-            offsets, data = vals_stream.data
-            offsets = np.asarray(offsets, dtype=np.int64)
-            d8 = np.asarray(data, dtype=np.uint8)
-            pref = ba.prefix_lengths(offsets, d8).astype(np.int64)
-            lens = np.diff(offsets)
-            suf_lens = (lens - pref).astype(np.int32)
-            total = int(suf_lens.sum())
-            if total:
-                within = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.concatenate([[0], np.cumsum(suf_lens[:-1].astype(np.int64))]), suf_lens)
-                suf = d8[np.repeat(offsets[:-1] + pref, suf_lens) + within].tobytes()
-            else:
-                suf = b""
-            values_payload = delta.encode(pref.astype(np.int32), 32) + delta.encode(suf_lens, 32) + suf
-            data_enc_id = ENC_DELTA_BA
-        else:  # PLAIN
-            if phys == "boolean":
-                values_payload = plain.encode_bool(np.asarray(vals_stream.data))
-            elif phys == "byte_array":
-                offsets, data = vals_stream.data
-                values_payload = plain.encode_byte_array(np.asarray(offsets), np.asarray(data))
-            else:
-                values_payload = bytes(memoryview(plain.encode_fixed(np.asarray(vals_stream.data))))
-            data_enc_id = ENC_PLAIN
+                chunk_start = len(body)
+                dict_off = None
+                encodings = [data_enc_id]
+                if leaf.max_d > 0 or leaf.max_r > 0:
+                    encodings.append(ENC_RLE)
+                total_unc = 0
+                total_cmp = 0
+                if dict_page is not None:
+                    comp = _compress_page(dict_page, compression)
+                    hfields = [(1, T_I32, 2), (2, T_I32, len(dict_page)), (3, T_I32, len(comp))]
+                    if write_crc:
+                        hfields.append((4, T_I32, _crc_i32(comp)))
+                    hfields.append((7, T_STRUCT, [(1, T_I32, ndict), (2, T_I32, ENC_PLAIN)]))
+                    header = CompactWriter.struct_(hfields)
+                    dict_off = len(body)
+                    body += header + comp
+                    total_unc += len(header) + len(dict_page)
+                    total_cmp += len(header) + len(comp)
+                    encodings.append(ENC_PLAIN)
 
-    # page assembly
-        values_payload = bytes(values_payload) if not isinstance(values_payload, bytes) else values_payload
-        page_payload = level_bytes + values_payload
-        chunk_start = len(body)
-        dict_off = None
-        encodings = [data_enc_id, ENC_RLE] if has_nulls else [data_enc_id]
-        total_unc = 0
-        total_cmp = 0
-        if dict_page is not None:
-            comp = _compress_page(dict_page, compression)
-            header = CompactWriter.struct_([
-                (1, T_I32, 2), (2, T_I32, len(dict_page)), (3, T_I32, len(comp)),
-                (7, T_STRUCT, [(1, T_I32, ndict), (2, T_I32, ENC_PLAIN)]),
-            ])
-            dict_off = len(body)
-            body += header + comp
-            total_unc += len(header) + len(dict_page)
-            total_cmp += len(header) + len(comp)
-            encodings.append(ENC_PLAIN)
-        comp = _compress_page(page_payload, compression)
-        header = CompactWriter.struct_([
-            (1, T_I32, 0), (2, T_I32, len(page_payload)), (3, T_I32, len(comp)),
-            (5, T_STRUCT, [(1, T_I32, n), (2, T_I32, data_enc_id),
-                           (3, T_I32, ENC_RLE), (4, T_I32, ENC_RLE)]),
-        ])
-        data_off = len(body)
-        body += header + comp
-        total_unc += len(header) + len(page_payload)
-        total_cmp += len(header) + len(comp)
+                if data_page_version == 2:
+                    comp_vals = _compress_page(values_payload, compression)
+                    page_bytes = rep_b + def_b + comp_vals
+                    unc_size = len(rep_b) + len(def_b) + len(values_payload)
+                    num_nulls = int((leaf.defs < leaf.max_d).sum()) if leaf.max_d else 0
+                    num_rows = int((leaf.reps == 0).sum()) if leaf.max_r else n_entries
+                    hfields = [(1, T_I32, 3), (2, T_I32, unc_size), (3, T_I32, len(page_bytes))]
+                    if write_crc:
+                        hfields.append((4, T_I32, _crc_i32(page_bytes)))
+                    hfields.append((8, T_STRUCT, [
+                        (1, T_I32, n_entries), (2, T_I32, num_nulls), (3, T_I32, num_rows),
+                        (4, T_I32, data_enc_id), (5, T_I32, len(def_b)), (6, T_I32, len(rep_b)),
+                        (7, T_TRUE, bool(compression and compression != "none")),
+                    ]))
+                    header = CompactWriter.struct_(hfields)
+                else:
+                    level_bytes = b""
+                    if rep_b or leaf.max_r > 0:
+                        level_bytes += len(rep_b).to_bytes(4, "little") + rep_b
+                    if def_b or leaf.max_d > 0:
+                        level_bytes += len(def_b).to_bytes(4, "little") + def_b
+                    page_payload = level_bytes + bytes(values_payload)
+                    comp = _compress_page(page_payload, compression)
+                    hfields = [(1, T_I32, 0), (2, T_I32, len(page_payload)), (3, T_I32, len(comp))]
+                    if write_crc:
+                        hfields.append((4, T_I32, _crc_i32(comp)))
+                    hfields.append((5, T_STRUCT, [(1, T_I32, n_entries), (2, T_I32, data_enc_id),
+                                                  (3, T_I32, ENC_RLE), (4, T_I32, ENC_RLE)]))
+                    header = CompactWriter.struct_(hfields)
+                    page_bytes = comp
+                    unc_size = len(page_payload)
 
-        meta_fields = [
-            (1, T_I32, _PHYS_ID[phys]),
-            (2, T_LIST, (T_I32, encodings)),
-            (3, T_LIST, (T_BINARY, [name])),
-            (4, T_I32, _CODEC_ID[compression]),
-            (5, T_I64, n),
-            (6, T_I64, total_unc),
-            (7, T_I64, total_cmp),
-            (9, T_I64, data_off),
-        ]
-        if dict_off is not None:
-            meta_fields.append((11, T_I64, dict_off))
-        col_chunks.append((name, chunk_start, meta_fields, total_cmp))
+                data_off = len(body)
+                body += header + page_bytes
+                total_unc += len(header) + unc_size
+                total_cmp += len(header) + len(page_bytes)
+
+                meta_fields = [
+                    (1, T_I32, _PHYS_ID[leaf.node.phys]),
+                    (2, T_LIST, (T_I32, encodings)),
+                    (3, T_LIST, (T_BINARY, leaf.path)),
+                    (4, T_I32, _CODEC_ID[compression]),
+                    (5, T_I64, n_entries),
+                    (6, T_I64, total_unc),
+                    (7, T_I64, total_cmp),
+                    (9, T_I64, data_off),
+                ]
+                if dict_off is not None:
+                    meta_fields.append((11, T_I64, dict_off))
+                col_chunks.append((leaf.path, meta_fields, total_cmp))
+        row_groups.append((col_chunks, sl.num_rows))
+        if table.num_rows == 0:
+            break
 
     # footer
     schema_elems = [CompactWriter.struct_([(4, T_BINARY, "schema"),
                                            (5, T_I32, table.num_columns)])]
-    for name in table.column_names:
-        t = table.column(name).type
-        if name in list_schema_elems:
-            schema_elems.extend(list_schema_elems[name])
-            continue
-        phys, conv = _phys_of(t)
-        nullable = table.column(name).null_count > 0
-        fields = [(1, T_I32, _PHYS_ID[phys]), (3, T_I32, 1 if nullable else 0), (4, T_BINARY, name)]
-        if isinstance(conv, tuple) and conv[0] == "ts":
-            unit_fid = {"ms": 1, "us": 2}[conv[1]]
-            fields.append((10, T_STRUCT, [  # LogicalType.TIMESTAMP
-                (8, T_STRUCT, [
-                    (1, T_TRUE, False),  # isAdjustedToUTC = false (naive)
-                    (2, T_STRUCT, [(unit_fid, T_STRUCT, [])]),  # TimeUnit union
-                ]),
-            ]))
-        elif conv is not None:
-            fields.append((6, T_I32, conv))
-        schema_elems.append(CompactWriter.struct_(fields))
+    for node in nodes:
+        schema_elems.extend(_schema_element_bytes(node))
 
-    row_group = CompactWriter.struct_([
-        (1, T_LIST, (T_STRUCT, [
-            [(2, T_I64, start), (3, T_STRUCT, meta)] for (_, start, meta, _) in col_chunks
-        ])),
-        (2, T_I64, sum(c[3] for c in col_chunks)),
-        (3, T_I64, table.num_rows),
-    ])
-    # footer built field-by-field because schema elements / row groups are
-    # pre-encoded struct blobs
+    rg_blobs = []
+    for col_chunks, nrows in row_groups:
+        rg_blobs.append(CompactWriter.struct_([
+            (1, T_LIST, (T_STRUCT, [
+                [(2, T_I64, 0), (3, T_STRUCT, meta)] for (_, meta, _) in col_chunks
+            ])),
+            (2, T_I64, sum(c[2] for c in col_chunks)),
+            (3, T_I64, nrows),
+        ]))
+
+    from .thrift_compact import _uvarint as _uv
+
     fb = bytearray()
     fb += bytes([(1 << 4) | T_I32]) + CompactWriter.value(T_I32, 1)  # version
-    # field 2: schema list of structs
-    fb += bytes([(1 << 4) | T_LIST])
+    fb += bytes([(1 << 4) | T_LIST])  # field 2: schema
     nel = len(schema_elems)
     if nel < 15:
         fb.append((nel << 4) | T_STRUCT)
     else:
-        from .thrift_compact import _uvarint as _uv
-
         fb.append((15 << 4) | T_STRUCT)
         fb += _uv(nel)
     for el in schema_elems:
         fb += el
     fb += bytes([(1 << 4) | T_I64]) + CompactWriter.value(T_I64, table.num_rows)  # field 3
     fb += bytes([(1 << 4) | T_LIST])  # field 4: row_groups
-    fb.append((1 << 4) | T_STRUCT)
-    fb += row_group
+    nrg = len(rg_blobs)
+    if nrg < 15:
+        fb.append((nrg << 4) | T_STRUCT)
+    else:
+        fb.append((15 << 4) | T_STRUCT)
+        fb += _uv(nrg)
+    for blob in rg_blobs:
+        fb += blob
     fb += bytes([(2 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
     fb.append(0)
 
@@ -523,59 +799,3 @@ def write_parquet_with_our_kernels(
     body += MAGIC
     with open(path, "wb") as f:
         f.write(body)
-
-
-def _write_list_int32_chunk(arr: pa.Array, name: str, body: bytearray, compression):
-    """Column chunk for a non-null list<int32> column (the token-table shape):
-    3-level LIST convention, max_rep=1 / max_def=1, levels hybrid-encoded.
-    Empty lists emit a single (rep=0, def=0) entry — the same levels-only path
-    the reference takes for empty repeated fields
-    (/root/reference/data_store.go:116-119)."""
-    from ..functions import hybrid as hyb
-
-    offsets = np.asarray(arr.offsets, dtype=np.int64)
-    values = np.asarray(arr.values.view(pa.int32())) if len(arr.values) else np.empty(0, np.int32)
-    values = values[offsets[0] : offsets[-1]]
-    lens = np.diff(offsets)
-    n_rows = len(lens)
-    # one level entry per value, plus one per empty list
-    n_entries = int(np.maximum(lens, 1).sum())
-    rep = np.ones(n_entries, dtype=np.uint64)
-    defs = np.ones(n_entries, dtype=np.uint64)
-    entry_starts = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(np.maximum(lens, 1), out=entry_starts[1:])
-    rep[entry_starts[:-1]] = 0  # first entry of each row
-    defs[entry_starts[:-1][lens == 0]] = 0  # empty rows: levels-only marker
-
-    rep_b = hyb.encode(rep, 1)
-    def_b = hyb.encode(defs, 1)
-    payload = (
-        len(rep_b).to_bytes(4, "little") + rep_b
-        + len(def_b).to_bytes(4, "little") + def_b
-        + bytes(memoryview(plain.encode_fixed(values)))
-    )
-    comp = _compress_page(payload, compression)
-    header = CompactWriter.struct_([
-        (1, T_I32, 0), (2, T_I32, len(payload)), (3, T_I32, len(comp)),
-        (5, T_STRUCT, [(1, T_I32, n_entries), (2, T_I32, ENC_PLAIN),
-                       (3, T_I32, ENC_RLE), (4, T_I32, ENC_RLE)]),
-    ])
-    data_off = len(body)
-    body += header + comp
-    meta_fields = [
-        (1, T_I32, _PHYS_ID["int32"]),
-        (2, T_LIST, (T_I32, [ENC_PLAIN, ENC_RLE])),
-        (3, T_LIST, (T_BINARY, [name, "list", "element"])),
-        (4, T_I32, _CODEC_ID[compression]),
-        (5, T_I64, n_entries),
-        (6, T_I64, len(header) + len(payload)),
-        (7, T_I64, len(header) + len(comp)),
-        (9, T_I64, data_off),
-    ]
-    total_cmp = len(header) + len(comp)
-    schema_elems = [
-        CompactWriter.struct_([(3, T_I32, 0), (4, T_BINARY, name), (5, T_I32, 1), (6, T_I32, 3)]),  # LIST
-        CompactWriter.struct_([(3, T_I32, 2), (4, T_BINARY, "list"), (5, T_I32, 1)]),  # repeated
-        CompactWriter.struct_([(1, T_I32, _PHYS_ID["int32"]), (3, T_I32, 0), (4, T_BINARY, "element")]),
-    ]
-    return meta_fields, total_cmp, schema_elems

@@ -119,13 +119,25 @@ def decode_stream(data, nbits: int, start: int = 0) -> tuple[np.ndarray, int]:
     of DELTA_LENGTH/DELTA_BYTE_ARRAY need the consumed length."""
     sdt, udt = _dtypes(nbits)
     buf = bytes(data)
-    block, pos = read_uvarint(buf, start)
-    nmb, pos = read_uvarint(buf, pos)
-    n, pos = read_uvarint(buf, pos)
-    first, pos = read_varint(buf, pos)
-    if block % nmb:
+    try:
+        block, pos = read_uvarint(buf, start)
+        nmb, pos = read_uvarint(buf, pos)
+        n, pos = read_uvarint(buf, pos)
+        first, pos = read_varint(buf, pos)
+    except IndexError as e:
+        raise ValueError("delta: truncated stream header") from e
+    if nmb == 0 or block % nmb:
         raise ValueError("delta: block size not divisible by miniblock count")
+    if block > (1 << 20) or nmb > 512:
+        raise ValueError("delta: implausible block geometry")  # malformed guard
+    # malformed guard: each 128-delta block costs >= 5 header bytes, so a
+    # claimed count vastly above the buffer's capacity is garbage — reject
+    # before allocating n values (reference fuzz corpus: deltabp_fuzz.go)
+    if n > 64 * (len(buf) - start) + BLOCK:
+        raise ValueError(f"delta: claimed count {n} exceeds stream capacity")
     mbv = block // nmb
+    if mbv == 0 or mbv % 8:
+        raise ValueError("delta: miniblock value count must be a positive multiple of 8")
     if n == 0:
         return np.empty(0, dtype=sdt), pos
     if n == 1:
@@ -136,15 +148,22 @@ def decode_stream(data, nbits: int, start: int = 0) -> tuple[np.ndarray, int]:
     min_deltas = np.empty(nblocks, dtype=np.int64)
     all_widths = np.empty(nblocks * nmb, dtype=np.uint8)
     spans: list[tuple[int, int]] = []  # (offset, width) per miniblock
-    for b in range(nblocks):
-        md, pos = read_varint(buf, pos)
-        min_deltas[b] = md
-        ws = np.frombuffer(buf, dtype=np.uint8, count=nmb, offset=pos)
-        all_widths[b * nmb : (b + 1) * nmb] = ws
-        pos += nmb
-        for w in ws:
-            spans.append((pos, int(w)))
-            pos += mbv * int(w) // 8
+    try:
+        for b in range(nblocks):
+            md, pos = read_varint(buf, pos)
+            min_deltas[b] = md
+            ws = np.frombuffer(buf, dtype=np.uint8, count=nmb, offset=pos)
+            if (ws > 64).any():
+                raise ValueError("delta: miniblock bit width > 64")
+            all_widths[b * nmb : (b + 1) * nmb] = ws
+            pos += nmb
+            for w in ws:
+                spans.append((pos, int(w)))
+                pos += mbv * int(w) // 8
+        if pos > len(buf):
+            raise ValueError("delta: truncated miniblock payload")
+    except IndexError as e:
+        raise ValueError("delta: truncated stream") from e
 
     # Grouped-by-width vectorized unpack.
     adj = np.zeros(nblocks * nmb * mbv, dtype=np.uint64)

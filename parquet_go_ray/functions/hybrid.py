@@ -134,25 +134,34 @@ def decode(data, width: int, count: int) -> np.ndarray:
     bp_slices: list[tuple[int, int]] = []
     bp_takes: list[int] = []
     bp_dst: list[int] = []
-    while filled < count:
-        header, pos = read_uvarint(buf, pos)
-        if header & 1:  # bit-packed run
-            groups = header >> 1
-            nbytes = groups * width
-            take = min(groups * 8, count - filled)
-            bp_slices.append((pos, nbytes))
-            bp_takes.append(take)
-            bp_dst.append(filled)
-            pos += nbytes
-            filled += take
-        else:  # RLE run
-            run = header >> 1
-            rle_vals.append(int.from_bytes(buf[pos : pos + vb], "little") if vb else 0)
-            pos += vb
-            take = min(run, count - filled)
-            rle_takes.append(take)
-            rle_dst.append(filled)
-            filled += take
+    try:
+        while filled < count:
+            header, pos = read_uvarint(buf, pos)
+            if header & 1:  # bit-packed run
+                groups = header >> 1
+                if groups == 0:
+                    raise ValueError("hybrid: zero-group bit-packed run")
+                nbytes = groups * width
+                if pos + nbytes > len(buf):
+                    raise ValueError("hybrid: bit-packed run exceeds buffer")
+                take = min(groups * 8, count - filled)
+                bp_slices.append((pos, nbytes))
+                bp_takes.append(take)
+                bp_dst.append(filled)
+                pos += nbytes
+                filled += take
+            else:  # RLE run
+                run = header >> 1
+                if run == 0:
+                    raise ValueError("hybrid: zero-length RLE run")
+                rle_vals.append(int.from_bytes(buf[pos : pos + vb], "little") if vb else 0)
+                pos += vb
+                take = min(run, count - filled)
+                rle_takes.append(take)
+                rle_dst.append(filled)
+                filled += take
+    except IndexError as e:
+        raise ValueError("hybrid: truncated run stream") from e
 
     def _ragged_dst(dst: np.ndarray, takes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         total = int(takes.sum())

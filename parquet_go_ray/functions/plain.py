@@ -87,6 +87,10 @@ def decode_byte_array(data, count: int) -> tuple[np.ndarray, np.ndarray]:
         ln = int.from_bytes(buf[pos : pos + 4], "little")
         lengths[i] = ln
         pos += 4 + ln
+    if pos > len(buf):
+        # malformed guard (reference fuzz corpus types_fuzz.go): reject before
+        # allocating sum(lengths), which a corrupt length chain can inflate
+        raise ValueError("byte_array: truncated or corrupt length chain")
     np.cumsum(lengths, out=offsets[1:])
     total = int(offsets[-1])
     out = np.empty(total, dtype=np.uint8)

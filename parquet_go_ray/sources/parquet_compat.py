@@ -101,6 +101,8 @@ def _decode_values(payload: bytes, encoding: int, phys: str, n: int, dict_values
         lengths, pos = delta.decode_stream(payload, 32)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths.astype(np.int64), out=offsets[1:])
+        if int(offsets[-1]) > len(payload) - pos or (lengths < 0).any():
+            raise ValueError("delta_length_byte_array: corrupt length stream")
         data = np.frombuffer(payload, dtype=np.uint8, offset=pos)
         return offsets, data[: int(offsets[-1])].copy()
     if encoding == ENC_DELTA_BA:
@@ -110,6 +112,14 @@ def _decode_values(payload: bytes, encoding: int, phys: str, n: int, dict_values
         pref = pref.astype(np.int64)
         suf_lens = suf_lens.astype(np.int64)
         suf_data = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+        # front-coding invariants (reject corrupt streams before allocating):
+        # suffixes must fit the remaining payload; a prefix can never exceed
+        # the previous string's length; first prefix is zero
+        if ((suf_lens < 0).any() or (pref < 0).any()
+                or int(suf_lens.sum()) > len(suf_data)
+                or (len(pref) and pref[0] != 0)
+                or (len(pref) > 1 and (pref[1:] > (pref + suf_lens)[:-1]).any())):
+            raise ValueError("delta_byte_array: corrupt prefix/suffix streams")
         lengths = pref + suf_lens
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])

@@ -68,6 +68,8 @@ class CompactReader:
         if ftype in (T_I16, T_I32, T_I64):
             return self.zigzag()
         if ftype == T_DOUBLE:
+            if self.pos + 8 > len(self.buf):
+                raise ValueError("thrift compact: truncated double")
             v = struct.unpack_from("<d", self.buf, self.pos)[0]
             self.pos += 8
             return v
@@ -83,6 +85,10 @@ class CompactReader:
             etype = header & 0x0F
             if size == 15:
                 size = self.uvarint()
+            # malformed guard: a boolean list element consumes zero bytes, so
+            # an absurd size would otherwise spin for 2^60 iterations
+            if size > len(self.buf) - self.pos + 1:
+                raise ValueError(f"thrift compact: list size {size} exceeds buffer")
             return [self.read_value(etype) for _ in range(size)]
         if ftype == T_MAP:
             size = self.uvarint()
@@ -97,18 +103,27 @@ class CompactReader:
         raise ValueError(f"thrift compact: unknown type {ftype}")
 
     def read_struct(self) -> dict:
-        out: dict[int, object] = {}
-        last_id = 0
-        while True:
-            header = self.buf[self.pos]
-            self.pos += 1
-            if header == T_STOP:
-                return out
-            delta = header >> 4
-            ftype = header & 0x0F
-            fid = last_id + delta if delta else self.zigzag()
-            last_id = fid
-            out[fid] = self.read_value(ftype)
+        depth = getattr(self, "_depth", 0)
+        if depth > 100:
+            raise ValueError("thrift compact: structs nested too deeply")
+        self._depth = depth + 1
+        try:
+            out: dict[int, object] = {}
+            last_id = 0
+            while True:
+                if self.pos >= len(self.buf):
+                    raise ValueError("thrift compact: truncated struct")
+                header = self.buf[self.pos]
+                self.pos += 1
+                if header == T_STOP:
+                    return out
+                delta = header >> 4
+                ftype = header & 0x0F
+                fid = last_id + delta if delta else self.zigzag()
+                last_id = fid
+                out[fid] = self.read_value(ftype)
+        finally:
+            self._depth = depth
 
 
 # ----------------------------------------------------------------- writer

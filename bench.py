@@ -57,9 +57,9 @@ def bench_encode_tokens(rows: int) -> dict:
     rd.read_parquet(src_dir).count()  # warm OS page cache (untimed)
 
     out = f"/tmp/pgr_bench_out/tokens-{NCPU}"
-    # batch == block (~40 MB, 65k rows): no re-batching copies; bigger blocks
-    # inflate per-actor temporaries; pool at ncpu/2 — the encode kernels are
-    # memory-bandwidth-bound, extra actors just thrash
+    # batch == block (~40 MB, 65k rows): no re-batching copies. Default
+    # task-pool encode fuses with the read, so the uncompressed batch never
+    # crosses the object store (2x wall vs the round-1 actor pool).
     nblocks = max(NCPU, 8, rows // 65536)
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
     sec = None
@@ -70,7 +70,6 @@ def bench_encode_tokens(rows: int) -> dict:
             rd.read_parquet(src_dir, override_num_blocks=nblocks),
             out,
             batch_rows=None,
-            concurrency=max(NCPU // 2, 1),
         ).materialize()
         run_sec = time.perf_counter() - t0
         sec = run_sec if sec is None else min(sec, run_sec)  # shared-host noise: keep the best

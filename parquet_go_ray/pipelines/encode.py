@@ -59,14 +59,27 @@ def encode_dataset(
     batch_rows: int | None = 64 * 1024,
     concurrency=None,
 ) -> rd.Dataset:
-    """Stateless encode: one partition per batch. Returns the lineage Dataset."""
+    """Stateless encode: one partition per batch. Returns the lineage Dataset.
+
+    Runs as a TASK pool by default so Ray Data fuses it with the upstream
+    read — the uncompressed batch never round-trips through the object store
+    (measured 2x wall-clock at 8 CPUs; the encode stage has no per-actor
+    state worth an actor pool, its config is a tiny dataclass). Pass
+    ``concurrency`` to force an actor pool instead."""
+    cfg = config or EncodeConfig()
     if concurrency is None:
-        # single-pool stage: fixed size, minus headroom for the read tasks
-        lo, hi = _default_concurrency()
-        concurrency = max(2, hi - 2)
+        def encode_batch(batch: pa.Table) -> pa.Table:
+            return EncodeStage(out_dir, cfg)(batch)
+
+        return ds.map_batches(
+            encode_batch,
+            batch_format="pyarrow",
+            batch_size=batch_rows,
+            zero_copy_batch=True,
+        )
     return ds.map_batches(
         EncodeStage,
-        fn_constructor_args=(out_dir, config or EncodeConfig()),
+        fn_constructor_args=(out_dir, cfg),
         batch_format="pyarrow",
         batch_size=batch_rows,
         zero_copy_batch=True,
@@ -178,8 +191,16 @@ def encode_partitioned(
             return pa.concat_tables(parts) if parts else EncodeStage.__call__(self, batch)
 
     if concurrency is None:
-        lo, hi = _default_concurrency()
-        concurrency = max(2, hi - 2)
+        # task pool: fuses with the read (see encode_dataset)
+        def split_encode(batch: pa.Table) -> pa.Table:
+            return SplitEncode(out_dir, cfg)(batch)
+
+        return ds.map_batches(
+            split_encode,
+            batch_format="pyarrow",
+            batch_size=batch_rows,
+            zero_copy_batch=True,
+        )
     return ds.map_batches(
         SplitEncode,
         fn_constructor_args=(out_dir, cfg),
@@ -266,13 +287,17 @@ def decode_dataset(
             return True
 
         paths = [p for p in paths if overlaps(p)]
-    if concurrency is None:
-        lo, hi = _default_concurrency()
-        concurrency = max(2, hi - 2)
-    conc_hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    lo, hi = _default_concurrency()
+    conc_hi = (concurrency[1] if isinstance(concurrency, tuple) else concurrency) or hi
     # several files per task when there are many small partitions
     per_task = min(16, max(1, len(paths) // max(4 * conc_hi, 1)))
     items = rd.from_items([{"path": p} for p in paths])
+    if concurrency is None:
+        # task pool: no actor startup, and downstream consumers fuse with it
+        def decode_batch(batch: pa.Table) -> pa.Table:
+            return DecodeStage(columns)(batch)
+
+        return items.map_batches(decode_batch, batch_format="pyarrow", batch_size=per_task)
     return items.map_batches(
         DecodeStage,
         fn_constructor_args=(columns,),

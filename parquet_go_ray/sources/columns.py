@@ -104,7 +104,9 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 "size": len(comp),
                 "usize": len(payload),
                 "num_values": num_values,
-                "crc32": zlib.crc32(payload) & 0xFFFFFFFF if config.crc else None,
+                # CRC over the COMPRESSED blob: the integrity pass touches the
+                # smaller buffer on both write and read (~0.5x the bytes)
+                "crc32c": zlib.crc32(comp) & 0xFFFFFFFF if config.crc else None,
             }
         )
         blobs.append(comp)
@@ -143,7 +145,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 dpayload = _buf(plain.encode_fixed(uniq))
                 dcomp = _compress(dpayload, config.compression)
                 dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq),
-                             "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+                             "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
                 blobs.append(dcomp)
                 for lo, hi in _page_slices(len(v), max(bitpack.bit_width(max(len(uniq) - 1, 0)), 1) / 8, config.page_bytes):
                     add_page(dictionary.encode_indices(inv[lo:hi], len(uniq)), hi - lo)
@@ -190,7 +192,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             dpayload = _buf(plain.encode_fixed(uniq_bits.view(raw.dtype)))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq_bits),
-                         "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+                         "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
             blobs.append(dcomp)
             for lo, hi in _page_slices(len(raw), max(bitpack.bit_width(max(len(uniq_bits) - 1, 0)), 1) / 8, config.page_bytes):
                 add_page(dictionary.encode_indices(inv[lo:hi], len(uniq_bits)), hi - lo)
@@ -225,7 +227,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             dpayload = _buf(uniq_v.view(np.uint8))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": distinct,
-                         "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+                         "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
             blobs.append(dcomp)
             for lo, hi in _page_slices(n, max(bitpack.bit_width(max(distinct - 1, 0)), 1) / 8, config.page_bytes):
                 add_page(dictionary.encode_indices(inv[lo:hi], distinct), hi - lo)
@@ -269,8 +271,11 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         else:
             pref_ratio = 0.0
             if n > 1:
-                pl = ba.prefix_lengths(offsets, np.asarray(data))
-                total = max(int(offsets[-1] - offsets[0]), 1)
+                # prefix trial on a head sample — selection signal only
+                ns = min(n, 1 << 16)
+                po = offsets[: ns + 1]
+                pl = ba.prefix_lengths(po, np.asarray(data))
+                total = max(int(po[-1] - po[0]), 1)
                 pref_ratio = float(pl.sum()) / total
             fsst_est = None
             if config.mode == sel.MODE_EXTENDED and n:
@@ -300,7 +305,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             dpayload = _buf(plain.encode_byte_array(doff, ddata))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(duniq),
-                         "crc32": zlib.crc32(dpayload) & 0xFFFFFFFF if config.crc else None}
+                         "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
             blobs.append(dcomp)
             for lo, hi in _page_slices(n, max(bitpack.bit_width(max(len(duniq) - 1, 0)), 1) / 8, config.page_bytes):
                 add_page(dictionary.encode_indices(inv[lo:hi], len(duniq)), hi - lo)
@@ -353,8 +358,11 @@ def decode_stream(meta: dict, read_at) -> Stream:
 
     def page_payload(p: dict) -> bytes:
         raw = read_at(p["offset"], p["size"])
+        if crc_check and p.get("crc32c") is not None:
+            if (zlib.crc32(raw) & 0xFFFFFFFF) != p["crc32c"]:
+                raise ValueError(f"CRC mismatch on {meta['path']} page @{p['offset']}")
         payload = _decompress(raw, comp, p["usize"])
-        if crc_check and p.get("crc32") is not None:
+        if crc_check and p.get("crc32") is not None:  # legacy: crc of payload
             actual = zlib.crc32(payload) & 0xFFFFFFFF
             if actual != p["crc32"]:
                 raise ValueError(f"CRC mismatch on {meta['path']} page @{p['offset']}")
@@ -364,6 +372,8 @@ def decode_stream(meta: dict, read_at) -> Stream:
     if meta.get("dict"):
         dmeta = meta["dict"]
         draw = read_at(dmeta["offset"], dmeta["size"])
+        if crc_check and dmeta.get("crc32c") is not None and (zlib.crc32(bytes(draw)) & 0xFFFFFFFF) != dmeta["crc32c"]:
+            raise ValueError(f"CRC mismatch on {meta['path']} dict page")
         dpayload = _decompress(draw, comp, dmeta["usize"])
         if crc_check and dmeta.get("crc32") is not None and (zlib.crc32(dpayload) & 0xFFFFFFFF) != dmeta["crc32"]:
             raise ValueError(f"CRC mismatch on {meta['path']} dict page")

@@ -93,16 +93,41 @@ def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkS
     from ..functions.arena import scratch_view
 
     # single delta pass shared by run-count / sortedness / delta / FOR
-    # estimates; scratch-arena temp (d is dead before the next arena draw)
+    # estimates; scratch-arena temp (d is dead before the next arena draw).
+    # For big chunks the delta statistics come from head/middle/tail slices
+    # (they only steer codec SELECTION — exact min/max for pruning stats stay
+    # global above; the encoders compute their true widths at encode time),
+    # cutting ~3 full memory passes from the selection step.
+    SAMPLE = 1 << 16
     if n > 1:
-        u = values.view(udt)
-        d = scratch_view(n - 1, udt)
-        np.subtract(u[1:], u[:-1], out=d)
-        d = d.view(sdt)
-        dmin, dmax = int(d.min()), int(d.max())
-        runs = int(np.count_nonzero(d)) + 1
-        is_sorted = dmin >= 0
-        dspan = dmax - dmin
+        if n > 8 * SAMPLE:
+            slices = [values[:SAMPLE], values[(n - SAMPLE) // 2 : (n + SAMPLE) // 2],
+                      values[-SAMPLE:]]
+            sampled_n = sum(len(s) for s in slices) - len(slices)
+            dmin = dmax = None
+            nz = 0
+            is_sorted = True
+            for s in slices:
+                su = s.view(udt)
+                sd = (su[1:] - su[:-1]).view(sdt)
+                m1, m2 = int(sd.min()), int(sd.max())
+                dmin = m1 if dmin is None else min(dmin, m1)
+                dmax = m2 if dmax is None else max(dmax, m2)
+                nz += int(np.count_nonzero(sd))
+                is_sorted &= m1 >= 0
+            # sortedness needs the gaps between slices too
+            is_sorted &= bool(slices[0][-1] <= slices[1][0] <= slices[1][-1] <= slices[2][0])
+            runs = int(nz / max(sampled_n, 1) * (n - 1)) + 1
+            dspan = dmax - dmin
+        else:
+            u = values.view(udt)
+            d = scratch_view(n - 1, udt)
+            np.subtract(u[1:], u[:-1], out=d)
+            d = d.view(sdt)
+            dmin, dmax = int(d.min()), int(d.max())
+            runs = int(np.count_nonzero(d)) + 1
+            is_sorted = dmin >= 0
+            dspan = dmax - dmin
     else:
         runs, is_sorted, dspan = 1, True, 0
 

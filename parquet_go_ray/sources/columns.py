@@ -279,10 +279,12 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 pref_ratio = float(pl.sum()) / total
             fsst_est = None
             if config.mode == sel.MODE_EXTENDED and n:
+                # bounded trial: 16 KB sample, 2 refinement iterations — the
+                # trial only needs a ratio estimate, not the final table
                 d = np.asarray(data, dtype=np.uint8)[int(offsets[0]) : int(offsets[-1])]
-                sample = d[: 1 << 16]
+                sample = d[: 1 << 14]
                 if len(sample) >= 64:
-                    table = fsst.train(sample)
+                    table = fsst.train(sample, iters=2)
                     if len(table):
                         enc = fsst.encode(sample, table)
                         ratio = len(enc) / max(len(sample), 1)
@@ -311,6 +313,17 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 add_page(dictionary.encode_indices(inv[lo:hi], len(duniq)), hi - lo)
         else:
             d = np.asarray(data, dtype=np.uint8)
+            fsst_table = None
+            if codec == "FSST_BA" and n:
+                # ONE symbol table per stream, trained on a 64 KB sample and
+                # shared by every page (training is iterative and would
+                # dominate if repeated per page; the VLDB'20 design likewise
+                # trains per block, not per string). Table hash goes to
+                # lineage (north-star checkpoint record: resumed runs must
+                # reproduce identical tables).
+                sample = d[int(offsets[0]) : int(offsets[0]) + (1 << 16)]
+                fsst_table = fsst.train(sample)
+                stats["fsst_table_crc32"] = zlib.crc32(fsst_table.tobytes()) & 0xFFFFFFFF
             for lo, hi in _page_slices(n, avg, config.page_bytes):
                 po = offsets[lo : hi + 1]
                 if codec == "PLAIN_BA":
@@ -322,13 +335,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 elif codec == "FSST_BA":
                     lens_enc = delta.encode(np.diff(po).astype(np.int32), 32)
                     payload_bytes = d[int(po[0]) : int(po[-1])]
-                    table = fsst.train(payload_bytes)
-                    # symbol-table hash goes to lineage (north-star checkpoint
-                    # record: resumed runs must reproduce identical tables)
-                    stats.setdefault("fsst_table_crc32s", []).append(
-                        zlib.crc32(table.tobytes()) & 0xFFFFFFFF
-                    )
-                    fenc = fsst.encode(payload_bytes, table)
+                    fenc = fsst.encode(payload_bytes, fsst_table)
                     add_page(len(lens_enc).to_bytes(4, "little") + lens_enc + fenc, hi - lo)
                 else:
                     raise ValueError(f"unknown bytes codec {codec}")

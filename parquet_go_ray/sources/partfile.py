@@ -82,9 +82,9 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[b
         "crc32": zlib.crc32(bytes(body)) & 0xFFFFFFFF,
     }
     tables = {
-        m["path"]: m["stats"]["fsst_table_crc32s"]
+        m["path"]: m["stats"]["fsst_table_crc32"]
         for m in stream_metas
-        if m.get("stats", {}).get("fsst_table_crc32s")
+        if m.get("stats", {}).get("fsst_table_crc32")
     }
     if tables:
         lineage["symbol_tables"] = tables

@@ -264,16 +264,46 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16, k: int =
     )
 
 
-def minhash_verify_pairs(pairs_df: pd.DataFrame, sig_map: dict, threshold: float = 0.7) -> pd.DataFrame:
-    """Estimate Jaccard from signature agreement for candidate pairs (driver-side,
-    candidate set is small after LSH)."""
-    if not len(pairs_df):
-        return pairs_df.assign(jaccard=[])
-    a = np.stack([sig_map[x] for x in pairs_df.doc_a])
-    b = np.stack([sig_map[x] for x in pairs_df.doc_b])
-    j = (a == b).mean(axis=1)
-    out = pairs_df.assign(jaccard=j)
-    return out[out.jaccard >= threshold].reset_index(drop=True)
+def minhash_verify_pairs(pairs_ds, sigs_ds, threshold: float = 0.7, *,
+                         id_col: str = "doc_id",
+                         num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+    """Estimate Jaccard from MinHash signature agreement for candidate pairs —
+    DISTRIBUTED: signatures attach to pairs via two hash-partitioned joins
+    (same pattern as the text attach), agreement is one vectorized comparison
+    per batch. Only (pair, signature) rows ever move.
+
+    ``pairs_ds``: Dataset of (doc_a, doc_b); ``sigs_ds``: Dataset of
+    (doc_id, signature) as produced by MinHasher. Returns (doc_a, doc_b,
+    jaccard) for pairs with estimated Jaccard >= threshold.
+    """
+    # plain list<int64> (not fixed_size_list): Ray's pandas conversion maps
+    # fixed-size lists to its tensor extension, which breaks on sliced chunks
+    sig_type = pa.list_(pa.int64())
+
+    def as_list(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "signature": t.column("signature").combine_chunks().cast(sig_type),
+        })
+
+    sigs = sigs_ds.map_batches(as_list, batch_format="pyarrow", zero_copy_batch=True)
+    with_a = _attach_text(pairs_ds, sigs, "doc_a", "__sig_a", id_col, "signature",
+                          num_partitions, col_type=sig_type)
+    with_b = _attach_text(with_a.drop_columns(["__p"]), sigs, "doc_b", "__sig_b",
+                          id_col, "signature", num_partitions, col_type=sig_type)
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        # candidate set is small post-LSH; list cells may arrive as plain
+        # list<int64> after the pandas join, so go through pylist
+        a = np.array(t.column("__sig_a").to_pylist(), dtype=np.int64).reshape(n, -1)
+        b = np.array(t.column("__sig_b").to_pylist(), dtype=np.int64).reshape(n, -1)
+        j = (a == b).mean(axis=1) if n else np.empty(0)
+        out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+                        "jaccard": pa.array(j)})
+        return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- SimHash
@@ -357,18 +387,21 @@ def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
 
 # ----------------------------------------------------------- n-gram Jaccard
 def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str,
-                 num_partitions: int):
-    """Distributed pair←text join: hash-partition both sides on the pair's
-    ``on`` id, merge inside each partition. Only (pair, one text) rows move —
-    never the full corpus to the driver."""
+                 num_partitions: int, col_type: pa.DataType | None = None):
+    """Distributed pair←column join: hash-partition both sides on the pair's
+    ``on`` id, merge inside each partition. Only (pair, one attached value)
+    rows move — never the full corpus to the driver. ``col_type`` defaults to
+    string (text attach); pass e.g. a fixed_size_list type to attach
+    signatures/embeddings instead."""
 
+    col_type = col_type or pa.string()
     pschema = pairs.schema()
     type_of = dict(zip(pschema.names, pschema.types))
     pair_cols = [c for c in pschema.names if c != "__p"]
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         t = t.select(pair_cols)
-        t = t.append_column(out_col, pa.nulls(t.num_rows, pa.string()))
+        t = t.append_column(out_col, pa.nulls(t.num_rows, col_type))
         return t.append_column("__p", pa.array(np.asarray(t.column(on)) % num_partitions))
 
     def tag_texts(t: pa.Table) -> pa.Table:
@@ -379,7 +412,8 @@ def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str
                 cols[c] = t.column(id_col)
             else:
                 cols[c] = pa.nulls(n_rows, type_of[c])
-        cols[out_col] = t.column(text_col).cast(pa.string())
+        src = t.column(text_col)
+        cols[out_col] = src.cast(col_type) if src.type != col_type else src
         cols["__p"] = pa.array(np.asarray(t.column(id_col)) % num_partitions)
         return pa.table(cols)
 
@@ -387,12 +421,21 @@ def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str
         texts.map_batches(tag_texts, batch_format="pyarrow")
     )
 
-    def join(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g[out_col].isna()].drop(columns=[out_col])
-        t = g[g[out_col].notna()][[on, out_col]]
-        return p.merge(t, on=on, how="inner")
+    def join(g: pa.Table) -> pa.Table:
+        # pure-arrow join: no pandas round-trip (which would promote int
+        # columns with nulls to float64 and auto-tensorize array cells)
+        import pyarrow.compute as pc
 
-    return both.groupby("__p").map_groups(join, batch_format="pandas")
+        present = pc.is_valid(g.column(out_col))
+        t = g.filter(present)
+        p = g.filter(pc.invert(present))
+        idx = pc.index_in(p.column(on), value_set=t.column(on).combine_chunks())
+        keep = pc.is_valid(idx)
+        p2 = p.filter(keep)
+        attached = t.column(out_col).combine_chunks().take(idx.filter(keep))
+        return p2.set_column(p2.schema.get_field_index(out_col), out_col, attached)
+
+    return both.groupby("__p").map_groups(join, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,

@@ -342,6 +342,14 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
     else:
         raise ValueError(f"unknown stream kind {kind} dtype {dtype}")
 
+    if kind == "bytes":
+        offs = np.asarray(stream.data[0], dtype=np.int64)
+        decoded_bytes = int(offs[-1] - offs[0]) + 8 * max(len(offs) - 1, 0)
+    elif kind == "fixed_bytes":
+        decoded_bytes = len(np.asarray(stream.data))
+    else:
+        arr = np.asarray(stream.data)
+        decoded_bytes = arr.size * max(arr.dtype.itemsize, 1)
     meta = {
         "path": stream.path,
         "kind": kind,
@@ -349,6 +357,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         "codec": codec,
         "compression": config.compression,
         "num_values": stream.num_values,
+        "decoded_bytes": decoded_bytes,  # true decode heap need (alloc.go role)
         "pages": pages,
         "dict": dict_meta,
         "stats": stats,

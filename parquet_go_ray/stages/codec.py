@@ -82,13 +82,40 @@ def _lineage_table(lineage: dict) -> pa.Table:
 
 
 class DecodeStage:
-    """Batch of {path} rows -> decoded rows (one partition file per input row)."""
+    """Batch of {path} rows -> decoded rows (one partition file per input row).
 
-    def __init__(self, columns: list[str] | None = None):
+    ``max_partition_bytes`` is the role of the reference's
+    ``WithMaximumMemorySize`` alloc tracker (/root/reference/alloc.go:10-89):
+    a partition whose DECLARED decompressed size exceeds the cap fails fast
+    with a clear error instead of OOM-killing the worker mid-decode. Ray's
+    streaming backpressure bounds concurrent batches; this bounds the one
+    batch no backpressure can split."""
+
+    DEFAULT_MAX_PARTITION_BYTES = 4 << 30
+
+    def __init__(self, columns: list[str] | None = None,
+                 max_partition_bytes: int | None = DEFAULT_MAX_PARTITION_BYTES):
         self.columns = columns
+        self.max_partition_bytes = max_partition_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tables = [read_partition(p, self.columns) for p in batch.column("path").to_pylist()]
+        paths = batch.column("path").to_pylist()
+        if self.max_partition_bytes:
+            from ..sources.partfile import read_partition_footer
+
+            for p in paths:
+                footer = read_partition_footer(p)
+                usize = sum(
+                    s.get("decoded_bytes") or sum(pg["usize"] for pg in s["pages"])
+                    for s in footer["streams"]
+                )
+                if usize > self.max_partition_bytes:
+                    raise ValueError(
+                        f"partition {p} declares {usize} decompressed bytes, over the "
+                        f"{self.max_partition_bytes}-byte task cap — re-shard it "
+                        f"(compact with a smaller target or re-encode with smaller batches)"
+                    )
+        tables = [read_partition(p, self.columns) for p in paths]
         if not tables:
             raise ValueError("DecodeStage got an empty path batch")
         return pa.concat_tables(tables) if len(tables) > 1 else tables[0]

@@ -332,3 +332,23 @@ def test_embedding_neardup_exact_vs_numpy(ray_session):
                       pa.array(Mn.reshape(-1).astype(np.float32)), d)})
     df = _block_pair_neardup(t, t, True, tau, "vec_id", a_tile=16, b_tile=32)
     assert sorted(zip(df.vec_a.tolist(), df.vec_b.tolist())) == exp
+
+
+def test_minhash_verify_pairs_distributed(ray_session):
+    """Distributed signature-agreement verify: planted near-dups score high,
+    unrelated pairs score low."""
+    from parquet_go_ray.ops.dedup import MinHasher, minhash_candidate_pairs, minhash_verify_pairs
+
+    rng = np.random.default_rng(8)
+    vocab = ["lorem", "ipsum", "dolor", "sit", "amet", "alpha", "beta", "gamma"]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    texts = base + [b + " amet" for b in base[:5]]  # planted near-dups
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": 64, "k": 8},
+                          batch_format="pyarrow", concurrency=(1, 2))
+    pairs = minhash_candidate_pairs(ds)
+    out = minhash_verify_pairs(pairs, sigs, threshold=0.5).to_pandas()
+    got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert {(i, 40 + i) for i in range(5)} <= got
+    assert (out.jaccard >= 0.5).all()

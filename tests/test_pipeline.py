@@ -299,3 +299,20 @@ def test_stable_hash_bounded_memory_large_doc():
     # deterministic + position/chunk independent
     h2 = _stable_hash(pa.chunked_array([pa.array(["y" * (1 << 20), "x"])]))
     assert h2[0] == h[5_000] and h2[1] == h[0]
+
+
+def test_decode_stage_memory_cap(ray_session, tmp_path):
+    """Oversized partitions fail fast with a clear error (alloc.go role)."""
+    from parquet_go_ray.sources.columns import EncodeConfig
+    from parquet_go_ray.sources.partfile import write_partition
+    from parquet_go_ray.stages.codec import DecodeStage
+
+    t = pa.table({"a": pa.array(np.arange(10_000, dtype=np.int64))})
+    p = str(tmp_path / "part-x.rdpg")
+    write_partition(t, p, EncodeConfig())
+    batch = pa.table({"path": [p]})
+    # generous cap decodes fine
+    out = DecodeStage(max_partition_bytes=10 << 20)(batch)
+    assert out.num_rows == 10_000
+    with pytest.raises(ValueError, match="task cap"):
+        DecodeStage(max_partition_bytes=1024)(batch)

@@ -151,6 +151,13 @@ def cmd_csv2parquet(args):
     print(json.dumps(mf.finalize(args.out)))
 
 
+def _byte_size(text):
+    """argparse type: human byte sizes ("128MB", "1.5GiB", plain ints)."""
+    from .functions.timeutil import parse_byte_size
+
+    return parse_byte_size(text)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="parquet_go_ray.cli")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -158,7 +165,7 @@ def main(argv=None):
     s = sub.add_parser("head"); s.add_argument("path"); s.add_argument("-n", type=int, default=10); s.set_defaults(fn=cmd_head)
     s = sub.add_parser("meta"); s.add_argument("path"); s.set_defaults(fn=cmd_meta)
     s = sub.add_parser("rowcount"); s.add_argument("path"); s.set_defaults(fn=cmd_rowcount)
-    s = sub.add_parser("split"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--size", type=int, default=128 << 20); s.set_defaults(fn=cmd_split)
+    s = sub.add_parser("split"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--size", type=_byte_size, default=128 << 20); s.set_defaults(fn=cmd_split)
     s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.set_defaults(fn=cmd_encode)
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
     s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)

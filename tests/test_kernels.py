@@ -7,6 +7,7 @@ bitpacking32_test.go, type_bytearray_test.go). No Ray needed here.
 """
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from parquet_go_ray.functions import bitpack, bytearray as ba, delta, dictionary, forr, fsst, hybrid, plain
@@ -246,3 +247,36 @@ def test_hybrid_width0_empty_buffer():
     out = hybrid.decode(b"", 0, 7)
     np.testing.assert_array_equal(out, np.zeros(7, dtype=np.uint64))
     assert hybrid.decode(b"", 0, 0).shape == (0,)
+
+
+def test_timeutil_floor_and_time_of_day():
+    from parquet_go_ray.functions import timeutil as tu
+
+    ns = np.array([0, 3_600_000_000_123, -1, 90_000_000_000_000], dtype=np.int64)
+    fl = tu.floor_timestamp(ns, "hour")
+    np.testing.assert_array_equal(fl, [0, 3_600_000_000_000, -3_600_000_000_000,
+                                       90_000_000_000_000 // 3_600_000_000_000 * 3_600_000_000_000])
+    tod = tu.time_of_day_ns(ns)
+    assert (tod >= 0).all() and (tod < 86_400_000_000_000).all()
+    assert tod[1] == 3_600_000_000_123
+    # arrow path roundtrips unit
+    arr = pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))
+    out = tu.floor_timestamp(arr, "day")
+    assert out.type == pa.timestamp("us")
+    assert int(out[0].value) % 86_400_000_000 == 0
+
+
+def test_timeutil_epoch_guess_and_byte_size():
+    from parquet_go_ray.functions import timeutil as tu
+
+    now_s, now_ms = 1_700_000_000, 1_700_000_000_000
+    assert tu.guess_epoch_unit(np.array([now_s] * 5)) == "s"
+    assert tu.guess_epoch_unit(np.array([now_ms] * 5)) == "ms"
+    assert tu.guess_epoch_unit(np.array([now_ms * 1000])) == "us"
+    assert tu.guess_epoch_unit(np.array([now_ms * 10**6])) == "ns"
+    assert tu.parse_byte_size("128MB") == 128_000_000
+    assert tu.parse_byte_size("1.5GiB") == int(1.5 * (1 << 30))
+    assert tu.parse_byte_size("64k") == 64 << 10
+    assert tu.parse_byte_size("1024") == 1024
+    with pytest.raises(ValueError):
+        tu.parse_byte_size("12 parsecs")

@@ -94,6 +94,90 @@ def knn_bruteforce(ds_emb, query_ids: list[int], k: int = 10, *, id_col: str = "
     return out
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Small numpy k-means (means normalized for cosine) — trains the IVF
+    coarse quantizer on a driver-side sample (the sample is small; the
+    assignment sweep over the corpus is distributed)."""
+    rng = np.random.default_rng(seed)
+    S = _normalize(sample.astype(np.float64))
+    C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = S[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def knn_ivf(ds_emb, query_ids: list[int], k: int = 10, *, nlist: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+            sample_rows: int = 8192, concurrency=None) -> pd.DataFrame:
+    """IVF ANN top-k: k-means coarse quantizer (trained on a sample), corpus
+    assigned to inverted lists per batch, queries scored against only their
+    ``nprobe`` nearest lists — the classic IVF-flat index re-expressed as Ray
+    Data stages. Scored fraction ~ nprobe/nlist of the corpus; centroids are
+    broadcast once via ray.put like the query matrix.
+    """
+    import pyarrow.compute as pc
+
+    sample = ds_emb.limit(sample_rows).to_pandas()
+    C = _kmeans(np.stack(sample[vec_col].to_numpy()), nlist)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=pa.array(query_ids)))
+
+    qrows = ds_emb.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    qrows = qrows.set_index(id_col).loc[query_ids].reset_index()
+    qmat = _normalize(np.stack(qrows[vec_col].to_numpy()).astype(np.float64))
+    qlists = np.argsort(-(qmat @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = np.unique(qlists)
+    state_ref = ray.put({"ids": qrows[id_col].to_numpy(), "matrix": qmat,
+                         "C": C, "qlists": qlists})
+
+    class IvfScorer:
+        def __init__(self):
+            st = ray.get(state_ref)
+            self.qids, self.Q, self.C, self.qlists = (st["ids"], st["matrix"],
+                                                      st["C"], st["qlists"])
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _normalize(_to_matrix(batch, vec_col))
+            ids = np.asarray(batch.column(id_col))
+            lists = np.argmax(M @ self.C.T, axis=1)
+            keep = np.isin(lists, wanted)
+            M, ids, lists = M[keep], ids[keep], lists[keep]
+            outs = []
+            for qi in range(len(self.qids)):
+                m = np.isin(lists, self.qlists[qi])
+                if not m.any():
+                    continue
+                sims = self.Q[qi] @ M[m].T
+                k2 = min(self.k, len(sims))
+                top = np.argpartition(-sims, k2 - 1)[:k2]
+                outs.append(pa.table({
+                    "query_id": pa.array(np.full(k2, self.qids[qi])),
+                    "neighbor_id": pa.array(ids[m][top]),
+                    "score": pa.array(sims[top]),
+                }))
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    cands = ds_emb.map_batches(
+        IvfScorer, batch_format="pyarrow", batch_size=8192,
+        concurrency=concurrency or _default_concurrency(),
+    ).to_pandas()
+    cands = cands[cands.query_id != cands.neighbor_id]
+    cands = cands.sort_values(["query_id", "score", "neighbor_id"],
+                              ascending=[True, False, True])
+    return cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
 class LshBucketer:
     """Random-hyperplane LSH: vec -> bucket id (hyperplanes built once per actor)."""
 

@@ -598,6 +598,16 @@ def q_knn_lsh(sf_dir):
     return out[["query_id", "neighbor_id"]]
 
 
+def q_knn_ivf(sf_dir):
+    """IVF-flat ANN (k-means coarse quantizer + inverted lists) — the classic
+    billion-scale index shape; recall vs brute force tested in test_ops."""
+    from ..ops.similarity import knn_ivf
+
+    out = knn_ivf(_read(sf_dir, "embeddings"), query_ids=KNN_QUERIES, k=10,
+                  nlist=8, nprobe=4)
+    return out[["query_id", "neighbor_id"]]
+
+
 QUERIES = {
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_customer_reference": q_roundtrip_customer_reference,
@@ -640,6 +650,7 @@ QUERIES = {
     "agg_after_roundtrip": q_agg_after_roundtrip,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
 }
 
 ORACLE_SQL = {

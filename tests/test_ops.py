@@ -352,3 +352,19 @@ def test_minhash_verify_pairs_distributed(ray_session):
     got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
     assert {(i, 40 + i) for i in range(5)} <= got
     assert (out.jaccard >= 0.5).all()
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF ANN recall vs brute force on the embeddings fixture."""
+    from parquet_go_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    q = [0, 1, 2, 3]
+    exact = knn_bruteforce(ds, q, k=10)
+    approx = knn_ivf(ds, q, k=10, nlist=8, nprobe=4)
+    rec = []
+    for qid in q:
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        rec.append(len(e & a) / max(len(e), 1))
+    assert sum(rec) / len(rec) >= 0.5, rec

@@ -107,3 +107,81 @@ def language_id(ds, concurrency=None):
         concurrency=concurrency or _default_concurrency(),
         batch_size=4096,
     )
+
+
+class Decontaminator:
+    """Actor stage: flag documents sharing any word-n-gram with an evaluation
+    set — the benchmark-decontamination step of LLM training-data pipelines.
+
+    The eval set's gram-hash set is built ONCE per actor in __init__ from an
+    object-store ref (ray.put on the driver, read per actor — never re-shipped
+    per batch); per batch, every document's gram hashes are computed in one
+    vectorized pass (ops/dedup._gram_hash_sets) and membership is a single
+    np.isin against the sorted eval array.
+    """
+
+    def __init__(self, eval_ref, n: int = 8, text_col: str = "text"):
+        import ray
+
+        from .dedup import _gram_hash_sets
+
+        eval_texts = ray.get(eval_ref) if not isinstance(eval_ref, list) else eval_ref
+        sets = _gram_hash_sets(list(eval_texts), n)
+        self.eval_grams = (np.unique(np.concatenate(sets))
+                           if sets else np.empty(0, np.uint64))
+        self.n = n
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _gram_hash_sets
+
+        texts = batch.column(self.text_col).to_pylist()
+        sets = _gram_hash_sets(texts, self.n)
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        flat = np.concatenate(sets) if len(sets) else np.empty(0, np.uint64)
+        hit = np.isin(flat, self.eval_grams)
+        bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        n_hits = np.add.reduceat(hit.astype(np.int64), bounds[:-1]) if len(flat) else np.zeros(len(lens), np.int64)
+        n_hits = np.where(lens > 0, n_hits, 0)
+        return batch.append_column(
+            "contaminated", pa.array(n_hits > 0)
+        ).append_column("n_contaminated_grams", pa.array(n_hits))
+
+
+def decontaminate(ds, eval_texts: list[str], *, n: int = 8, text_col: str = "text",
+                  drop: bool = False, concurrency=None):
+    """Tag (or drop) documents overlapping the eval set by any word n-gram."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..pipelines.encode import _default_concurrency
+
+    eval_ref = ray.put(list(eval_texts))
+    out = ds.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs={"eval_ref": eval_ref, "n": n, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    )
+    if drop:
+        out = out.map_batches(
+            lambda t: t.filter(pc.invert(t.column("contaminated"))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    return out
+
+
+def train_val_split(ds, id_col: str = "doc_id", val_pct: int = 10, salt: int = 0):
+    """Deterministic train/val split by Knuth multiplicative hash of the id —
+    reproducible across runs and engines (the arithmetic is plain enough for
+    a SQL oracle), no shuffle, no coordination: each batch tags itself."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col)).astype(np.uint64)
+        h = ((ids + np.uint64(salt)) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        val = (h % np.uint64(100)) < val_pct
+        split = np.where(val, "val", "train")
+        return t.append_column("split", pa.array(split))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

@@ -598,6 +598,29 @@ def q_knn_lsh(sf_dir):
     return out[["query_id", "neighbor_id"]]
 
 
+def q_decontaminate_documents(sf_dir):
+    """Benchmark decontamination: flag documents containing the eval 8-gram
+    (deterministically drawn from the min-doc_id document). Word-window
+    equality == boundary-spaced substring match, so DuckDB can oracle it."""
+    import pyarrow.parquet as pq2
+
+    from ..ops.text import decontaminate
+
+    tbl = pq2.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = np.asarray(tbl.column("doc_id"))
+    eval_text = " ".join(tbl.column("text")[int(np.argmin(ids))].as_py().split()[:8])
+    out = decontaminate(_read(sf_dir, "documents", ["doc_id", "text"]), [eval_text], n=8)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
+def q_train_val_split_documents(sf_dir):
+    """Deterministic train/val split tags (Knuth multiplicative id hash)."""
+    from ..ops.text import train_val_split
+
+    return train_val_split(_read(sf_dir, "documents", ["doc_id"]), val_pct=10)
+
+
 def q_knn_ivf(sf_dir):
     """IVF-flat ANN (k-means coarse quantizer + inverted lists) — the classic
     billion-scale index shape; recall vs brute force tested in test_ops."""
@@ -651,6 +674,8 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "decontaminate_documents": q_decontaminate_documents,
+    "train_val_split_documents": q_train_val_split_documents,
 }
 
 ORACLE_SQL = {
@@ -727,6 +752,17 @@ ORACLE_SQL = {
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
         f"JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {TOKEN_VOCAB_TAU}"
+    ),
+    "train_val_split_documents": (
+        "SELECT doc_id, CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10 "
+        "THEN 'val' ELSE 'train' END AS split FROM documents"
+    ),
+    "decontaminate_documents": (
+        "WITH ev AS (SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS g "
+        "FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)) "
+        "SELECT doc_id, CAST(instr(' ' || text || ' ', "
+        "' ' || (SELECT g FROM ev) || ' ') > 0 AS BOOLEAN) AS contaminated "
+        "FROM documents"
     ),
     "window_events": (
         "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, "

@@ -368,3 +368,20 @@ def test_knn_ivf_recall(ray_session):
         a = set(approx[approx.query_id == qid].neighbor_id)
         rec.append(len(e & a) / max(len(e), 1))
     assert sum(rec) / len(rec) >= 0.5, rec
+
+
+def test_decontaminate_flags_overlapping_docs(ray_session):
+    from parquet_go_ray.ops.text import decontaminate
+
+    eval_set = ["the quick brown fox jumps over the lazy dog near the river bank today"]
+    texts = [
+        "completely unrelated text about compression algorithms and such things here",
+        "prefix words then the quick brown fox jumps over the lazy dog near the river bank today suffix",
+        "another clean document with nothing shared at all in any window of words",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": texts}))
+    out = decontaminate(ds, eval_set, n=8).to_pandas().sort_values("doc_id")
+    assert out.contaminated.tolist() == [False, True, False]
+    assert out.n_contaminated_grams.iloc[1] > 0
+    kept = decontaminate(ds, eval_set, n=8, drop=True).to_pandas()
+    assert sorted(kept.doc_id) == [1, 3]

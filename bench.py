@@ -171,31 +171,45 @@ def run_scaling() -> dict:
     """Two N->4N pairs: (2,8) is the compute-bound regime (each Ray worker has
     private bandwidth headroom — the analogue of adding whole nodes, which
     bring their own DRAM); (8,32) additionally shows the single-box memory-
-    bandwidth wall, which a real multi-node cluster does not share."""
-    out = {}
-    # 4x the per-run rows so the timed window amortizes actor-pool startup —
-    # a cluster measurement measures steady-state streaming, not pool spin-up
-    rows = int(os.environ.get("GRAFT_BENCH_ROWS") or 4 * max(int(ROWS_PER_SF * _sf()), 10_000))
-    for ncpu in (2, 8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1",
-                   GRAFT_BENCH_ROWS=str(rows), GRAFT_BENCH_REPEATS="2")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    t = {n: out[n]["queries"]["encode_tokens"] for n in out}
+    bandwidth wall, which a real multi-node cluster does not share.
+
+    Protocol: INTERLEAVED rounds of (2, 8, 32) with min-per-level across
+    rounds. The shared host's noisy neighbors come and go on a minutes scale;
+    sequential one-shot legs sample different noise regimes (a polluted
+    8-CPU leg next to a quiet 2-CPU leg reads as false sub-linearity), while
+    interleaving gives every level a draw from each regime and the min picks
+    each level's cleanest window."""
+    rows = int(os.environ.get("GRAFT_BENCH_ROWS") or 2 * max(int(ROWS_PER_SF * _sf()), 10_000))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    best: dict[int, float] = {}
+    gbps: dict[int, float] = {}
+    for _ in range(rounds):
+        for ncpu in (2, 8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1",
+                       GRAFT_BENCH_ROWS=str(rows), GRAFT_BENCH_REPEATS="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            sec = res["queries"]["encode_tokens"]
+            if ncpu not in best or sec < best[ncpu]:
+                best[ncpu] = sec
+                gbps[ncpu] = res["encode_gb_per_s"]
+    t = best
     return {
         "sec_2": t[2],
         "sec_8": t[8],
         "sec_32": t[32],
+        "rounds": rounds,
+        "rows": rows,
         "speedup_2_to_8": round(t[2] / t[8], 3),
         "scaling_efficiency_2_to_8": round((t[2] / t[8]) / 4, 3),
         "speedup_8_to_32": round(t[8] / t[32], 3),
         "scaling_efficiency_8_to_32": round((t[8] / t[32]) / 4, 3),
         "scaling_efficiency": round((t[2] / t[8]) / 4, 3),
-        "gb_per_s": {n: out[n]["encode_gb_per_s"] for n in out},
+        "gb_per_s": gbps,
     }
 
 

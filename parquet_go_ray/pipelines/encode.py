@@ -314,6 +314,7 @@ def encode_dataset_to_parquet(
     compression: str | None = "snappy",
     column_encoding: dict[str, str] | None = None,
     batch_rows: int | None = 64 * 1024,
+    row_group_rows: int | None = 16 * 1024,
     concurrency=None,
 ) -> rd.Dataset:
     """Ray-scale sink emitting REAL Parquet partition files whose pages are
@@ -335,7 +336,8 @@ def encode_dataset_to_parquet(
 
             tmp_name = os.path.join(out_dir, f".tmp-{os.getpid()}-{batch.num_rows}")
             write_parquet_with_our_kernels(batch, tmp_name, compression=compression,
-                                           column_encoding=column_encoding)
+                                           column_encoding=column_encoding,
+                                           row_group_rows=row_group_rows)
             with open(tmp_name, "rb") as f:
                 body = f.read()
             pid = hashlib.blake2b(body, digest_size=12).hexdigest()

@@ -2,6 +2,8 @@
 (/root/reference/types_fuzz.go, hybrid_fuzz.go, deltabp_fuzz.go): randomized
 roundtrips over adversarial value shapes for every codec family."""
 
+import os
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -92,3 +94,84 @@ def test_delta_length_property(strings):
     out_off, out_data = ba.decode_delta_length(enc, len(strings))
     np.testing.assert_array_equal(np.diff(out_off), lengths)
     np.testing.assert_array_equal(out_data, data)
+
+
+# ----------------------------------------------------- round 2: dremel layer
+_scalar = st.one_of(st.none(), st.integers(-(2**40), 2**40))
+_inner = st.one_of(
+    _scalar,
+    st.lists(_scalar, max_size=4),
+    st.fixed_dictionaries({"x": _scalar, "y": st.one_of(st.none(), st.text(max_size=6))}),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.lists(_inner, max_size=4)), min_size=0, max_size=12),
+       st.integers(0, 2))
+def test_dremel_shred_assemble_property(rows, shape):
+    """Random nested values roundtrip through the vectorized Dremel layer."""
+    import pyarrow as pa
+
+    from parquet_go_ray.sources.dremel import (assemble_column, fix_levels,
+                                               node_from_arrow, shred_column)
+
+    types = [
+        pa.list_(pa.int64()),
+        pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        pa.list_(pa.list_(pa.int64())),
+    ]
+    t = types[shape]
+    # coerce the random rows into the chosen type, dropping incompatible cells
+    def coerce(cell):
+        if cell is None:
+            return None
+        out = []
+        for v in cell:
+            if shape == 0:
+                out.append(v if isinstance(v, int) else None)
+            elif shape == 1:
+                if isinstance(v, dict):
+                    out.append({"x": v.get("x"), "y": v.get("y")})
+                else:
+                    out.append(None)
+            else:
+                if isinstance(v, list):
+                    out.append([x for x in v if isinstance(x, int) or x is None])
+                elif v is None:
+                    out.append(None)
+                else:
+                    out.append([v] if isinstance(v, int) else None)
+        return out
+
+    arr = pa.array([coerce(r) for r in rows], type=t)
+    node = node_from_arrow(pa.field("c", t))
+    fix_levels(node)
+    smap = {tuple(s.path): {"reps": s.reps, "defs": s.defs, "values": s.values}
+            for s in shred_column(arr, node)}
+    assert assemble_column(node, smap).equals(arr)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(st.one_of(st.none(), st.lists(st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                                                   max_size=5)),
+                     min_size=0, max_size=10),
+       version=st.sampled_from([1, 2]))
+def test_parquet_nested_roundtrip_property(rows, version):
+    """Random nullable list<int32> tables survive our parquet writer -> pyarrow
+    AND pyarrow writer -> our reader, both page versions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import tempfile
+
+    from parquet_go_ray.sources import parquet_compat as pcq
+
+    t = pa.table({"l": pa.array(rows, type=pa.list_(pa.int32())),
+                  "i": pa.array(range(len(rows)), type=pa.int64())})
+    d = tempfile.mkdtemp(prefix="pgr-prop-", dir="/tmp")
+    p1 = str(os.path.join(d, "ours.parquet"))
+    pcq.write_parquet_with_our_kernels(t, p1, data_page_version=version)
+    assert pq.read_table(p1).cast(t.schema).equals(t)
+    p2 = str(os.path.join(d, "pa.parquet"))
+    pq.write_table(t, p2)
+    assert pcq.read_parquet_with_our_kernels(p2).cast(t.schema).equals(t)

@@ -39,11 +39,25 @@ def _sf() -> float:
 
 def _token_cache_dir(rows: int) -> str:
     d = os.path.join(CACHE, f"tokens-{rows}")
+    marker = os.path.join(d, ".rg64k")
     if not os.path.isdir(d) or not os.listdir(d):
         os.makedirs(d, exist_ok=True)
         from parquet_go_ray.sources.fixtures import token_dataset
 
         token_dataset(rows, shards=max(8, NCPU)).write_parquet(d)
+    if not os.path.exists(marker):
+        # 64k-row row groups (~42 MB): the fused read streams row-group-sized
+        # batches into the encoder, so undersized row groups mean undersized
+        # partitions downstream. Real corpora are written with proper
+        # row-group sizing; make the fixture match.
+        import pyarrow.parquet as pq
+
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".parquet"):
+                path = os.path.join(d, name)
+                t = pq.read_table(path)
+                pq.write_table(t, path, row_group_size=65536)
+        open(marker, "w").close()
     return d
 
 

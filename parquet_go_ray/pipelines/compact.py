@@ -77,11 +77,9 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
     from .encode import _default_concurrency
 
     lo, hi = _default_concurrency()
-    items.map_batches(
-        CompactStage,
-        fn_constructor_args=(out_dir, cfg),
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=min(len(groups), max(2, hi - 2)),
-    ).materialize()
+    def compact_batch(batch: pa.Table) -> pa.Table:
+        return CompactStage(out_dir, cfg)(batch)
+
+    # task pool (no actor startup; one task per merge group)
+    items.map_batches(compact_batch, batch_format="pyarrow", batch_size=1).materialize()
     return {"groups": len(groups), "merged_files": sum(len(g) for g in groups)}

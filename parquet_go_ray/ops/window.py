@@ -93,3 +93,46 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_us: int
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def hopping_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: str = "value",
+                   size_us: int = 3_600_000_000, hop_us: int = 1_800_000_000):
+    """Hopping (sliding) windows: window w covers [w*hop, w*hop + size); each
+    event lands in size/hop windows. Same partial-agg combiner as tumbling:
+    the per-batch fan-out emits one partial row per (key, window) per batch,
+    so the shuffle still moves partials, not size/hop copies of the events.
+
+    Returns (key, win_start, n_events, min_value, max_value); ``win_start``
+    in epoch microseconds.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if size_us % hop_us:
+        raise ValueError("hopping_window: size must be a multiple of hop")
+    fanout = size_us // hop_us
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = ts.cast(pa.timestamp("us"))
+        epoch = np.asarray(pc.cast(ts, pa.int64()), dtype=np.int64)
+        base = np.floor_divide(epoch, hop_us)
+        n = len(epoch)
+        wins = (np.repeat(base, fanout)
+                - np.tile(np.arange(fanout, dtype=np.int64), n)) * hop_us
+        t = pa.table({
+            key: pa.array(np.repeat(np.asarray(batch.column(key)), fanout)),
+            "win_start": pa.array(wins),
+            "value": pa.array(np.repeat(np.asarray(batch.column(value_col)), fanout)),
+        })
+        g = t.group_by([key, "win_start"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns([key, "win_start", "n_partial", "min_partial", "max_partial"])
+
+    partial_ds = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_ds.groupby([key, "win_start"]).aggregate(
+        Sum("n_partial", alias_name="n_events"),
+        Min("min_partial", alias_name="min_value"),
+        Max("max_partial", alias_name="max_value"),
+    )

@@ -557,6 +557,13 @@ def q_window_events(sf_dir):
     return tumbling_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
 
 
+def q_hopping_window_events(sf_dir):
+    """1-hour windows hopping every 30 minutes (2x fan-out combiner)."""
+    from ..ops.window import hopping_window
+
+    return hopping_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
 def q_session_windows_events(sf_dir):
     """Sessionization (10-minute gap) over the event stream."""
     from ..ops.window import session_windows
@@ -612,6 +619,21 @@ def q_decontaminate_documents(sf_dir):
     eval_text = " ".join(tbl.column("text")[int(np.argmin(ids))].as_py().split()[:8])
     out = decontaminate(_read(sf_dir, "documents", ["doc_id", "text"]), [eval_text], n=8)
     return out.select_columns(["doc_id", "contaminated"])
+
+
+def q_broadcast_join_orders_customer(sf_dir):
+    """Map-side broadcast join: orders (probe, streamed) x customer (build,
+    ray.put once) — the 100 TB dimension-join shape; no shuffle of the fact
+    table."""
+    import pyarrow.parquet as pq2
+
+    from ..ops.join import broadcast_join
+
+    cust = pq2.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_name", "c_mktsegment"])
+    return broadcast_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        cust, on="o_custkey", right_on="c_custkey")
 
 
 def q_train_val_split_documents(sf_dir):
@@ -670,12 +692,14 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "window_events": q_window_events,
     "session_windows_events": q_session_windows_events,
+    "hopping_window_events": q_hopping_window_events,
     "agg_after_roundtrip": q_agg_after_roundtrip,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "decontaminate_documents": q_decontaminate_documents,
     "train_val_split_documents": q_train_val_split_documents,
+    "broadcast_join_orders_customer": q_broadcast_join_orders_customer,
 }
 
 ORACLE_SQL = {
@@ -753,6 +777,10 @@ ORACLE_SQL = {
         f"JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {TOKEN_VOCAB_TAU}"
     ),
+    "broadcast_join_orders_customer": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
     "train_val_split_documents": (
         "SELECT doc_id, CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10 "
         "THEN 'val' ELSE 'train' END AS split FROM documents"
@@ -763,6 +791,12 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(instr(' ' || text || ' ', "
         "' ' || (SELECT g FROM ev) || ' ') > 0 AS BOOLEAN) AS contaminated "
         "FROM documents"
+    ),
+    "hopping_window_events": (
+        "SELECT user_id, (CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) - k) * 1800000000 "
+        "AS win_start, CAST(count(*) AS BIGINT) AS n_events, "
+        "min(value) AS min_value, max(value) AS max_value "
+        "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks GROUP BY 1, 2"
     ),
     "window_events": (
         "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, "

@@ -1,0 +1,100 @@
+"""Mergeable sketches over Dataset columns: HyperLogLog distinct counts and
+quantile summaries.
+
+Both follow the combiner discipline every 100 TB aggregate needs: each batch
+reduces to a tiny mergeable state (an HLL register array / a weighted sample
+of order statistics), states merge associatively, and only sketch bytes ever
+move — never the column. The reference's aggregation surface is footer stats
+(min/max/distinct, SURVEY.md §2.7); these extend it to the streaming-scale
+estimators a training-data pipeline actually runs (corpus cardinality,
+length/score percentiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+# ------------------------------------------------------------- HyperLogLog
+def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """uint64 hashes -> HLL register array of size 2^p (max rho per bucket)."""
+    from ..functions.delta import _bit_length_u64
+
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remainder bits moved to the top
+    # rho = 1-based position of the first 1-bit from the top = 64 - bit_length + 1
+    bl = _bit_length_u64(rest)
+    rho = np.minimum(64 - bl.astype(np.int64) + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for the small range
+    return float(est)
+
+
+def approx_distinct(ds, col: str, *, p: int = 12) -> float:
+    """HyperLogLog cardinality estimate (error ~1.04/sqrt(2^p) ≈ 1.6% at
+    p=12; 4 KB of registers per batch is all that moves)."""
+    from ..pipelines.encode import _stable_hash
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = _stable_hash(batch.column(col)).view(np.uint64)
+        # _stable_hash masks to 63 bits; spread back over 64 for HLL buckets
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        regs = _hll_registers(h, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for batch in ds.map_batches(sketch, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for blob in batch["regs"]:
+            np.maximum(merged, np.frombuffer(blob.as_py(), dtype=np.uint8), out=merged)
+    return _hll_estimate(merged)
+
+
+# ------------------------------------------------------- quantile summaries
+def quantile_sketch(ds, col: str, quantiles: list[float], *, k: int = 512) -> list[float]:
+    """Approximate quantiles via mergeable weighted order-statistic samples:
+    each batch keeps k evenly spaced order statistics weighted by the rows
+    they summarize; the driver merges the (tiny) weighted samples and reads
+    quantiles off the weighted CDF. Error ~1/k of rank per merge level."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col).combine_chunks(), dtype=np.float64)
+        v = np.sort(v[~np.isnan(v)])
+        n = len(v)
+        if n == 0:
+            return pa.table({"q": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        if n <= k:
+            return pa.table({"q": pa.array(v), "w": pa.array(np.ones(n))})
+        pos = ((np.arange(k) + 0.5) * n / k).astype(np.int64)
+        return pa.table({"q": pa.array(v[pos]),
+                         "w": pa.array(np.full(k, n / k, dtype=np.float64))})
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    q = parts["q"].to_numpy()
+    w = parts["w"].to_numpy()
+    order = np.argsort(q, kind="stable")
+    q, w = q[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1] if len(cum) else 0.0
+    out = []
+    for target in quantiles:
+        if not len(q):
+            out.append(float("nan"))
+            continue
+        i = int(np.searchsorted(cum, target * total))
+        out.append(float(q[min(i, len(q) - 1)]))
+    return out

@@ -621,6 +621,33 @@ def q_decontaminate_documents(sf_dir):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def q_sketches_documents(sf_dir):
+    """Self-validating sketch run: HLL distinct on text (vs exact) and
+    quantile summary on n_chars (vs exact percentiles) — raises on excess
+    error; driver records the rows-only check."""
+    import duckdb
+    import pandas as pd
+
+    from ..ops.sketch import approx_distinct, quantile_sketch
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+    est = approx_distinct(ds, "text", p=12)
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT text) FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    ).fetchone()[0]
+    assert abs(est - exact) / max(exact, 1) < 0.08, (est, exact)
+    qs = quantile_sketch(_read(sf_dir, "documents", ["n_chars"]), "n_chars", [0.5, 0.9])
+    ex = con.execute(
+        f"SELECT quantile_cont(n_chars, 0.5), quantile_cont(n_chars, 0.9) "
+        f"FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    ).fetchone()
+    for g, e in zip(qs, ex):
+        assert abs(g - e) / max(e, 1) < 0.1, (qs, ex)
+    return pd.DataFrame({"hll_estimate": [est], "exact_distinct": [int(exact)],
+                         "q50": [qs[0]], "q90": [qs[1]]})
+
+
 def q_broadcast_join_orders_customer(sf_dir):
     """Map-side broadcast join: orders (probe, streamed) x customer (build,
     ray.put once) — the 100 TB dimension-join shape; no shuffle of the fact
@@ -700,6 +727,7 @@ QUERIES = {
     "decontaminate_documents": q_decontaminate_documents,
     "train_val_split_documents": q_train_val_split_documents,
     "broadcast_join_orders_customer": q_broadcast_join_orders_customer,
+    "sketches_documents": q_sketches_documents,
 }
 
 ORACLE_SQL = {

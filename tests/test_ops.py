@@ -385,3 +385,27 @@ def test_decontaminate_flags_overlapping_docs(ray_session):
     assert out.n_contaminated_grams.iloc[1] > 0
     kept = decontaminate(ds, eval_set, n=8, drop=True).to_pandas()
     assert sorted(kept.doc_id) == [1, 3]
+
+
+def test_approx_distinct_hll(ray_session):
+    from parquet_go_ray.ops.sketch import approx_distinct
+
+    rng = np.random.default_rng(17)
+    n_distinct = 5000
+    vals = [f"item-{i}" for i in rng.integers(0, n_distinct, 40_000)]
+    true = len(set(vals))
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - true) / true < 0.06, (est, true)
+
+
+def test_quantile_sketch(ray_session):
+    from parquet_go_ray.ops.sketch import quantile_sketch
+
+    rng = np.random.default_rng(23)
+    v = rng.lognormal(3, 1, 50_000)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(8)
+    got = quantile_sketch(ds, "x", [0.1, 0.5, 0.9, 0.99])
+    exact = np.quantile(v, [0.1, 0.5, 0.9, 0.99])
+    for g, e in zip(got, exact):
+        assert abs(g - e) / e < 0.05, (got, exact)

@@ -293,15 +293,17 @@ def minhash_verify_pairs(pairs_ds, sigs_ds, threshold: float = 0.7, *,
                           id_col, "signature", num_partitions, col_type=sig_type)
 
     def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = t.num_rows
         # candidate set is small post-LSH; list cells may arrive as plain
-        # list<int64> after the pandas join, so go through pylist
+        # list<int64> after the join, so go through pylist
         a = np.array(t.column("__sig_a").to_pylist(), dtype=np.int64).reshape(n, -1)
         b = np.array(t.column("__sig_b").to_pylist(), dtype=np.int64).reshape(n, -1)
         j = (a == b).mean(axis=1) if n else np.empty(0)
         out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
                         "jaccard": pa.array(j)})
-        return out.filter(pa.compute.greater_equal(out.column("jaccard"), threshold))
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     return with_b.map_batches(verify, batch_format="pyarrow")
 

@@ -30,9 +30,10 @@ def head_by_key(ds, key: str, k: int, *, ascending: bool = True) -> pa.Table:
 
     candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     # nblocks x k rows stream back to the driver — bounded, not the table.
-    merged = pa.concat_tables(
-        tbl for tbl in candidates.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    parts = list(candidates.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.table({})  # empty input dataset
+    merged = pa.concat_tables(parts)
     if merged.num_rows > k:
         merged = merged.take(pc.select_k_unstable(merged, k, [(key, order)]))
     return merged.sort_by([(key, order)])

@@ -386,3 +386,48 @@ def test_dremel_levels_match_reference_semantics():
     key = "d.items.list.element.vals.list.element"
     assert got_vals.defs.tolist() == ref[key]["dlevels"]
     assert got_vals.reps.tolist() == ref[key]["rlevels"]
+
+
+def test_sliced_arrays_through_dremel_and_writer(tmp_path):
+    """Ray blocks slice arrays routinely; offsets must be honored everywhere."""
+    from parquet_go_ray.sources.dremel import (assemble_column, fix_levels,
+                                               node_from_arrow, shred_column)
+
+    deep = NESTED_CASES["deep"].column(0).combine_chunks()
+    extra = pa.concat_arrays([deep, deep])
+    for lo, ln in [(1, 4), (2, 3), (3, 2), (0, 6)]:
+        sl = extra.slice(lo, ln)
+        node = node_from_arrow(pa.field("c", sl.type))
+        fix_levels(node)
+        smap = {tuple(s.path): {"reps": s.reps, "defs": s.defs, "values": s.values}
+                for s in shred_column(sl, node)}
+        assert assemble_column(node, smap).equals(sl), (lo, ln)
+    t = pa.table({"c": extra.slice(1, 5)})
+    p = str(tmp_path / "sliced.parquet")
+    pcq.write_parquet_with_our_kernels(t, p)
+    assert pq.read_table(p).cast(t.schema).equals(t)
+
+
+def test_extended_leaf_types_both_directions(tmp_path):
+    """int8/uint16/uint64/time32/time64 + dictionary columns survive both
+    writer->pyarrow and pyarrow->reader."""
+    t = pa.table({
+        "i8": pa.array([1, None, -3], pa.int8()),
+        "u16": pa.array([1, 65535, None], pa.uint16()),
+        "u64": pa.array([2**63, 1, None], pa.uint64()),
+        "t32": pa.array([1000, None, 2000], pa.time32("ms")),
+        "t64": pa.array([10**6, None, 5], pa.time64("us")),
+    })
+    p1 = str(tmp_path / "w.parquet")
+    pcq.write_parquet_with_our_kernels(t, p1)
+    assert pq.read_table(p1).cast(t.schema).equals(t)
+    p2 = str(tmp_path / "r.parquet")
+    pq.write_table(t, p2)
+    assert pcq.read_parquet_with_our_kernels(p2).cast(t.schema).equals(t)
+
+    d = pa.array(["a", "b", "a", None, "c"]).dictionary_encode()
+    td = pa.table({"d": d})
+    p3 = str(tmp_path / "d.parquet")
+    pcq.write_parquet_with_our_kernels(td, p3)
+    exp = pa.table({"d": d.cast(pa.string())})
+    assert pq.read_table(p3).cast(exp.schema).equals(exp)

@@ -42,6 +42,40 @@ def cmd_head(args):
         print(pq.read_table(args.path).slice(0, args.n).to_pandas().to_string())
 
 
+def cmd_cat(args):
+    """Dump every row as JSON lines (parquet-tool cat role, cmds/cat.go)."""
+    import json
+
+    from .sources.partfile import read_partition
+
+    if args.path.endswith(".rdpg"):
+        t = read_partition(args.path)
+    else:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(args.path)
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+
+
+def cmd_schema(args):
+    """Print the schema in the textual DSL (parquet-tool schema role)."""
+    import pyarrow as pa
+
+    from .functions.schema_dsl import from_arrow_schema, print_schema
+    from .sources.partfile import read_footer
+
+    if args.path.endswith(".rdpg"):
+        with open(args.path, "rb") as f:
+            footer = read_footer(f.read())
+        schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(footer["schema_ipc"])))
+    else:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(args.path)
+    print(print_schema(from_arrow_schema(schema)))
+
+
 def cmd_meta(args):
     from .sources.partfile import read_footer
 
@@ -164,6 +198,8 @@ def main(argv=None):
 
     s = sub.add_parser("head"); s.add_argument("path"); s.add_argument("-n", type=int, default=10); s.set_defaults(fn=cmd_head)
     s = sub.add_parser("meta"); s.add_argument("path"); s.set_defaults(fn=cmd_meta)
+    s = sub.add_parser("cat"); s.add_argument("path"); s.set_defaults(fn=cmd_cat)
+    s = sub.add_parser("schema"); s.add_argument("path"); s.set_defaults(fn=cmd_schema)
     s = sub.add_parser("rowcount"); s.add_argument("path"); s.set_defaults(fn=cmd_rowcount)
     s = sub.add_parser("split"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--size", type=_byte_size, default=128 << 20); s.set_defaults(fn=cmd_split)
     s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.set_defaults(fn=cmd_encode)

@@ -41,3 +41,23 @@ def test_head(tmp_path):
     p = _make_part(tmp_path)
     out = _capture(["head", p, "-n", "3"])
     assert "x0" in out and "x2" in out
+
+
+def test_cli_cat_and_schema(tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+
+    from parquet_go_ray.cli import main
+    from parquet_go_ray.sources.columns import EncodeConfig
+    from parquet_go_ray.sources.partfile import write_partition
+
+    t = pa.table({"a": pa.array([1, 2], pa.int64()), "s": ["x", "y"]})
+    p = str(tmp_path / "part-t.rdpg")
+    write_partition(t, p, EncodeConfig())
+    main(["cat", p])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [json.loads(line) for line in out] == [{"a": 1, "s": "x"}, {"a": 2, "s": "y"}]
+    main(["schema", p])
+    out = capsys.readouterr().out
+    assert "message" in out and "a" in out and "s" in out

@@ -16,8 +16,6 @@ from __future__ import annotations
 import argparse
 import base64
 import json
-import os
-import sys
 
 
 def _ray_session():

@@ -7,7 +7,6 @@ headers) — a handful per page, so scalar Python here is not on the hot path.
 
 from __future__ import annotations
 
-import numpy as np
 
 
 def write_uvarint(value: int) -> bytes:

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 def tumbling_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: str = "value",
                     width_us: int = 3_600_000_000):
     """(key, bucket, n_events, min_value, max_value) per tumbling window."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     def partials(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col)

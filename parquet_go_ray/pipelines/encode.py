@@ -332,8 +332,6 @@ def encode_dataset_to_parquet(
             os.makedirs(out_dir, exist_ok=True)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import io
-
             tmp_name = os.path.join(out_dir, f".tmp-{os.getpid()}-{batch.num_rows}")
             write_parquet_with_our_kernels(batch, tmp_name, compression=compression,
                                            column_encoding=column_encoding,

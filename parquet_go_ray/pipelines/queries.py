@@ -437,7 +437,6 @@ def q_distinct_from_dict_pages(sf_dir):
     import pandas as pd
 
     from ..sources.partfile import read_dictionary_page
-    from ..state import manifest as mf2
     from .encode import encode_dataset
 
     out = _tmp_out("dictpages")

@@ -27,12 +27,11 @@ north star.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..functions import bitpack, forr
-from ..functions.shred import Stream
+from ..functions import bitpack
 
 DICT_MAX_CARD = 32767  # math.MaxInt16, /root/reference/type_dict.go:101
 

@@ -463,26 +463,36 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
     return with_b.map_batches(verify, batch_format="pandas")
 
 
-def _gram_hash_sets(texts: list[str], n: int) -> list[np.ndarray]:
+def _gram_hash_sets(texts: list[str] | pa.Array | pa.ChunkedArray, n: int) -> list[np.ndarray]:
     """Unique word-n-gram hash set per text, computed in ONE vectorized pass:
-    all words hash together (one arrow array), gram hashes are a polynomial
-    fold of n consecutive word hashes masked at doc boundaries (same shape as
-    _shingle_hashes, but over words). Shorter-than-n docs get one gram of all
-    their words (zero-padded fold) — matching ``tuple(words)`` semantics."""
+    tokenization is ``utf8_split_whitespace`` (C-level, matching Python
+    ``str.split`` semantics), all words hash together (one arrow array), gram
+    hashes are a polynomial fold of n consecutive word hashes masked at doc
+    boundaries (same shape as _shingle_hashes, but over words).
+    Shorter-than-n docs get one gram of all their words (zero-padded fold) —
+    matching ``tuple(words)`` semantics."""
+    import pyarrow.compute as pc
+
     from ..pipelines.encode import _stable_hash
 
-    words: list[str] = []
-    wlens = np.empty(len(texts), dtype=np.int64)
-    for i, s in enumerate(texts):
-        w = s.split()
-        words.extend(w)
-        wlens[i] = len(w)
-    total = len(words)
-    wh = (
-        _stable_hash(pa.array(words, type=pa.string())).view(np.uint64)
-        if total
-        else np.empty(0, np.uint64)
-    )
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        col = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    else:
+        col = pa.array(list(texts), type=pa.string())
+    split = pc.utf8_split_whitespace(col).combine_chunks() if isinstance(
+        pc.utf8_split_whitespace(col), pa.ChunkedArray) else pc.utf8_split_whitespace(col)
+    # str.split drops empty tokens; utf8_split_whitespace can emit empties at
+    # string edges — filter them out of the flattened word stream
+    flat = split.flatten()
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    woffs = np.asarray(split.offsets, dtype=np.int64)
+    keep = np.asarray(nonempty)
+    csum = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(keep, out=csum[1:])
+    wlens = csum[woffs[1:] - woffs[0]] - csum[woffs[:-1] - woffs[0]]
+    words_arr = flat.filter(nonempty)
+    total = len(words_arr)
+    wh = _stable_hash(words_arr).view(np.uint64) if total else np.empty(0, np.uint64)
     offs = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(wlens, out=offs[1:])
     base = np.uint64(1099511628211)

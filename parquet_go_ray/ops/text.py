@@ -135,8 +135,7 @@ class Decontaminator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .dedup import _gram_hash_sets
 
-        texts = batch.column(self.text_col).to_pylist()
-        sets = _gram_hash_sets(texts, self.n)
+        sets = _gram_hash_sets(batch.column(self.text_col), self.n)
         lens = np.array([len(s) for s in sets], dtype=np.int64)
         flat = np.concatenate(sets) if len(sets) else np.empty(0, np.uint64)
         hit = np.isin(flat, self.eval_grams)

@@ -74,8 +74,11 @@ def decode_byte_array(data, count: int) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_byte_array -> (offsets int32, data uint8).
 
     The length chain forces a sequential parse (like the reference's
-    /root/reference/type_bytearray.go:13-55); PLAIN is not the preferred
-    encoding for strings — DELTA_LENGTH_BYTE_ARRAY decodes fully vectorized.
+    /root/reference/type_bytearray.go:13-55); a list-ranked vectorization was
+    measured and LOST (its work scales with buffer bytes, not value count —
+    ~0.8 s vs 60 ms per 100k values), so the scalar header walk stays and
+    PLAIN stays the non-default for strings (DELTA_LENGTH_BYTE_ARRAY decodes
+    fully vectorized).
     """
     buf = bytes(data)
     offsets = np.zeros(count + 1, dtype=np.int64)

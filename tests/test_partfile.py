@@ -59,7 +59,7 @@ def test_token_table_roundtrip_reference_mode():
     assert_tables_equal(t, out)
 
 
-@pytest.mark.parametrize("compression", ["none", "snappy", "zstd", "gzip"])
+@pytest.mark.parametrize("compression", ["none", "snappy", "zstd", "gzip", "lz4"])
 def test_compressions(compression):
     t = token_table(500)
     assert_tables_equal(t, roundtrip(t, EncodeConfig(compression=compression)))

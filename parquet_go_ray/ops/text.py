@@ -184,3 +184,37 @@ def train_val_split(ds, id_col: str = "doc_id", val_pct: int = 10, salt: int = 0
         return t.append_column("split", pa.array(split))
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_vocab(ds, text_col: str = "text", *, min_count: int = 1,
+                num_partitions: int = 64):
+    """Corpus vocabulary: (token, count) over whitespace tokens.
+
+    Combiner discipline: each batch pre-aggregates its own token counts (one
+    vectorized split + value_counts), so the shuffle moves (token, partial
+    count) pairs — bounded by per-batch vocabulary, not corpus length. Final
+    merge is a hash-partitioned groupby-sum on the token.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines.encode import _stable_hash
+
+    def partials(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.utf8_split_whitespace(batch.column(text_col)))
+        words = words.filter(pc.greater(pc.utf8_length(words), 0))
+        vc = words.value_counts()
+        toks = vc.field("values")
+        counts = vc.field("counts").cast(pa.int64())
+        part = _stable_hash(toks) % num_partitions
+        return pa.table({"token": toks, "count": counts, "__p": pa.array(part)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("count", "sum")])
+        g = g.rename_columns(["token", "count"])
+        return g.filter(pc.greater_equal(g.column("count"), min_count))
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__p")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -620,6 +620,13 @@ def q_decontaminate_documents(sf_dir):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def q_build_vocab_documents(sf_dir):
+    """Corpus vocabulary with partial-count combining (token, count)."""
+    from ..ops.text import build_vocab
+
+    return build_vocab(_read(sf_dir, "documents", ["text"]))
+
+
 def q_sketches_documents(sf_dir):
     """Self-validating sketch run: HLL distinct on text (vs exact) and
     quantile summary on n_chars (vs exact percentiles) — raises on excess
@@ -727,6 +734,7 @@ QUERIES = {
     "train_val_split_documents": q_train_val_split_documents,
     "broadcast_join_orders_customer": q_broadcast_join_orders_customer,
     "sketches_documents": q_sketches_documents,
+    "build_vocab_documents": q_build_vocab_documents,
 }
 
 ORACLE_SQL = {
@@ -803,6 +811,11 @@ ORACLE_SQL = {
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
         f"JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {TOKEN_VOCAB_TAU}"
+    ),
+    "build_vocab_documents": (
+        "SELECT word AS token, CAST(count(*) AS BIGINT) AS count FROM ("
+        "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents"
+        ") WHERE word != '' GROUP BY word"
     ),
     "broadcast_join_orders_customer": (
         "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "

@@ -218,3 +218,49 @@ def build_vocab(ds, text_col: str = "text", *, min_count: int = 1,
         .groupby("__p")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+class PiiRedactor:
+    """Actor stage: scrub emails / phone numbers / IPv4s from text.
+
+    Patterns compile ONCE per actor (__init__), applied vectorized via
+    pyarrow.compute.replace_substring_regex (RE2) — the same engine family
+    DuckDB uses, so the SQL oracle matches byte-for-byte. No backreferences
+    or lookarounds, keeping the patterns portable across RE2 dialects.
+    """
+
+    PATTERNS = {
+        "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "phone": r"\+?[0-9]{1,3}[ .\-]?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}",
+        "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    }
+
+    def __init__(self, kinds: list[str] | None = None, text_col: str = "text",
+                 replacement: str = "[REDACTED]"):
+        self.kinds = kinds or list(self.PATTERNS)
+        self.text_col = text_col
+        self.replacement = replacement
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(self.text_col)
+        for kind in self.kinds:
+            col = pc.replace_substring_regex(col, pattern=self.PATTERNS[kind],
+                                             replacement=self.replacement)
+        i = batch.schema.get_field_index(self.text_col)
+        return batch.set_column(i, self.text_col, col)
+
+
+def redact_pii(ds, *, kinds: list[str] | None = None, text_col: str = "text",
+               replacement: str = "[REDACTED]", concurrency=None):
+    """Scrub PII patterns from a text column (emails, phones, IPv4s)."""
+    from ..pipelines.encode import _default_concurrency
+
+    return ds.map_batches(
+        PiiRedactor,
+        fn_constructor_kwargs={"kinds": kinds, "text_col": text_col,
+                               "replacement": replacement},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    )

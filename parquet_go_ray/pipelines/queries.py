@@ -620,6 +620,14 @@ def q_decontaminate_documents(sf_dir):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def q_redact_pii_documents(sf_dir):
+    """PII scrub parity: identical RE2 patterns run through our actor stage
+    and DuckDB's regexp_replace — byte-equal output proves the transform."""
+    from ..ops.text import redact_pii
+
+    return redact_pii(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_build_vocab_documents(sf_dir):
     """Corpus vocabulary with partial-count combining (token, count)."""
     from ..ops.text import build_vocab
@@ -735,6 +743,7 @@ QUERIES = {
     "broadcast_join_orders_customer": q_broadcast_join_orders_customer,
     "sketches_documents": q_sketches_documents,
     "build_vocab_documents": q_build_vocab_documents,
+    "redact_pii_documents": q_redact_pii_documents,
 }
 
 ORACLE_SQL = {
@@ -811,6 +820,13 @@ ORACLE_SQL = {
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
         f"JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {TOKEN_VOCAB_TAU}"
+    ),
+    "redact_pii_documents": (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'), "
+        "'\\+?[0-9]{1,3}[ .\\-]?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}', '[REDACTED]', 'g'), "
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[REDACTED]', 'g') AS text "
+        "FROM documents"
     ),
     "build_vocab_documents": (
         "SELECT word AS token, CAST(count(*) AS BIGINT) AS count FROM ("

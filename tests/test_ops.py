@@ -409,3 +409,20 @@ def test_quantile_sketch(ray_session):
     exact = np.quantile(v, [0.1, 0.5, 0.9, 0.99])
     for g, e in zip(got, exact):
         assert abs(g - e) / e < 0.05, (got, exact)
+
+
+def test_redact_pii(ray_session):
+    from parquet_go_ray.ops.text import redact_pii
+
+    texts = [
+        "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now",
+        "server at 192.168.1.200 responded",
+        "nothing sensitive here at all",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                                 "text": texts}))
+    out = redact_pii(ds).to_pandas().sort_values("doc_id")
+    assert "[REDACTED]" in out.text.iloc[0] and "example" not in out.text.iloc[0]
+    assert "555" not in out.text.iloc[0]
+    assert out.text.iloc[1] == "server at [REDACTED] responded"
+    assert out.text.iloc[2] == texts[2]

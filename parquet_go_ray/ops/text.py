@@ -264,3 +264,81 @@ def redact_pii(ds, *, kinds: list[str] | None = None, text_col: str = "text",
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency or _default_concurrency(),
     )
+
+
+def train_char_lm(texts: list[str], order: int = 3) -> dict:
+    """Train a character n-gram language model (counts with add-one backoff)
+    from sample texts. Returns a broadcastable dict of sorted code/logp arrays
+    — the 'model artifact' an inference stage loads once per actor."""
+    data = np.frombuffer(" ".join(texts).encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(data) < order:
+        return {"order": order, "codes": np.empty(0, np.uint32),
+                "logp": np.empty(0, np.float32), "oov": -12.0}
+    tri = (data[:-2].astype(np.uint32) << np.uint32(16)) \
+        | (data[1:-1].astype(np.uint32) << np.uint32(8)) | data[2:]
+    bi = (data[:-1].astype(np.uint32) << np.uint32(8)) | data[1:]
+    tcodes, tcounts = np.unique(tri, return_counts=True)
+    bcodes, bcounts = np.unique(bi, return_counts=True)
+    ctx = tcodes >> np.uint32(8)
+    bidx = np.searchsorted(bcodes, ctx)
+    denom = bcounts[np.minimum(bidx, len(bcodes) - 1)].astype(np.float64)
+    logp = np.log((tcounts + 1.0) / (denom + 256.0)).astype(np.float32)
+    oov = float(np.log(1.0 / (np.median(denom) + 256.0)))
+    return {"order": order, "codes": tcodes, "logp": logp, "oov": oov}
+
+
+class CharLmScorer:
+    """Actor stage: per-document cross-entropy under a broadcast character
+    trigram LM — the batched-model-inference archetype (model fetched from
+    the object store ONCE in __init__, scoring fully vectorized per batch).
+    Lower bits-per-char = more natural text; a standard quality filter."""
+
+    def __init__(self, model_ref, text_col: str = "text"):
+        import ray
+
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) else model_ref
+        self.codes, self.logp, self.oov = m["codes"], m["logp"], m["oov"]
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.text_col).combine_chunks().cast(pa.binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1,
+                                offset=arr.offset * 4).astype(np.int64)
+        data = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                if arr.buffers()[2] is not None else np.empty(0, np.uint8))
+        d = data[offsets[0] : offsets[-1]]
+        base0 = offsets[0]
+        n = len(arr)
+        lens = np.diff(offsets)
+        bpc = np.zeros(n, dtype=np.float64)
+        if len(d) >= 3 and len(self.codes):
+            tri = (d[:-2].astype(np.uint32) << np.uint32(16)) \
+                | (d[1:-1].astype(np.uint32) << np.uint32(8)) | d[2:]
+            idx = np.minimum(np.searchsorted(self.codes, tri), len(self.codes) - 1)
+            lp = np.where(self.codes[idx] == tri, self.logp[idx], self.oov).astype(np.float64)
+            # per-doc mean over windows fully inside the doc (prefix-sum segments)
+            cs = np.zeros(len(lp) + 1, dtype=np.float64)
+            np.cumsum(lp, out=cs[1:])
+            starts = np.minimum(offsets[:-1] - base0, len(lp))
+            ends = np.minimum(np.maximum(offsets[1:] - base0 - 2, starts), len(lp))
+            nwin = (ends - starts).astype(np.float64)
+            sums = cs[ends] - cs[starts]
+            m = nwin > 0
+            bpc[m] = -(sums[m] / nwin[m]) / np.log(2.0)
+        return batch.append_column("lm_bits_per_char", pa.array(bpc))
+
+
+def lm_quality_score(ds, sample_texts: list[str], *, text_col: str = "text",
+                     concurrency=None):
+    """Score documents by character-LM cross-entropy (bits/char)."""
+    import ray
+
+    from ..pipelines.encode import _default_concurrency
+
+    model_ref = ray.put(train_char_lm(list(sample_texts)))
+    return ds.map_batches(
+        CharLmScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    )

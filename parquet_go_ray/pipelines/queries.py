@@ -620,6 +620,20 @@ def q_decontaminate_documents(sf_dir):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def q_lm_quality_documents(sf_dir):
+    """Character-LM cross-entropy scoring (model trained on a corpus sample,
+    broadcast once; rows-only check — iterative model training is not
+    SQL-expressible)."""
+    import pyarrow.parquet as pq2
+
+    from ..ops.text import lm_quality_score
+
+    sample = pq2.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["text"]).column("text").to_pylist()[:200]
+    out = lm_quality_score(_read(sf_dir, "documents", ["doc_id", "text"]), sample)
+    return out.select_columns(["doc_id", "lm_bits_per_char"])
+
+
 def q_redact_pii_documents(sf_dir):
     """PII scrub parity: identical RE2 patterns run through our actor stage
     and DuckDB's regexp_replace — byte-equal output proves the transform."""
@@ -744,6 +758,7 @@ QUERIES = {
     "sketches_documents": q_sketches_documents,
     "build_vocab_documents": q_build_vocab_documents,
     "redact_pii_documents": q_redact_pii_documents,
+    "lm_quality_documents": q_lm_quality_documents,
 }
 
 ORACLE_SQL = {

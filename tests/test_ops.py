@@ -426,3 +426,19 @@ def test_redact_pii(ray_session):
     assert "555" not in out.text.iloc[0]
     assert out.text.iloc[1] == "server at [REDACTED] responded"
     assert out.text.iloc[2] == texts[2]
+
+
+def test_lm_quality_score(ray_session):
+    """Natural-ish text must score fewer bits/char than random bytes under a
+    char-trigram LM trained on similar text."""
+    from parquet_go_ray.ops.text import lm_quality_score
+
+    rng = np.random.default_rng(3)
+    corpus = ["the quick brown fox jumps over the lazy dog " * 20 for _ in range(10)]
+    natural = "the quick brown fox jumps over the lazy cat again and again"
+    gibberish = "".join(chr(rng.integers(33, 126)) for _ in range(60))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                 "text": [natural, gibberish]}))
+    out = lm_quality_score(ds, corpus).to_pandas().sort_values("doc_id")
+    assert out.lm_bits_per_char.iloc[0] < out.lm_bits_per_char.iloc[1] - 1.0
+    assert 0 < out.lm_bits_per_char.iloc[0] < 8

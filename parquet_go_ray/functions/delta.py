@@ -130,10 +130,13 @@ def decode_stream(data, nbits: int, start: int = 0) -> tuple[np.ndarray, int]:
         raise ValueError("delta: block size not divisible by miniblock count")
     if block > (1 << 20) or nmb > 512:
         raise ValueError("delta: implausible block geometry")  # malformed guard
-    # malformed guard: each 128-delta block costs >= 5 header bytes, so a
-    # claimed count vastly above the buffer's capacity is garbage — reject
-    # before allocating n values (reference fuzz corpus: deltabp_fuzz.go)
-    if n > 64 * (len(buf) - start) + BLOCK:
+    # malformed guard: each block of `block` values costs at least 1 byte of
+    # min-delta varint plus nmb width bytes, so a claimed count vastly above
+    # the buffer's capacity is garbage — reject before allocating n values
+    # (reference fuzz corpus: deltabp_fuzz.go). The bound is derived from the
+    # PARSED geometry, not a fixed 128-value assumption: a spec-valid stream
+    # with block=2048/nmb=8 of constant values packs >64 values per byte.
+    if n > block * (len(buf) - start) // (1 + nmb) + block:
         raise ValueError(f"delta: claimed count {n} exceeds stream capacity")
     mbv = block // nmb
     if mbv == 0 or mbv % 8:

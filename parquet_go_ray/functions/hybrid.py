@@ -154,6 +154,8 @@ def decode(data, width: int, count: int) -> np.ndarray:
                 run = header >> 1
                 if run == 0:
                     raise ValueError("hybrid: zero-length RLE run")
+                if pos + vb > len(buf):
+                    raise ValueError("hybrid: truncated RLE value")
                 rle_vals.append(int.from_bytes(buf[pos : pos + vb], "little") if vb else 0)
                 pos += vb
                 take = min(run, count - filled)

@@ -106,7 +106,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 "num_values": num_values,
                 # CRC over the COMPRESSED blob: the integrity pass touches the
                 # smaller buffer on both write and read (~0.5x the bytes)
-                "crc32c": zlib.crc32(comp) & 0xFFFFFFFF if config.crc else None,
+                "crc32_comp": zlib.crc32(comp) & 0xFFFFFFFF if config.crc else None,
             }
         )
         blobs.append(comp)
@@ -145,7 +145,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                 dpayload = _buf(plain.encode_fixed(uniq))
                 dcomp = _compress(dpayload, config.compression)
                 dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq),
-                             "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
+                             "crc32_comp": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
                 blobs.append(dcomp)
                 for lo, hi in _page_slices(len(v), max(bitpack.bit_width(max(len(uniq) - 1, 0)), 1) / 8, config.page_bytes):
                     add_page(dictionary.encode_indices(inv[lo:hi], len(uniq)), hi - lo)
@@ -192,7 +192,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             dpayload = _buf(plain.encode_fixed(uniq_bits.view(raw.dtype)))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(uniq_bits),
-                         "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
+                         "crc32_comp": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
             blobs.append(dcomp)
             for lo, hi in _page_slices(len(raw), max(bitpack.bit_width(max(len(uniq_bits) - 1, 0)), 1) / 8, config.page_bytes):
                 add_page(dictionary.encode_indices(inv[lo:hi], len(uniq_bits)), hi - lo)
@@ -227,7 +227,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             dpayload = _buf(uniq_v.view(np.uint8))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": distinct,
-                         "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
+                         "crc32_comp": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
             blobs.append(dcomp)
             for lo, hi in _page_slices(n, max(bitpack.bit_width(max(distinct - 1, 0)), 1) / 8, config.page_bytes):
                 add_page(dictionary.encode_indices(inv[lo:hi], distinct), hi - lo)
@@ -307,7 +307,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             dpayload = _buf(plain.encode_byte_array(doff, ddata))
             dcomp = _compress(dpayload, config.compression)
             dict_meta = {"size": len(dcomp), "usize": len(dpayload), "num_values": len(duniq),
-                         "crc32c": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
+                         "crc32_comp": zlib.crc32(dcomp) & 0xFFFFFFFF if config.crc else None}
             blobs.append(dcomp)
             for lo, hi in _page_slices(n, max(bitpack.bit_width(max(len(duniq) - 1, 0)), 1) / 8, config.page_bytes):
                 add_page(dictionary.encode_indices(inv[lo:hi], len(duniq)), hi - lo)
@@ -372,10 +372,18 @@ def decode_stream(meta: dict, read_at) -> Stream:
     kind, dtype = meta["kind"], meta["dtype"]
     crc_check = True
 
+    def _comp_crc(m: dict):
+        # "crc32_comp" = IEEE CRC-32 over compressed bytes; "crc32c" is the
+        # round-2 name for the SAME value (misnamed — it was never Castagnoli),
+        # kept as a read fallback for files written by that version
+        v = m.get("crc32_comp")
+        return v if v is not None else m.get("crc32c")
+
     def page_payload(p: dict) -> bytes:
         raw = read_at(p["offset"], p["size"])
-        if crc_check and p.get("crc32c") is not None:
-            if (zlib.crc32(raw) & 0xFFFFFFFF) != p["crc32c"]:
+        pcrc = _comp_crc(p)
+        if crc_check and pcrc is not None:
+            if (zlib.crc32(raw) & 0xFFFFFFFF) != pcrc:
                 raise ValueError(f"CRC mismatch on {meta['path']} page @{p['offset']}")
         payload = _decompress(raw, comp, p["usize"])
         if crc_check and p.get("crc32") is not None:  # legacy: crc of payload
@@ -388,7 +396,8 @@ def decode_stream(meta: dict, read_at) -> Stream:
     if meta.get("dict"):
         dmeta = meta["dict"]
         draw = read_at(dmeta["offset"], dmeta["size"])
-        if crc_check and dmeta.get("crc32c") is not None and (zlib.crc32(bytes(draw)) & 0xFFFFFFFF) != dmeta["crc32c"]:
+        dcrc = _comp_crc(dmeta)
+        if crc_check and dcrc is not None and (zlib.crc32(bytes(draw)) & 0xFFFFFFFF) != dcrc:
             raise ValueError(f"CRC mismatch on {meta['path']} dict page")
         dpayload = _decompress(draw, comp, dmeta["usize"])
         if crc_check and dmeta.get("crc32") is not None and (zlib.crc32(dpayload) & 0xFFFFFFFF) != dmeta["crc32"]:

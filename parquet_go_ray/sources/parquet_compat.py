@@ -188,6 +188,21 @@ def _schema_tree(schema_elems: list[dict]):
                 t = pa.binary(tl)
         return phys, t, tl, conv, e.get(7), e.get(8)
 
+    def bare_repeated_to_list(child: "PNode") -> "PNode":
+        """Normalize a bare repeated field (leaf OR group) that no LIST/MAP
+        parent consumed into the 3-level list shape — spec equivalence: a
+        required list whose element is the required field. Level accounting is
+        identical (the synthetic repeated middle contributes the same +1R/+1D
+        the bare repeated field did)."""
+        if child.repetition != "repeated" or child.kind not in ("leaf", "struct"):
+            return child
+        elem = PNode(child.name, "required", child.kind, child.children,
+                     phys=child.phys, type_length=child.type_length,
+                     converted=child.converted, precision=child.precision,
+                     scale=child.scale, arrow=child.arrow)
+        mid = PNode(child.name, "repeated", "struct", [elem])
+        return PNode(child.name, "required", "list", [mid])
+
     def parse() -> "PNode":
         nonlocal i
         e = schema_elems[i]
@@ -195,43 +210,46 @@ def _schema_tree(schema_elems: list[dict]):
         name = e[4].decode()
         rep = REPS.get(e.get(3, 0), "required")
         nch = e.get(5, 0)
-        if nch:
-            kids = [parse() for _ in range(nch)]
-            conv = e.get(6)
-            node = PNode(name, rep, "struct", kids, converted=conv)
-            if conv == CONV_LIST_ID or (len(kids) == 1 and kids[0].repetition == "repeated"
-                                        and conv != CONV_MAP_ID and kids[0].kind == "struct"
-                                        and len(kids[0].children) == 1
-                                        and kids[0].name in ("list", "bag", "array",
-                                                             name + "_tuple")):
-                mid = kids[0]
-                if mid.is_leaf or len(mid.children) != 1:
-                    # legacy 2-level: repeated element directly under the group
-                    elem = PNode(mid.name, "required", mid.kind, mid.children,
-                                 phys=mid.phys, type_length=mid.type_length,
-                                 converted=mid.converted, precision=mid.precision,
-                                 scale=mid.scale, arrow=mid.arrow)
-                    mid = PNode(mid.name, "repeated", "struct", [elem])
-                node.kind, node.children = "list", [mid]
-            elif conv in (CONV_MAP_ID, CONV_MAP_KV_ID) and len(kids) == 1 \
-                    and kids[0].repetition == "repeated" and len(kids[0].children) == 2:
-                node.kind = "map"
-            return node
-        if rep == "repeated":
-            # bare repeated leaf/group -> normalize to list-of-element
+        if not nch:
+            # raw leaf — bare repeated leaves are normalized by the PARENT so
+            # a LIST-annotated parent can still see the repeated element
+            # (legacy 2-level) without double-wrapping
             phys, t, tl, conv, sc, prec = leaf_arrow(e)
-            elem = PNode(name, "required", "leaf", phys=phys, type_length=tl,
-                         converted=conv, scale=sc, precision=prec, arrow=t)
-            mid = PNode(name, "repeated", "struct", [elem])
-            return PNode(name, "required", "list", [mid])
-        phys, t, tl, conv, sc, prec = leaf_arrow(e)
-        return PNode(name, rep, "leaf", phys=phys, type_length=tl, converted=conv,
-                     scale=sc, precision=prec, arrow=t)
+            return PNode(name, rep, "leaf", phys=phys, type_length=tl, converted=conv,
+                         scale=sc, precision=prec, arrow=t)
+        kids = [parse() for _ in range(nch)]
+        conv = e.get(6)
+        node = PNode(name, rep, "struct", kids, converted=conv)
+        is_list = conv == CONV_LIST_ID or (
+            len(kids) == 1 and kids[0].repetition == "repeated"
+            and conv != CONV_MAP_ID and kids[0].kind == "struct"
+            and len(kids[0].children) == 1
+            and kids[0].name in ("list", "bag", "array", name + "_tuple"))
+        if is_list and len(kids) == 1 and kids[0].repetition == "repeated":
+            mid = kids[0]
+            # Spec backward-compat element-type rules (LogicalTypes.md): the
+            # repeated node IS the element when it is a leaf (legacy 2-level),
+            # a multi-field group, or a single-field group named "array" /
+            # "<list-name>_tuple"; otherwise it is the 3-level middle node.
+            if (mid.is_leaf or len(mid.children) != 1
+                    or mid.name in ("array", name + "_tuple")):
+                elem = PNode(mid.name, "required", mid.kind, mid.children,
+                             phys=mid.phys, type_length=mid.type_length,
+                             converted=mid.converted, precision=mid.precision,
+                             scale=mid.scale, arrow=mid.arrow)
+                mid = PNode(mid.name, "repeated", "struct", [elem])
+            node.kind, node.children = "list", [mid]
+        elif conv in (CONV_MAP_ID, CONV_MAP_KV_ID) and len(kids) == 1 \
+                and kids[0].repetition == "repeated" and len(kids[0].children) == 2:
+            node.kind = "map"
+        else:
+            node.children = [bare_repeated_to_list(k) for k in kids]
+        return node
 
     root = schema_elems[0]
     tops = []
     for _ in range(root.get(5, 0)):
-        n = parse()
+        n = bare_repeated_to_list(parse())
         fix_levels(n)
         tops.append(n)
 
@@ -757,7 +775,10 @@ def write_parquet_with_our_kernels(
                 ]
                 if dict_off is not None:
                     meta_fields.append((11, T_I64, dict_off))
-                col_chunks.append((leaf.path, meta_fields, total_cmp))
+                # carry total_unc: RowGroup.total_byte_size (thrift field 2) is
+                # defined as total UNCOMPRESSED column data size; compressed
+                # totals live in ColumnMetaData field 7 above
+                col_chunks.append((leaf.path, meta_fields, total_unc))
         row_groups.append((col_chunks, sl.num_rows))
         if table.num_rows == 0:
             break

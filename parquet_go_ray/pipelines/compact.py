@@ -11,11 +11,10 @@ retire the old records + files — a crash mid-compaction leaves both the old
 
 from __future__ import annotations
 
-import os
-
 import pyarrow as pa
 import ray.data as rd
 
+from ..sources import fsio
 from ..sources.columns import EncodeConfig
 from ..sources.partfile import read_partition
 from ..stages.codec import EncodeStage
@@ -64,11 +63,8 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
                 out_rows.append(EncodeStage.__call__(self, merged, tag=recs[0].get("key")))
                 # retire old records + files only after the new one is durable
                 for r in recs:
-                    rec_path = mf.record_path(self.out_dir, r["partition_id"])
-                    if os.path.exists(rec_path):
-                        os.remove(rec_path)
-                    if os.path.exists(r["path"]):
-                        os.remove(r["path"])
+                    fsio.delete_file(mf.record_path(self.out_dir, r["partition_id"]))
+                    fsio.delete_file(r["path"])
             return pa.concat_tables(out_rows)
 
     import json

@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..sources import fsio
 from ..sources.columns import EncodeConfig
 from ..sources.partfile import write_partition
 from ..stages.codec import DecodeStage, EncodeStage, _lineage_table
@@ -143,12 +144,12 @@ def encode_grouped(
         pid = f"{src}-{salt:04d}"
         if pid in done:
             return _lineage_table(
-                {"partition_id": pid, "path": os.path.join(out_dir, f"part-{pid}.rdpg"),
+                {"partition_id": pid, "path": fsio.join(out_dir, f"part-{pid}.rdpg"),
                  "num_rows": group.num_rows, "bytes_in": 0, "bytes_out": 0, "crc32": 0,
                  "codecs": {}}
             )
         body_table = group.drop_columns(["__salt"])
-        lineage = write_partition(body_table, os.path.join(out_dir, f"part-{pid}.rdpg"), cfg)
+        lineage = write_partition(body_table, fsio.join(out_dir, f"part-{pid}.rdpg"), cfg)
         lineage["partition_id"] = pid
         mf.write_record(out_dir, lineage)
         return _lineage_table(lineage)
@@ -270,9 +271,7 @@ def decode_dataset(
     if records:
         paths = sorted({r["path"] for r in records})
     else:
-        paths = sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".rdpg")
-        )
+        paths = fsio.list_files(out_dir, ".rdpg")
     if stats_filter:
         from ..sources.partfile import partition_stats
 
@@ -329,18 +328,24 @@ def encode_dataset_to_parquet(
 
     class ParquetEncodeStage:
         def __init__(self):
-            os.makedirs(out_dir, exist_ok=True)
+            fsio.makedirs(out_dir)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            tmp_name = os.path.join(out_dir, f".tmp-{os.getpid()}-{batch.num_rows}")
+            import tempfile
+
+            # stage locally (the parquet writer wants a seekable file), then
+            # one atomic publish through fsio — URI-capable
+            with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tf:
+                tmp_name = tf.name
             write_parquet_with_our_kernels(batch, tmp_name, compression=compression,
                                            column_encoding=column_encoding,
                                            row_group_rows=row_group_rows)
             with open(tmp_name, "rb") as f:
                 body = f.read()
+            os.remove(tmp_name)
             pid = hashlib.blake2b(body, digest_size=12).hexdigest()
-            path = os.path.join(out_dir, f"part-{pid}.parquet")
-            os.replace(tmp_name, path)
+            path = fsio.join(out_dir, f"part-{pid}.parquet")
+            fsio.write_bytes_atomic(path, body)
             lineage = {
                 "partition_id": pid, "path": path, "num_rows": batch.num_rows,
                 "bytes_in": batch.nbytes, "bytes_out": len(body),

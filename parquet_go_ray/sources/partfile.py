@@ -20,13 +20,13 @@ from __future__ import annotations
 
 import base64
 import json
-import os
 import zlib
 
 import numpy as np
 import pyarrow as pa
 
 from ..functions.shred import Stream, assemble, shred
+from . import fsio
 from .columns import EncodeConfig, decode_stream, encode_stream
 
 MAGIC = b"RDPG1\x00"
@@ -92,15 +92,11 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[b
 
 
 def write_partition(table: pa.Table, path: str, config: EncodeConfig | None = None) -> dict:
-    """Atomic write (tmp + rename); returns the lineage record incl. path."""
+    """Atomic write (tmp+rename locally, single PUT on object stores — see
+    fsio.write_bytes_atomic); returns the lineage record incl. path. ``path``
+    may be a plain local path or any pyarrow.fs URI."""
     body, lineage = encode_table(table, config)
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(tmp, "wb") as f:
-        f.write(body)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    fsio.write_bytes_atomic(path, body, fsync=True)
     lineage["path"] = path
     return lineage
 
@@ -141,26 +137,20 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
 
 
 def read_partition(path: str, columns: list[str] | None = None) -> pa.Table:
-    with open(path, "rb") as f:
-        return decode_table(f.read(), columns)
+    return decode_table(fsio.read_bytes(path), columns)
 
 
 def read_partition_footer(path: str) -> dict:
-    """Footer-only read (seek to tail) — the analogue of the reference's
-    ReadFileMetaData (/root/reference/file_meta.go:18-74): no page data moves."""
-    with open(path, "rb") as f:
-        f.seek(0, os.SEEK_END)
-        size = f.tell()
-        tail = min(size, 64 * 1024)
-        f.seek(size - tail)
-        blob = f.read(tail)
-        if blob[-len(MAGIC):] != MAGIC:
-            raise ValueError(f"{path}: bad trailing magic")
-        flen = int.from_bytes(blob[-len(MAGIC) - 4 : -len(MAGIC)], "little")
-        if flen + 4 + len(MAGIC) > len(blob):
-            f.seek(size - flen - 4 - len(MAGIC))
-            blob = f.read(flen + 4 + len(MAGIC))
-        return json.loads(blob[-len(MAGIC) - 4 - flen : -len(MAGIC) - 4])
+    """Footer-only read (ranged tail read) — the analogue of the reference's
+    ReadFileMetaData (/root/reference/file_meta.go:18-74): no page data moves,
+    over local paths or object-store URIs alike."""
+    blob, size = fsio.read_tail(path, 64 * 1024)
+    if blob[-len(MAGIC):] != MAGIC:
+        raise ValueError(f"{path}: bad trailing magic")
+    flen = int.from_bytes(blob[-len(MAGIC) - 4 : -len(MAGIC)], "little")
+    if flen + 4 + len(MAGIC) > len(blob):
+        blob = fsio.read_range(path, size - flen - 4 - len(MAGIC), flen + 4 + len(MAGIC))
+    return json.loads(blob[-len(MAGIC) - 4 - flen : -len(MAGIC) - 4])
 
 
 def partition_stats(path: str) -> dict[str, dict]:
@@ -182,9 +172,7 @@ def read_dictionary_page(path: str, column: str):
     if meta is None or not meta.get("dict"):
         return None
     dmeta = meta["dict"]
-    with open(path, "rb") as f:
-        f.seek(dmeta["offset"])
-        raw = f.read(dmeta["size"])
+    raw = fsio.read_range(path, dmeta["offset"], dmeta["size"])
     payload = _decompress(raw, meta["compression"], dmeta["usize"])
     from ..functions import plain
 

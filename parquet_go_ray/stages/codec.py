@@ -14,10 +14,10 @@ rewrites the same file with the same id (SURVEY.md §7.3).
 from __future__ import annotations
 
 import hashlib
-import os
 
 import pyarrow as pa
 
+from ..sources import fsio
 from ..sources.columns import EncodeConfig
 from ..sources.partfile import encode_table, read_partition
 from ..state import manifest as mf
@@ -33,19 +33,16 @@ class EncodeStage:
     def __init__(self, out_dir: str, config: EncodeConfig | None = None):
         self.out_dir = out_dir
         self.config = config or EncodeConfig()
-        os.makedirs(out_dir, exist_ok=True)
+        fsio.makedirs(out_dir)
 
     def __call__(self, batch: pa.Table, tag: str | None = None) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({k: pa.array([], type=t) for k, t in _LINEAGE_SCHEMA})
         body, lineage = encode_table(batch, self.config)
         pid = partition_id_for(body)
-        path = os.path.join(self.out_dir, f"part-{pid}.rdpg")
-        if not os.path.exists(path):  # idempotent under retries
-            tmp = path + f".tmp-{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(body)
-            os.replace(tmp, path)
+        path = fsio.join(self.out_dir, f"part-{pid}.rdpg")
+        if not fsio.exists(path):  # idempotent under retries
+            fsio.write_bytes_atomic(path, body)
         lineage["partition_id"] = pid
         lineage["path"] = path
         if tag is not None:

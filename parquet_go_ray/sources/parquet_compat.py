@@ -618,6 +618,70 @@ def _encode_leaf_values(vals, node, encoding: str):
     return bytes(memoryview(payload)), ENC_PLAIN, None, 0
 
 
+def _chunk_statistics(leaf) -> list:
+    """ColumnMetaData.Statistics thrift fields (struct field 12): null_count
+    (3) plus min_value/max_value (6/5) in the column's logical sort order —
+    the role of the reference's stats tracking (stats.go:22-225, attached at
+    chunk_writer.go:283-290). External engines (DuckDB, Spark, pyarrow) use
+    these to prune row groups of files we emit.
+
+    Types whose sort order is ambiguous or deprecated (INT96, FLBA/DECIMAL)
+    get null_count only; oversized byte_array bounds (>64 B) are dropped
+    rather than truncated (truncation must round max up to stay correct)."""
+    import struct as _st
+
+    import pyarrow.compute as pc
+
+    null_count = int((leaf.defs < leaf.max_d).sum()) if leaf.max_d else 0
+    fields = [(3, T_I64, null_count)]
+    vals = leaf.values
+    if len(vals) == 0:
+        return fields
+    phys = leaf.node.phys
+    t = vals.type
+    if phys == "boolean":
+        arr = np.asarray(vals)
+        emin, emax = bytes([bool(arr.min())]), bytes([bool(arr.max())])
+    elif phys in ("int32", "int64"):
+        if pa.types.is_date32(t) or pa.types.is_time32(t):
+            vals = vals.view(pa.int32())
+        elif pa.types.is_timestamp(t) or pa.types.is_time64(t):
+            vals = vals.view(pa.int64())
+        arr = np.asarray(vals)
+        # unsigned logical types sort (and pack) unsigned; the physical
+        # int32/int64 bytes are the two's-complement reinterpretation
+        if pa.types.is_unsigned_integer(t):
+            fmt = "<I" if phys == "int32" else "<Q"
+        else:
+            fmt = "<i" if phys == "int32" else "<q"
+        emin = _st.pack(fmt, int(arr.min()))
+        emax = _st.pack(fmt, int(arr.max()))
+    elif phys in ("float32", "float64"):
+        arr = np.asarray(vals)
+        finite = arr[~np.isnan(arr)]
+        if len(finite) == 0:
+            return fields
+        mn, mx = float(finite.min()), float(finite.max())
+        if mn == 0.0:
+            mn = -0.0  # spec guidance: zero bounds widen to cover both signs
+        if mx == 0.0:
+            mx = 0.0
+        fmt = "<f" if phys == "float32" else "<d"
+        emin, emax = _st.pack(fmt, mn), _st.pack(fmt, mx)
+    elif phys == "byte_array":
+        b = vals.cast(pa.binary()) if not pa.types.is_binary(t) else vals
+        mm = pc.min_max(b)  # arrow binary order == parquet unsigned byte-wise
+        bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
+        if bmin is None or len(bmin) > 64 or len(bmax) > 64:
+            return fields
+        emin, emax = bytes(bmin), bytes(bmax)
+    else:
+        return fields
+    fields.append((5, T_BINARY, emax))
+    fields.append((6, T_BINARY, emin))
+    return fields
+
+
 def _schema_element_bytes(node) -> list[bytes]:
     """Flatten a PNode subtree into thrift SchemaElement blobs (pre-order)."""
     fields = []
@@ -775,6 +839,7 @@ def write_parquet_with_our_kernels(
                 ]
                 if dict_off is not None:
                     meta_fields.append((11, T_I64, dict_off))
+                meta_fields.append((12, T_STRUCT, _chunk_statistics(leaf)))
                 # carry total_unc: RowGroup.total_byte_size (thrift field 2) is
                 # defined as total UNCOMPRESSED column data size; compressed
                 # totals live in ColumnMetaData field 7 above
@@ -823,6 +888,17 @@ def write_parquet_with_our_kernels(
     for blob in rg_blobs:
         fb += blob
     fb += bytes([(2 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
+    # field 7: column_orders — one TypeDefinedOrder per leaf; readers ignore
+    # Statistics.min_value/max_value unless this declares the sort order
+    n_leaves = len(row_groups[0][0]) if row_groups else 0
+    fb += bytes([(1 << 4) | T_LIST])
+    if n_leaves < 15:
+        fb.append((n_leaves << 4) | T_STRUCT)
+    else:
+        fb.append((15 << 4) | T_STRUCT)
+        fb += _uv(n_leaves)
+    for _ in range(n_leaves):
+        fb += CompactWriter.struct_([(1, T_STRUCT, [])])  # ColumnOrder.TYPE_ORDER
     fb.append(0)
 
     body += fb

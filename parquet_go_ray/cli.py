@@ -83,6 +83,10 @@ def cmd_meta(args):
 
     schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(footer["schema_ipc"])))
     print(f"rows: {footer['num_rows']}")
+    if footer.get("kv_metadata"):
+        print("metadata:")
+        for k, v in sorted(footer["kv_metadata"].items()):
+            print(f"  {k} = {v}")
     print("schema:")
     for line in str(schema).splitlines():
         print("  " + line)

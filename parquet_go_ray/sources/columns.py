@@ -33,6 +33,10 @@ class EncodeConfig:
     page_bytes: int = DEFAULT_PAGE_BYTES
     crc: bool = True
     column_codecs: dict = field(default_factory=dict)  # path -> forced codec name
+    # file-level key/value metadata (str -> str), carried in every partition
+    # footer + lineage record — the WithMetaData role of the reference
+    # (/root/reference/file_writer.go:86-98)
+    metadata: dict = field(default_factory=dict)
 
 
 def _buf(payload):

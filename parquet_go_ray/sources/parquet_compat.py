@@ -722,6 +722,7 @@ def write_parquet_with_our_kernels(
     data_page_version: int = 1,
     write_crc: bool = True,
     int96_timestamps: bool = False,
+    key_value_metadata: dict | None = None,
 ) -> None:
     """Write a REAL Parquet file whose pages are produced by OUR encoders —
     readable by pyarrow/DuckDB — for ARBITRARY nesting (structs, LIST, MAP,
@@ -887,7 +888,21 @@ def write_parquet_with_our_kernels(
         fb += _uv(nrg)
     for blob in rg_blobs:
         fb += blob
-    fb += bytes([(2 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
+    if key_value_metadata:
+        # field 5: key_value_metadata — WithMetaData role (file_writer.go:86-98)
+        kv_items = [[(1, T_BINARY, str(k)), (2, T_BINARY, str(v))]
+                    for k, v in key_value_metadata.items()]
+        fb += bytes([(1 << 4) | T_LIST])
+        if len(kv_items) < 15:
+            fb.append((len(kv_items) << 4) | T_STRUCT)
+        else:
+            fb.append((15 << 4) | T_STRUCT)
+            fb += _uv(len(kv_items))
+        for kvf in kv_items:
+            fb += CompactWriter.struct_(kvf)
+        fb += bytes([(1 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
+    else:
+        fb += bytes([(2 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
     # field 7: column_orders — one TypeDefinedOrder per leaf; readers ignore
     # Statistics.min_value/max_value unless this declares the sort order
     n_leaves = len(row_groups[0][0]) if row_groups else 0

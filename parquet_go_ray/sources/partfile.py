@@ -32,8 +32,15 @@ from .columns import EncodeConfig, decode_stream, encode_stream
 MAGIC = b"RDPG1\x00"
 
 
-def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[bytes, dict]:
-    """Encode a pa.Table into partition-file bytes + lineage record."""
+def encode_table(table: pa.Table, config: EncodeConfig | None = None,
+                 metadata: dict | None = None) -> tuple[bytes, dict]:
+    """Encode a pa.Table into partition-file bytes + lineage record.
+
+    ``config.metadata`` is file-level KV metadata (the reference's
+    WithMetaData, file_writer.go:86-98); the ``metadata`` argument is
+    per-partition KV (the per-row-group FlushRowGroupOption metadata role,
+    file_writer.go:194-226) and overrides config keys on collision. Both land
+    in the footer's ``kv_metadata`` and the lineage record."""
     config = config or EncodeConfig()
     table = table.combine_chunks()
     streams: list[Stream] = []
@@ -68,6 +75,9 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[b
         "schema_ipc": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "streams": stream_metas,
     }
+    kv = {**config.metadata, **(metadata or {})}
+    if kv:
+        footer["kv_metadata"] = {str(k): str(v) for k, v in kv.items()}
     fbytes = json.dumps(footer).encode()
     body.extend(fbytes)
     body.extend(len(fbytes).to_bytes(4, "little"))
@@ -88,14 +98,17 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None) -> tuple[b
     }
     if tables:
         lineage["symbol_tables"] = tables
+    if kv:
+        lineage["kv_metadata"] = footer["kv_metadata"]
     return bytes(body), lineage
 
 
-def write_partition(table: pa.Table, path: str, config: EncodeConfig | None = None) -> dict:
+def write_partition(table: pa.Table, path: str, config: EncodeConfig | None = None,
+                    metadata: dict | None = None) -> dict:
     """Atomic write (tmp+rename locally, single PUT on object stores — see
     fsio.write_bytes_atomic); returns the lineage record incl. path. ``path``
     may be a plain local path or any pyarrow.fs URI."""
-    body, lineage = encode_table(table, config)
+    body, lineage = encode_table(table, config, metadata)
     fsio.write_bytes_atomic(path, body, fsync=True)
     lineage["path"] = path
     return lineage

@@ -61,3 +61,17 @@ def test_cli_cat_and_schema(tmp_path, capsys):
     main(["schema", p])
     out = capsys.readouterr().out
     assert "message" in out and "a" in out and "s" in out
+
+
+def test_meta_shows_kv_metadata(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.sources.columns import EncodeConfig
+    from parquet_go_ray.sources.partfile import write_partition
+
+    t = pa.table({"a": pa.array(np.arange(10, dtype=np.int64))})
+    p = str(tmp_path / "part-kv.rdpg")
+    write_partition(t, p, EncodeConfig(metadata={"owner": "pipeline-7"}))
+    out = _capture(["meta", p])
+    assert "owner = pipeline-7" in out

@@ -260,3 +260,47 @@ def test_byte_stream_split_floats():
     assert lin_auto["codecs"]["f32"] == "BSS"
     assert len(blob_auto) < len(blob_plain)
     assert_tables_equal(t, decode_table(blob_auto))
+
+
+def test_kv_metadata_roundtrip(tmp_path):
+    """File-level (EncodeConfig.metadata, WithMetaData role file_writer.go:86-98)
+    + per-partition (write_partition metadata=, FlushRowGroupOption role
+    file_writer.go:194-226) KV metadata survive footer and lineage."""
+    import pyarrow as pa
+
+    from parquet_go_ray.sources.columns import EncodeConfig
+    from parquet_go_ray.sources.partfile import (read_partition,
+                                                 read_partition_footer,
+                                                 write_partition)
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "kv.rdpg")
+    cfg = EncodeConfig(metadata={"pipeline": "r3", "tokenizer_hash": "abc123"})
+    lineage = write_partition(t, p, cfg, metadata={"shard": "7", "pipeline": "override"})
+    footer = read_partition_footer(p)
+    # per-partition overrides file-level on collision
+    assert footer["kv_metadata"] == {"pipeline": "override",
+                                     "tokenizer_hash": "abc123", "shard": "7"}
+    assert lineage["kv_metadata"] == footer["kv_metadata"]
+    assert read_partition(p).equals(t)
+    # no metadata -> no footer key (old files unchanged)
+    p2 = str(tmp_path / "plain.rdpg")
+    write_partition(t, p2)
+    assert "kv_metadata" not in read_partition_footer(p2)
+
+
+def test_kv_metadata_in_compat_writer(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources.parquet_compat import write_parquet_with_our_kernels
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "kv.parquet")
+    write_parquet_with_our_kernels(
+        t, p, compression=None,
+        key_value_metadata={"source": "parquet_go_ray", "run": "42"})
+    md = pq.ParquetFile(p).metadata.metadata
+    assert md[b"source"] == b"parquet_go_ray" and md[b"run"] == b"42"
+    assert pq.read_table(p).column("x").combine_chunks().equals(
+        t.column("x").combine_chunks())

@@ -695,8 +695,112 @@ def _block_pair_neardup(ta: pa.Table, tb: pa.Table, same: bool, tau: float,
     return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": np.concatenate(out_c)})
 
 
+def _lsh_geometry(tau: float, target_recall: float = 0.98,
+                  max_tables: int = 32) -> tuple[int, int]:
+    """Pick (bits, tables) for multi-table hyperplane LSH so that a pair at
+    cosine exactly ``tau`` is caught with probability >= target_recall.
+
+    One b-bit table catches the pair w.p. p^b with p = 1 - arccos(tau)/pi;
+    L independent tables give 1 - (1 - p^b)^L. More bits = smaller buckets
+    (fewer in-bucket dot products) but more tables to recover recall — take
+    the largest b whose required L stays affordable."""
+    p = 1.0 - float(np.arccos(min(max(tau, -1.0), 1.0))) / np.pi
+    best = (4, max_tables)
+    for b in range(16, 3, -1):
+        pb = p ** b
+        if pb <= 1e-9:
+            continue
+        L = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - pb)))
+        if L <= max_tables:
+            return b, max(L, 1)
+    return best
+
+
+class _MultiLshEmitter:
+    """Per-actor state: one hyperplane matrix covering all tables. Each input
+    vector is emitted ``tables`` times keyed by (table << bits) | bucket —
+    only bucket-colliding vectors ever meet in a group."""
+
+    def __init__(self, tables: int, bits: int, seed: int, vec_col: str, id_col: str):
+        self.tables, self.bits, self.seed = tables, bits, seed
+        self.vec_col, self.id_col = vec_col, id_col
+        self.H = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _normalize, _to_matrix
+
+        M = _normalize(_to_matrix(batch, self.vec_col)).astype(np.float32)
+        n, d = M.shape if M.size else (0, 0)
+        empty = pa.table({
+            self.id_col: pa.array([], pa.int64()),
+            "__vec": pa.array([], pa.list_(pa.float32())),
+            "__key": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        if self.H is None:
+            rng = np.random.default_rng(self.seed)
+            self.H = rng.standard_normal((d, self.tables * self.bits)).astype(np.float32)
+        signs = (M @ self.H) > 0
+        buckets = signs.reshape(n, self.tables, self.bits) @ (
+            1 << np.arange(self.bits, dtype=np.int64))
+        keys = (np.arange(self.tables, dtype=np.int64) << self.bits) + buckets  # (n, L)
+        vec = pa.FixedSizeListArray.from_arrays(pa.array(M.reshape(-1)), d)
+        ids = batch.column(self.id_col)
+        return pa.concat_tables([
+            pa.table({self.id_col: ids, "__vec": vec,
+                      "__key": pa.array(keys[:, t_idx])})
+            for t_idx in range(self.tables)
+        ])
+
+
+def embedding_neardup_lsh(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
+                          vec_col: str = "embedding", bits: int | None = None,
+                          tables: int | None = None, seed: int = 99,
+                          target_recall: float = 0.98) -> pd.DataFrame:
+    """Near-dup pairs (cosine >= tau) via multi-table hyperplane LSH + exact
+    in-bucket GEMM — the scale path (VERDICT r2 #3): no O(B^2) block-pair
+    fan-out. Vectors shuffle once per table keyed by (table, bucket); each
+    group runs the same tiled self-GEMM kernel as the exact join, so reported
+    cosines are exact and the only loss is bucket-collision recall (>=
+    ``target_recall`` at cosine == tau by construction, higher above it).
+
+    Geometry auto-tunes from tau unless (bits, tables) are given. Only
+    meaningful when tau is separated from the background cosine mass
+    (tau >= ~0.8 for random-ish embeddings); below that, collision
+    probabilities force L beyond any budget — use the exact blocked join.
+    Skewed buckets (a hot near-dup cluster) bound one group's GEMM; salt or
+    raise ``bits`` if a single bucket exceeds worker memory."""
+    if bits is None or tables is None:
+        auto_b, auto_l = _lsh_geometry(tau, target_recall)
+        bits = bits if bits is not None else auto_b
+        tables = tables if tables is not None else auto_l
+
+    emitted = ds_emb.map_batches(
+        _MultiLshEmitter,
+        fn_constructor_args=(tables, bits, seed, vec_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def pairs_in_bucket(g: pa.Table) -> pd.DataFrame:
+        if g.num_rows < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        return _block_pair_neardup(g, g, True, tau, id_col)
+
+    pairs = emitted.groupby("__key").map_groups(
+        pairs_in_bucket, batch_format="pyarrow").to_pandas()
+    if not len(pairs):
+        return pairs
+    # the same pair surfaces from every table whose bucket catches it
+    return (pairs.drop_duplicates(["vec_a", "vec_b"])
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
 def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
-                            vec_col: str = "embedding"):
+                            vec_col: str = "embedding", method: str = "auto"):
     """Pairs (a < b) with cosine >= tau — EXACT, distributed as a blocked
     cross-join: each Ray Data block is normalized once and materialized in the
     object store; one Ray task per block pair (i <= j) runs a tiled GEMM and
@@ -713,10 +817,20 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
 
     The block-pair cross product is not expressible in the Dataset API (a
     self-join), hence raw Ray tasks over materialized block refs here.
+
+    ``method``: "auto" (default) routes high-tau joins (tau >= 0.8, where
+    bucket collision probabilities make the geometry affordable) to
+    ``embedding_neardup_lsh`` — the scale path with no O(B^2) fan-out — and
+    keeps the exact all-pairs kernel for low tau; "exact" / "lsh" force.
     """
     import ray
 
     from .similarity import _normalize, _to_matrix
+
+    if method not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "lsh" or (method == "auto" and tau >= 0.8):
+        return embedding_neardup_lsh(ds_emb, tau=tau, id_col=id_col, vec_col=vec_col)
 
     def normalize_block(batch: pa.Table) -> pa.Table:
         M = _normalize(_to_matrix(batch, vec_col)).astype(np.float32)

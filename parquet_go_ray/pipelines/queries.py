@@ -676,6 +676,43 @@ def q_sketches_documents(sf_dir):
                          "q50": [qs[0]], "q90": [qs[1]]})
 
 
+def q_embedding_neardup_lsh(sf_dir):
+    """Self-validating LSH near-dup (the scale default for high tau): plant
+    deterministic near-dups over the embeddings table, run multi-table LSH +
+    in-bucket exact GEMM, and assert recall >= 0.95 against the exact blocked
+    join at the same tau — raises on miss; driver records the rows check."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ..ops.dedup import embedding_neardup_lsh, embedding_neardup_pairs
+
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    M = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    rng = np.random.default_rng(1234)
+    planted = M[:50] + 0.04 * rng.standard_normal((50, M.shape[1])).astype(np.float32)
+    vecs = np.concatenate([M, planted])
+    ids = np.concatenate([base["vec_id"].to_numpy(),
+                          base["vec_id"].to_numpy()[:50] + 1_000_000])
+    t = pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), M.shape[1]).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    tau = 0.9
+    got = embedding_neardup_lsh(ds, tau=tau)
+    exact = embedding_neardup_pairs(ds, tau=tau, method="exact")
+    got_set = set(map(tuple, got[["vec_a", "vec_b"]].to_numpy()))
+    exact_set = set(map(tuple, exact[["vec_a", "vec_b"]].to_numpy()))
+    assert not (got_set - exact_set), "LSH invented pairs"
+    recall = len(got_set & exact_set) / max(len(exact_set), 1)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95"
+    return got[["vec_a", "vec_b"]]
+
+
 def q_broadcast_join_orders_customer(sf_dir):
     """Map-side broadcast join: orders (probe, streamed) x customer (build,
     ray.put once) — the 100 TB dimension-join shape; no shuffle of the fact
@@ -745,6 +782,7 @@ QUERIES = {
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "window_events": q_window_events,
     "session_windows_events": q_session_windows_events,
     "hopping_window_events": q_hopping_window_events,

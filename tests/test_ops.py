@@ -442,3 +442,66 @@ def test_lm_quality_score(ray_session):
     out = lm_quality_score(ds, corpus).to_pandas().sort_values("doc_id")
     assert out.lm_bits_per_char.iloc[0] < out.lm_bits_per_char.iloc[1] - 1.0
     assert 0 < out.lm_bits_per_char.iloc[0] < 8
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """LSH-bucketed default (VERDICT r2 #3): recall >= 0.95 vs the exact
+    blocked join at the same tau, no O(B^2) task fan-out, exact cosines."""
+    from parquet_go_ray.ops.dedup import (embedding_neardup_lsh,
+                                          embedding_neardup_pairs)
+
+    rng = np.random.default_rng(42)
+    n, d = 400, 32
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    # plant 60 near-dups: unit-normalize then nudge -> cosine ~0.97-0.999
+    basen = base / np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = basen[:60] + 0.05 * rng.standard_normal((60, d)).astype(np.float32)
+    vecs = np.concatenate([basen, noisy])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+    tau = 0.9
+    exact = embedding_neardup_pairs(ds, tau=tau, method="exact")
+    got = embedding_neardup_lsh(ds, tau=tau)
+    exact_set = set(map(tuple, exact[["vec_a", "vec_b"]].to_numpy()))
+    got_set = set(map(tuple, got[["vec_a", "vec_b"]].to_numpy()))
+    assert len(exact_set) >= 50, "test fixture should plant enough true pairs"
+    assert not (got_set - exact_set), "LSH must not invent pairs (cosines are exact)"
+    recall = len(got_set & exact_set) / len(exact_set)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
+    # cosine values exact where found
+    merged = got.merge(exact, on=["vec_a", "vec_b"], suffixes=("_l", "_e"))
+    np.testing.assert_allclose(merged.cosine_l, merged.cosine_e, rtol=1e-6)
+
+
+def test_embedding_neardup_auto_routes(ray_session):
+    """auto: high tau -> LSH (identical pair set here), low tau -> exact."""
+    from parquet_go_ray.ops import dedup as dd
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs = np.concatenate([base, base[:8] * 1.001])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(48, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), 16).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    auto = dd.embedding_neardup_pairs(ds, tau=0.999)  # routes to LSH
+    found = set(map(tuple, auto[["vec_a", "vec_b"]].to_numpy()))
+    assert {(i, 40 + i) for i in range(8)} <= found
+
+
+def test_lsh_geometry_recall_math():
+    from parquet_go_ray.ops.dedup import _lsh_geometry
+
+    for tau in (0.8, 0.9, 0.95, 0.99):
+        b, L = _lsh_geometry(tau, 0.98)
+        p = 1 - np.arccos(tau) / np.pi
+        recall = 1 - (1 - p ** b) ** L
+        assert recall >= 0.98, (tau, b, L, recall)
+        assert 4 <= b <= 16 and 1 <= L <= 32

@@ -21,8 +21,15 @@ from ..stages.codec import EncodeStage
 from ..state import manifest as mf
 
 
-def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int = 2) -> list[list[dict]]:
-    """Groups of small same-key partition records to merge (driver, metadata only)."""
+def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int = 2,
+                    max_group_files: int = 64) -> list[list[dict]]:
+    """Groups of small same-key partition records to merge (driver, metadata only).
+
+    Groups close at EITHER bound — ``target_bytes`` of payload or
+    ``max_group_files`` members — so a key with thousands of tiny files
+    splits into many parallel merge tasks instead of one straggler group
+    whose per-file decode overhead bounds the whole pass (VERDICT r2 #9:
+    52.9 s single-group compact under load)."""
     by_key: dict[str, list[dict]] = {}
     for rec in mf.load_records(out_dir):
         if rec.get("bytes_out", 0) >= target_bytes:
@@ -35,7 +42,7 @@ def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int 
         for r in recs:
             cur.append(r)
             size += r["bytes_out"]
-            if size >= target_bytes:
+            if size >= target_bytes or len(cur) >= max_group_files:
                 groups.append(cur)
                 cur, size = [], 0
         if len(cur) >= min_group:
@@ -44,9 +51,10 @@ def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int 
 
 
 def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
-                       config: EncodeConfig | None = None, concurrency=None) -> dict:
+                       config: EncodeConfig | None = None, concurrency=None,
+                       max_group_files: int = 64) -> dict:
     """Run the compaction plan; returns {"groups": n, "merged_files": m}."""
-    groups = plan_compaction(out_dir, target_bytes)
+    groups = plan_compaction(out_dir, target_bytes, max_group_files=max_group_files)
     if not groups:
         return {"groups": 0, "merged_files": 0}
     cfg = config or EncodeConfig()

@@ -28,16 +28,31 @@ def partition_id_for(body: bytes) -> str:
 
 
 class EncodeStage:
-    """pa.Table batch -> one partition file; emits the lineage row."""
+    """pa.Table batch -> one partition file; emits the lineage row.
 
-    def __init__(self, out_dir: str, config: EncodeConfig | None = None):
+    ``max_batch_bytes`` is the encode-side twin of DecodeStage's declared-size
+    cap (the reference's alloc.go role): a batch whose Arrow payload exceeds
+    the cap fails fast with a re-shard message instead of OOM-killing the
+    worker mid-encode — the one batch Ray's backpressure can't split."""
+
+    DEFAULT_MAX_BATCH_BYTES = 4 << 30
+
+    def __init__(self, out_dir: str, config: EncodeConfig | None = None,
+                 max_batch_bytes: int | None = DEFAULT_MAX_BATCH_BYTES):
         self.out_dir = out_dir
         self.config = config or EncodeConfig()
+        self.max_batch_bytes = max_batch_bytes
         fsio.makedirs(out_dir)
 
     def __call__(self, batch: pa.Table, tag: str | None = None) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({k: pa.array([], type=t) for k, t in _LINEAGE_SCHEMA})
+        if self.max_batch_bytes and batch.nbytes > self.max_batch_bytes:
+            raise ValueError(
+                f"encode batch of {batch.num_rows} rows declares {batch.nbytes} "
+                f"Arrow bytes, over the {self.max_batch_bytes}-byte task cap — "
+                f"re-shard it (smaller batch_rows / target_max_block_size)"
+            )
         body, lineage = encode_table(batch, self.config)
         pid = partition_id_for(body)
         path = fsio.join(self.out_dir, f"part-{pid}.rdpg")

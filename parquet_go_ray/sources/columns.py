@@ -54,10 +54,14 @@ def _compress(payload, codec: str):
     return pa.compress(payload, codec=codec)
 
 
-def _decompress(payload: bytes, codec: str, usize: int) -> bytes:
+def _decompress(payload: bytes, codec: str, usize: int):
+    """-> buffer-like (bytes or zero-copy memoryview of the arrow Buffer).
+    No .to_pybytes(): that copied EVERY decompressed page — a full extra pass
+    over the decoded dataset. Decoders consume via np.frombuffer /
+    int.from_bytes / slicing, all of which take memoryviews."""
     if codec == "none" or usize == 0:
         return payload
-    return pa.decompress(payload, decompressed_size=usize, codec=codec).to_pybytes()
+    return memoryview(pa.decompress(payload, decompressed_size=usize, codec=codec))
 
 
 _INT_CLASS = {"int8": 32, "int16": 32, "int32": 32, "uint8": 32, "uint16": 32, "uint32": 32,

@@ -310,10 +310,16 @@ def minhash_verify_pairs(pairs_ds, sigs_ds, threshold: float = 0.7, *,
         import pyarrow.compute as pc
 
         n = t.num_rows
-        # candidate set is small post-LSH; list cells may arrive as plain
-        # list<int64> after the join, so go through pylist
-        a = np.array(t.column("__sig_a").to_pylist(), dtype=np.int64).reshape(n, -1)
-        b = np.array(t.column("__sig_b").to_pylist(), dtype=np.int64).reshape(n, -1)
+
+        def mat(col):
+            # list cells may arrive as plain list<int64> after the join;
+            # flatten() respects list offsets, so this stays zero-copy for
+            # both list and fixed_size_list layouts (rows are all num_perm
+            # long by construction).
+            arr = col.combine_chunks()
+            return np.asarray(arr.flatten(), dtype=np.int64).reshape(n, -1)
+
+        a, b = mat(t.column("__sig_a")), mat(t.column("__sig_b"))
         j = (a == b).mean(axis=1) if n else np.empty(0)
         out = pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
                         "jaccard": pa.array(j)})
@@ -566,14 +572,18 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
     return with_b.map_batches(verify, batch_format="pandas")
 
 
-def _gram_hash_sets(texts: list[str] | pa.Array | pa.ChunkedArray, n: int) -> list[np.ndarray]:
+def _gram_hash_sets(texts: list[str] | pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Unique word-n-gram hash set per text, computed in ONE vectorized pass:
     tokenization is ``utf8_split_whitespace`` (C-level, matching Python
     ``str.split`` semantics), all words hash together (one arrow array), gram
     hashes are a polynomial fold of n consecutive word hashes masked at doc
     boundaries (same shape as _shingle_hashes, but over words).
     Shorter-than-n docs get one gram of all their words (zero-padded fold) —
-    matching ``tuple(words)`` semantics."""
+    matching ``tuple(words)`` semantics.
+
+    Returns ``(uniq_hashes, ubounds)``: text i's sorted unique gram hashes are
+    ``uniq_hashes[ubounds[i]:ubounds[i+1]]``. Per-text dedup is ONE segmented
+    lexsort over (text, hash) — no per-doc Python loop."""
     import pyarrow.compute as pc
 
     from ..pipelines.encode import _stable_hash
@@ -620,9 +630,18 @@ def _gram_hash_sets(texts: list[str] | pa.Array | pa.ChunkedArray, n: int) -> li
     np.cumsum(n_g, out=bounds[1:])
     # A zero-word doc has no position of its own — pin its single gram to a
     # constant so all empty docs match each other, nothing else.
-    for i in np.flatnonzero(wlens == 0):
-        gh[bounds[i]] = 0
-    return [np.unique(gh[bounds[i] : bounds[i + 1]]) for i in range(len(texts))]
+    empty = np.flatnonzero(wlens == 0)
+    gh[bounds[empty]] = 0
+    doc = np.repeat(np.arange(len(texts), dtype=np.int64), n_g)
+    order = np.lexsort((gh, doc))
+    gs, ds_ = gh[order], doc[order]
+    first = np.ones(len(gs), dtype=bool)
+    if len(gs) > 1:
+        first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+    uh = gs[first]
+    ubounds = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ds_[first], minlength=len(texts)), out=ubounds[1:])
+    return uh, ubounds
 
 
 def _pairwise_ngram_jaccard(texts_a: list[str], texts_b: list[str], n: int) -> np.ndarray:
@@ -634,16 +653,22 @@ def _pairwise_ngram_jaccard(texts_a: list[str], texts_b: list[str], n: int) -> n
         return np.empty(0, dtype=np.float64)
     uniq = list(dict.fromkeys(texts_a + texts_b))
     index = {s: i for i, s in enumerate(uniq)}
-    sets = _gram_hash_sets(uniq, n)
+    uh, ub = _gram_hash_sets(uniq, n)
     ia = np.array([index[s] for s in texts_a], dtype=np.int64)
     ib = np.array([index[s] for s in texts_b], dtype=np.int64)
-    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    lens = np.diff(ub)
     la, lb = lens[ia], lens[ib]
     pid = np.concatenate([np.repeat(np.arange(npairs), la), np.repeat(np.arange(npairs), lb)])
-    hh = np.concatenate(
-        [np.concatenate([sets[i] for i in ia]) if la.sum() else np.empty(0, np.uint64),
-         np.concatenate([sets[i] for i in ib]) if lb.sum() else np.empty(0, np.uint64)]
-    )
+
+    def gather(idx: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        total = int(seg.sum())
+        if not total:
+            return np.empty(0, np.uint64)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(seg[:-1])]), seg)
+        return uh[np.repeat(ub[idx], seg) + within]
+
+    hh = np.concatenate([gather(ia, la), gather(ib, lb)])
     order = np.lexsort((hh, pid))
     p_s, h_s = pid[order], hh[order]
     same = (p_s[1:] == p_s[:-1]) & (h_s[1:] == h_s[:-1])

@@ -126,21 +126,17 @@ class Decontaminator:
         from .dedup import _gram_hash_sets
 
         eval_texts = ray.get(eval_ref) if not isinstance(eval_ref, list) else eval_ref
-        sets = _gram_hash_sets(list(eval_texts), n)
-        self.eval_grams = (np.unique(np.concatenate(sets))
-                           if sets else np.empty(0, np.uint64))
+        uh, _ = _gram_hash_sets(list(eval_texts), n)
+        self.eval_grams = np.unique(uh)
         self.n = n
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .dedup import _gram_hash_sets
 
-        sets = _gram_hash_sets(batch.column(self.text_col), self.n)
-        lens = np.array([len(s) for s in sets], dtype=np.int64)
-        flat = np.concatenate(sets) if len(sets) else np.empty(0, np.uint64)
+        flat, bounds = _gram_hash_sets(batch.column(self.text_col), self.n)
+        lens = np.diff(bounds)
         hit = np.isin(flat, self.eval_grams)
-        bounds = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=bounds[1:])
         n_hits = np.add.reduceat(hit.astype(np.int64), bounds[:-1]) if len(flat) else np.zeros(len(lens), np.int64)
         n_hits = np.where(lens > 0, n_hits, 0)
         return batch.append_column(

@@ -479,17 +479,22 @@ def _broadcast_id_filter(cands_ds, cols: list[str]):
     return ray.put(IdMembershipFilter(ids))
 
 
-def _semi_filter(ds, id_col: str, filter_ref):
+def _semi_filter(ds, id_col: str, filter_ref, invert: bool = False):
     """Keep only rows whose ``id_col`` passes the broadcast membership filter
     — the semi-join prefilter that bounds every attach pass to O(candidates)
     rows (VERDICT r2 'what's wrong' #1: without it, the _attach_text union
-    shuffled the ENTIRE corpus regardless of candidate count)."""
+    shuffled the ENTIRE corpus regardless of candidate count).
+    ``invert=True`` turns it into the anti-join (drop members instead) — the
+    keep-set filter of dedup; Bloom-mode false positives then DROP up to
+    ~0.2% extra rows, so anti-join callers above the Bloom threshold should
+    size ``bloom_threshold`` to stay exact when that matters."""
 
     def keep(t: pa.Table) -> pa.Table:
         import ray
 
         filt = ray.get(filter_ref)  # local-object-store read, zero-copy
-        return t.filter(pa.array(filt.contains(t.column(id_col).to_numpy(zero_copy_only=False))))
+        mask = filt.contains(t.column(id_col).to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(~mask if invert else mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 

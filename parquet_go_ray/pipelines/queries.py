@@ -535,6 +535,34 @@ def q_dedup_exact_documents(sf_dir):
     return dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_cluster_entities_documents(sf_dir):
+    """Entity-resolution clustering (ops/cluster.py): documents transitively
+    linked through EITHER blocking key — (source, lang) or (lang,
+    n_chars mod 97) — collapse into one component via distributed
+    connected components; cluster_id = min doc_id of the component. The
+    multi-hop merges (16 components of sizes 218..1 at sf0.01) are checked
+    value-exact against a DuckDB recursive-CTE transitive closure."""
+    import pyarrow.compute as pc
+
+    from ..ops.cluster import (assign_clusters, duplicate_clusters,
+                               key_equality_pairs)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+
+    def blocking_keys(t):
+        k1 = pc.binary_join_element_wise(t.column("source"), t.column("lang"), "|")
+        mod = pa.array((np.asarray(t.column("n_chars")) % 97).astype(str))
+        k2 = pc.binary_join_element_wise(t.column("lang").combine_chunks(), mod, "|")
+        return pa.table({"doc_id": t.column("doc_id"), "__k1": k1, "__k2": k2})
+
+    keyed = ds.map_batches(blocking_keys, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    pairs = key_equality_pairs(keyed, "__k1").union(
+        key_equality_pairs(keyed, "__k2"))
+    clusters = duplicate_clusters(pairs)
+    return assign_clusters(ds.select_columns(["doc_id"]), clusters)
+
+
 def _planted_dup_ds(sf_dir, n_plant: int = 20):
     """First 100 docs + exact copies of the first ``n_plant`` under new ids —
     an exact duplicate collides in EVERY minhash band / simhash bucket and has
@@ -870,6 +898,7 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "dedup_exact_documents": q_dedup_exact_documents,
+    "cluster_entities_documents": q_cluster_entities_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -961,6 +990,21 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "cluster_entities_documents": (
+        "WITH RECURSIVE edges AS ("
+        "    SELECT a.doc_id AS u, b.doc_id AS v FROM documents a JOIN documents b"
+        "      ON a.source = b.source AND a.lang = b.lang"
+        "    UNION"
+        "    SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b"
+        "      ON a.lang = b.lang AND a.n_chars % 97 = b.n_chars % 97"
+        "),"
+        "reach(u, label) AS ("
+        "    SELECT doc_id, doc_id FROM documents"
+        "    UNION"
+        "    SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v"
+        ")"
+        "SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u"
     ),
     "embedding_neardup": (
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "

@@ -1,0 +1,96 @@
+"""Connected-component duplicate clustering (ops/cluster.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _union_find(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_clusters_match_union_find_random_graph(ray_session):
+    from parquet_go_ray.ops.cluster import duplicate_clusters
+
+    rng = np.random.default_rng(7)
+    # ~300 nodes, sparse random pairs -> mix of singleton-free components,
+    # chains, and merged blobs
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 300, (220, 2)) if a != b]
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+    out = duplicate_clusters(ds, max_iters=12, num_partitions=8).to_pandas()
+    nodes = sorted({n for p in pairs for n in p})
+    expect = _union_find(pairs, nodes)
+    assert len(out) == len(nodes)
+    got = dict(zip(out.node, out.cluster_id))
+    assert got == expect
+
+
+def test_clusters_chain_needs_iterations(ray_session):
+    """A path graph exercises multi-round propagation (diameter rounds)."""
+    from parquet_go_ray.ops.cluster import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(30)]  # one 31-node path, min id 0
+    ds = rd.from_pandas(pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    out = duplicate_clusters(ds, max_iters=12, num_partitions=8).to_pandas()
+    assert (out.cluster_id == 0).all() and len(out) == 31
+
+
+def test_clusters_unconverged_raises(ray_session, monkeypatch):
+    import parquet_go_ray.ops.cluster as C
+
+    # force the chain across many partitions so one round cannot solve it
+    monkeypatch.setattr(C, "_EDGES_PER_PARTITION", 4)
+    chain = [(i, i + 1) for i in range(30)]
+    ds = rd.from_pandas(pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
+    with pytest.raises(RuntimeError, match="not converged"):
+        C.duplicate_clusters(ds, max_iters=1, num_partitions=8)
+
+
+def test_dedup_near_minhash_end_to_end(ray_session):
+    """Planted transitive near-dup groups (A~B~C) collapse to the min-id
+    member; untouched docs all survive."""
+    from parquet_go_ray.ops.cluster import dedup_near
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    next_id = 0
+    planted_groups = []
+    for i in range(30):
+        t = " ".join(rng.choice(words, 80))
+        group = [next_id]
+        texts.append(t)
+        next_id += 1
+        if i < 6:  # plant a 3-member near-dup chain: tweak 1 word each step
+            toks = t.split()
+            for step in range(2):
+                toks = list(toks)
+                toks[3 + step] = f"CHANGED{step}"
+                texts.append(" ".join(toks))
+                group.append(next_id)
+                next_id += 1
+        planted_groups.append(group)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    kept = set(dedup_near(ds, method="minhash", threshold=0.5, num_partitions=8)
+               .to_pandas().doc_id)
+    for group in planted_groups:
+        survivors = kept & set(group)
+        assert survivors == {min(group)}, (group, survivors)
+    # every singleton doc survived
+    singles = {g[0] for g in planted_groups if len(g) == 1}
+    assert singles <= kept

@@ -338,3 +338,112 @@ def lm_quality_score(ds, sample_texts: list[str], *, text_col: str = "text",
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency or _default_concurrency(),
     )
+
+
+# -------------------------------------------- intra-document repetition removal
+def _dedup_segments_batch(t: pa.Table, delimiter: str, text_col: str) -> pa.Table:
+    """Keep the FIRST occurrence of each distinct segment within a document,
+    preserving order. Exact (Arrow dictionary_encode gives collision-free
+    segment identities) and fully vectorized: one split, one dictionary
+    encode, one segmented lexsort, one filtered re-join."""
+    col = t.column(text_col).combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], type=pa.string())
+    split = pc.split_pattern(col, pattern=delimiter)
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    counts = np.diff(offs)
+    flat = split.flatten()
+    codes = np.asarray(
+        flat.dictionary_encode().indices.fill_null(-1), dtype=np.int64)
+    doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(len(codes), dtype=np.int64)
+    order = np.lexsort((pos, codes, doc))
+    d_s, c_s = doc[order], codes[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    keep = np.zeros(len(codes), dtype=bool)
+    keep[order[first]] = True
+    kept = flat.filter(pa.array(keep))
+    if isinstance(kept, pa.ChunkedArray):
+        kept = kept.combine_chunks()
+    csum = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(keep, out=csum[1:])
+    new_offs = (csum[offs]).astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offs), kept), delimiter)
+    return t.set_column(t.schema.get_field_index(text_col), text_col, joined)
+
+
+def dedup_segments(ds, *, delimiter: str = "\n", text_col: str = "text"):
+    """Remove repeated segments (lines / paragraphs / words, by
+    ``delimiter``) WITHIN each document, keeping first occurrences in order —
+    the intra-document repetition-removal step of web-corpus pipelines
+    (the Gopher / RefinedWeb "repetition removal" family). Strictly per-row
+    semantics: a streaming map_batches, no shuffle."""
+    return ds.map_batches(
+        lambda t: _dedup_segments_batch(t, delimiter, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ sequence packing
+def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
+                   id_col: str = "doc_id"):
+    """Assign every document its training-sequence index: documents are laid
+    out contiguously in id order and cut into fixed ``seq_len`` token
+    sequences; a doc's ``seq_id`` is ``floor(exclusive_prefix_sum(n_tok) /
+    seq_len)`` and ``tok_start`` its global token offset — the
+    sequence-packing step in front of LLM pre-training.
+
+    Distributed exclusive prefix sum, no shuffle: pass 1 streams per-BLOCK
+    (min_id, token_sum) summaries to the driver (O(blocks) ints); the driver
+    sorts by min_id and broadcasts the exclusive prefixes via ``ray.put``;
+    pass 2 streams the data again, adding each block's offset to its local
+    cumsum. Requires a deterministic, id-sorted input (a fresh
+    ``read_parquet`` of id-sorted files — the testdata layout — qualifies);
+    both passes run block-aligned (``batch_size=None``) so the summaries
+    line up exactly.
+    """
+    import ray
+
+    def summarize(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col))
+        return pa.table({
+            "min_id": pa.array([int(ids.min()) if len(ids) else -1]),
+            "tok_sum": pa.array([int(np.asarray(t.column(count_col)).sum())]),
+        })
+
+    summary = [(r["min_id"], r["tok_sum"])
+               for b in ds.map_batches(summarize, batch_format="pyarrow",
+                                       batch_size=None, zero_copy_batch=True)
+               .iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()]
+    summary.sort()
+    mins = np.array([m for m, _ in summary], dtype=np.int64)
+    sums = np.array([s for _, s in summary], dtype=np.int64)
+    excl = np.zeros(len(sums), dtype=np.int64)
+    np.cumsum(sums[:-1], out=excl[1:])
+    ref = ray.put((mins, excl))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = pa.array([], type=pa.int64())
+            return t.append_column("tok_start", empty).append_column(
+                "seq_id", empty)
+        mins_b, excl_b = ray.get(ref)
+        ids = np.asarray(t.column(id_col))
+        n = np.asarray(t.column(count_col), dtype=np.int64)
+        block = np.searchsorted(mins_b, int(ids.min()) if len(ids) else -1)
+        if block >= len(mins_b) or mins_b[block] != (ids.min() if len(ids) else -1):
+            raise ValueError(
+                "pack_sequences: pass-2 block boundaries do not match pass 1 "
+                "(input dataset is not deterministic)")
+        start = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(n[:-1], out=start[1:])
+        start += excl_b[block]
+        return t.append_column(
+            "tok_start", pa.array(start)).append_column(
+            "seq_id", pa.array(start // seq_len))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)

@@ -528,6 +528,31 @@ def q_fingerprint_documents(sf_dir):
     return a[["doc_id", "fingerprint"]]
 
 
+def q_dedup_segments_documents(sf_dir):
+    """Intra-document repetition removal (ops/text.py:dedup_segments): keep
+    the first occurrence of each distinct segment within a document. The
+    corpus here is single-line, so the demo delimiter is the space (word
+    dedup); at scale the same kernel runs on newline for line/paragraph
+    repetition removal. Streaming map_batches, no shuffle."""
+    from ..ops.text import dedup_segments
+
+    return dedup_segments(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          delimiter=" ")
+
+
+def q_pack_sequences_documents(sf_dir):
+    """Sequence packing (ops/text.py:pack_sequences): global token offset and
+    fixed-length training-sequence id per document via a distributed
+    exclusive prefix sum — per-block summaries to the driver (O(blocks)
+    ints), offsets broadcast, two streaming passes, no shuffle."""
+    from ..ops.text import add_token_count, pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_token_count, batch_format="pyarrow", zero_copy_batch=True)
+    out = pack_sequences(ds, seq_len=512)
+    return out.select_columns(["doc_id", "n_tok", "tok_start", "seq_id"])
+
+
 # --------------------------------------------------------------------- dedup
 def q_dedup_exact_documents(sf_dir):
     from ..ops.dedup import dedup_exact
@@ -899,6 +924,8 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "dedup_exact_documents": q_dedup_exact_documents,
     "cluster_entities_documents": q_cluster_entities_documents,
+    "dedup_segments_documents": q_dedup_segments_documents,
+    "pack_sequences_documents": q_pack_sequences_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -990,6 +1017,26 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "dedup_segments_documents": (
+        "SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text FROM ("
+        "  SELECT doc_id, word, pos, row_number() OVER"
+        "    (PARTITION BY doc_id, word ORDER BY pos) AS rn"
+        "  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,"
+        "        generate_subscripts(string_split(text, ' '), 1) AS pos"
+        "        FROM documents)"
+        ") WHERE rn = 1 GROUP BY doc_id"
+    ),
+    "pack_sequences_documents": (
+        r"SELECT doc_id,"
+        r" CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,"
+        r" CAST(COALESCE(sum(len(regexp_extract_all(text, '\S+'))) OVER"
+        r"  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        r"  AS BIGINT) AS tok_start,"
+        r" CAST(COALESCE(sum(len(regexp_extract_all(text, '\S+'))) OVER"
+        r"  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        r"  // 512 AS BIGINT) AS seq_id"
+        r" FROM documents"
     ),
     "cluster_entities_documents": (
         "WITH RECURSIVE edges AS ("

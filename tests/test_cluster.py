@@ -94,3 +94,27 @@ def test_dedup_near_minhash_end_to_end(ray_session):
     # every singleton doc survived
     singles = {g[0] for g in planted_groups if len(g) == 1}
     assert singles <= kept
+
+
+def test_dedup_segments_newline_mode(ray_session):
+    from parquet_go_ray.ops.text import dedup_segments
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["l1\nl2\nl1\nl3\nl2", "single", ""],
+    }))
+    out = dedup_segments(ds, delimiter="\n").to_pandas().sort_values("doc_id")
+    assert out.text.tolist() == ["l1\nl2\nl3", "single", ""]
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    from parquet_go_ray.ops.text import pack_sequences
+
+    n = 100
+    toks = np.arange(1, n + 1, dtype=np.int64)  # 1..100 tokens per doc
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                                      "n_tok": toks})).materialize()
+    out = pack_sequences(ds, seq_len=64).to_pandas().sort_values("doc_id")
+    expect_start = np.concatenate([[0], np.cumsum(toks[:-1])])
+    assert (out.tok_start.to_numpy() == expect_start).all()
+    assert (out.seq_id.to_numpy() == expect_start // 64).all()

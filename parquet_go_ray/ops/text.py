@@ -447,3 +447,85 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
+
+
+# --------------------------------------------------- data-mixture reweighting
+def stratified_sample(ds, rates: dict[str, float], *, key_col: str = "source",
+                      id_col: str = "doc_id", salt: int = 0,
+                      default_rate: float = 1.0):
+    """Deterministic per-stratum subsampling — the data-mixing / source-
+    reweighting step of LLM corpus construction (keep 10% of crawl, 100% of
+    books, ...). A document survives iff
+    ``knuth_hash(id + salt) % 10_000 < rate(stratum) * 10_000`` — the same
+    multiplicative hash as ``train_val_split``, so it is reproducible across
+    runs and engines (and SQL-expressible for the oracle), independent of
+    batch/partition layout, and disjoint salts give independent samples.
+
+    The rate table is tiny and ships inside the closure; the filter is a
+    stateless vectorized map_batches — no shuffle, no coordination."""
+    items = sorted(rates.items())
+    keys = pa.array([k for k, _ in items], type=pa.string())
+    thresholds = np.array([int(r * 10_000) for _, r in items], dtype=np.uint64)
+    default_thresh = np.uint64(int(default_rate * 10_000))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col)).astype(np.uint64)
+        h = ((ids + np.uint64(salt)) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        bucket = h % np.uint64(10_000)
+        idx = pc.index_in(t.column(key_col), value_set=keys)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        idx_np = np.asarray(idx.fill_null(-1), dtype=np.int64)
+        thresh = np.where(idx_np >= 0, thresholds[idx_np.clip(0)],
+                          default_thresh)
+        return t.filter(pa.array(bucket < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------- repetition signals
+def add_repetition_signals(batch: pa.Table, *, delimiter: str = "\n",
+                           text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition metrics per document: the fraction of
+    segments (and of characters) occurring more than once. Shares the split
+    + dictionary-encode + segmented-lexsort shape of ``dedup_segments`` —
+    vectorized, streaming, no shuffle."""
+    col = batch.column(text_col).combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], type=pa.string())
+    split = pc.split_pattern(col, pattern=delimiter)
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    counts = np.diff(offs)
+    flat = split.flatten()
+    seg_chars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    codes = np.asarray(
+        flat.dictionary_encode().indices.fill_null(-1), dtype=np.int64)
+    doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(len(codes), dtype=np.int64)
+    order = np.lexsort((pos, codes, doc))
+    d_s, c_s = doc[order], codes[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    # a segment is "repeated" if its (doc, code) group has size > 1; mark ALL
+    # members of such groups (the Gopher duplicate-line fraction counts them
+    # all, including the first occurrence)
+    grp = np.cumsum(first) - 1
+    gsize = np.bincount(grp, minlength=grp[-1] + 1 if len(grp) else 0)
+    rep_sorted = gsize[grp] > 1 if len(grp) else np.zeros(0, dtype=bool)
+    rep = np.zeros(len(codes), dtype=bool)
+    rep[order] = rep_sorted
+    csum_n = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(rep, out=csum_n[1:])
+    rep_per_doc = csum_n[offs[1:]] - csum_n[offs[:-1]]
+    csum_c = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(np.where(rep, seg_chars, 0), out=csum_c[1:])
+    repc_per_doc = csum_c[offs[1:]] - csum_c[offs[:-1]]
+    tot_c = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(seg_chars, out=tot_c[1:])
+    totc_per_doc = tot_c[offs[1:]] - tot_c[offs[:-1]]
+    frac_seg = rep_per_doc / np.maximum(counts, 1)
+    frac_chr = repc_per_doc / np.maximum(totc_per_doc, 1)
+    return batch.append_column(
+        "frac_dup_segments", pa.array(frac_seg)).append_column(
+        "frac_dup_chars", pa.array(frac_chr))

@@ -528,6 +528,28 @@ def q_fingerprint_documents(sf_dir):
     return a[["doc_id", "fingerprint"]]
 
 
+def q_stratified_sample_documents(sf_dir):
+    """Data-mixture reweighting (ops/text.py:stratified_sample): drop src0,
+    keep 25% of src1, 50% of src2, everything else — deterministic
+    Knuth-hash thresholds, stateless streaming filter, no shuffle."""
+    from ..ops.text import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_sample(
+        ds, {"src0": 0.0, "src1": 0.25, "src2": 0.5}, default_rate=1.0)
+
+
+def q_repetition_signals_documents(sf_dir):
+    """Gopher-style repetition metrics (ops/text.py:add_repetition_signals):
+    per-document fraction of repeated segments / characters (word-level on
+    this single-line corpus)."""
+    from ..ops.text import add_repetition_signals
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: add_repetition_signals(t, delimiter=" ").drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_segments_documents(sf_dir):
     """Intra-document repetition removal (ops/text.py:dedup_segments): keep
     the first occurrence of each distinct segment within a document. The
@@ -926,6 +948,8 @@ QUERIES = {
     "cluster_entities_documents": q_cluster_entities_documents,
     "dedup_segments_documents": q_dedup_segments_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "repetition_signals_documents": q_repetition_signals_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -1017,6 +1041,24 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "stratified_sample_documents": (
+        "SELECT doc_id, source FROM documents "
+        "WHERE ((doc_id * 2654435761) % 4294967296) % 10000 < "
+        "CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 2500 "
+        "WHEN 'src2' THEN 5000 ELSE 10000 END"
+    ),
+    "repetition_signals_documents": (
+        "WITH w AS ("
+        "  SELECT doc_id, word, count(*) OVER (PARTITION BY doc_id, word) AS c"
+        "  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+        "        FROM documents))"
+        "SELECT doc_id,"
+        " sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)"
+        "   AS frac_dup_segments,"
+        " sum(CASE WHEN c > 1 THEN len(word) ELSE 0 END) * 1.0 /"
+        "   greatest(sum(len(word)), 1) AS frac_dup_chars "
+        "FROM w GROUP BY doc_id"
     ),
     "dedup_segments_documents": (
         "SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text FROM ("

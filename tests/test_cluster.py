@@ -118,3 +118,29 @@ def test_pack_sequences_prefix_sum(ray_session):
     expect_start = np.concatenate([[0], np.cumsum(toks[:-1])])
     assert (out.tok_start.to_numpy() == expect_start).all()
     assert (out.seq_id.to_numpy() == expect_start // 64).all()
+
+
+def test_stratified_sample_rates(ray_session):
+    from parquet_go_ray.ops.text import stratified_sample
+
+    n = 20000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "source": np.where(np.arange(n) % 2 == 0, "keep_half",
+                                          "keep_all")})
+    ds = rd.from_pandas(df)
+    out = stratified_sample(ds, {"keep_half": 0.5}, key_col="source",
+                            default_rate=1.0).to_pandas()
+    kept_all = (out.source == "keep_all").sum()
+    kept_half = (out.source == "keep_half").sum()
+    assert kept_all == n // 2  # default rate keeps everything
+    assert abs(kept_half / (n // 2) - 0.5) < 0.02  # hash-uniform ~50%
+    # deterministic: identical second run
+    out2 = stratified_sample(ds, {"keep_half": 0.5}, key_col="source",
+                             default_rate=1.0).to_pandas()
+    assert set(out.doc_id) == set(out2.doc_id)
+    # a different salt gives a (mostly) different sample
+    out3 = stratified_sample(ds, {"keep_half": 0.5}, key_col="source",
+                             salt=7, default_rate=1.0).to_pandas()
+    half3 = set(out3[out3.source == "keep_half"].doc_id)
+    half1 = set(out[out.source == "keep_half"].doc_id)
+    assert half1 != half3

@@ -1,0 +1,85 @@
+"""Deterministic global shuffle for training-data ordering.
+
+A reproducible, seed-keyed permutation of the corpus — the "shuffle the
+training set" step — expressed as a distributed counting sort so the global
+order comes out exact without a full all-to-all sort of corpus bytes:
+
+  pass 1  streaming histogram of the shuffle keys into ``num_buckets``
+          ranges (vectorized, no shuffle);
+  driver  exclusive prefix over the bucket counts (num_buckets ints);
+  pass 2  one hash shuffle keyed by bucket; inside each bucket group the
+          rows sort locally by key and take
+          ``rank = bucket_offset + local position``.
+
+The shuffle key is the Knuth multiplicative hash ``(id + seed) * 2654435761
+mod 2^32`` — a BIJECTION on 32-bit ids (odd multiplier), so ranks are unique
+without tie-breaking for id spaces < 2^32; ties on larger id spaces break by
+id, which both sides of the oracle specify identically. Changing ``seed``
+gives an independent permutation; re-running gives the identical one.
+
+Only (id, key) pairs move through the one shuffle — never document bodies;
+callers re-attach content by id (broadcast join / zipped write) or pass the
+full table through when the corpus itself is being rewritten in shuffle
+order (inherent cost of a physical shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_MOD = np.uint64(1 << 32)
+
+
+def _shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
+    return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD
+
+
+def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
+                               num_buckets: int = 4096,
+                               num_partitions: int = 64):
+    """Append ``shuffle_pos`` — the row's position in the seed-keyed global
+    permutation — to every row of ``ds`` (id and any other columns pass
+    through the bucket shuffle)."""
+    import ray
+
+    def histogram(t: pa.Table) -> pa.Table:
+        keys = _shuffle_key(np.asarray(t.column(id_col)), seed)
+        bucket = (keys * np.uint64(num_buckets)) >> np.uint64(32)
+        counts = np.bincount(bucket.astype(np.int64), minlength=num_buckets)
+        return pa.table({"bucket": pa.array(np.arange(num_buckets)),
+                         "n": pa.array(counts)})
+
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    for b in (ds.map_batches(histogram, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")):
+        totals[np.asarray(b.column("bucket"))] += np.asarray(b.column("n"))
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = _shuffle_key(np.asarray(t.column(id_col)), seed)
+        bucket = (keys * np.uint64(num_buckets)) >> np.uint64(32)
+        return (t.append_column("__key", pa.array(keys.view(np.int64)))
+                .append_column("__bucket", pa.array(bucket.astype(np.int64)))
+                .append_column("__p", pa.array(
+                    bucket.astype(np.int64) % num_partitions)))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(ref)
+        out = []
+        for bucket, grp in g.groupby("__bucket", sort=True):
+            grp = grp.sort_values(
+                ["__key", id_col], kind="stable").reset_index(drop=True)
+            grp["shuffle_pos"] = offs[int(bucket)] + np.arange(len(grp))
+            out.append(grp)
+        res = pd.concat(out, ignore_index=True) if out else g.assign(
+            shuffle_pos=np.empty(0, dtype=np.int64))
+        return res.drop(columns=["__key", "__bucket", "__p"])
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__p").map_groups(rank, batch_format="pandas"))

@@ -528,6 +528,19 @@ def q_fingerprint_documents(sf_dir):
     return a[["doc_id", "fingerprint"]]
 
 
+def q_shuffle_rank_documents(sf_dir):
+    """Deterministic seeded global shuffle (ops/shuffle.py): every doc's
+    position in the seed-keyed permutation via a distributed counting sort —
+    streaming bucket histogram, driver prefix over bucket counts, ONE
+    hash shuffle of (id, key) pairs. Checked against the SQL row_number
+    ordering oracle."""
+    from ..ops.shuffle import deterministic_shuffle_rank
+
+    out = deterministic_shuffle_rank(
+        _read(sf_dir, "documents", ["doc_id"]), seed=0)
+    return out.select_columns(["doc_id", "shuffle_pos"])
+
+
 def q_stratified_sample_documents(sf_dir):
     """Data-mixture reweighting (ops/text.py:stratified_sample): drop src0,
     keep 25% of src1, 50% of src2, everything else — deterministic
@@ -950,6 +963,7 @@ QUERIES = {
     "pack_sequences_documents": q_pack_sequences_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "repetition_signals_documents": q_repetition_signals_documents,
+    "shuffle_rank_documents": q_shuffle_rank_documents,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -1041,6 +1055,11 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "shuffle_rank_documents": (
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+        "(doc_id * 2654435761) % 4294967296, doc_id) - 1 AS BIGINT) "
+        "AS shuffle_pos FROM documents"
     ),
     "stratified_sample_documents": (
         "SELECT doc_id, source FROM documents "

@@ -144,3 +144,30 @@ def test_stratified_sample_rates(ray_session):
     half3 = set(out3[out3.source == "keep_half"].doc_id)
     half1 = set(out[out.source == "keep_half"].doc_id)
     assert half1 != half3
+
+
+def test_deterministic_shuffle_rank(ray_session):
+    from parquet_go_ray.ops.shuffle import deterministic_shuffle_rank, _shuffle_key
+
+    n = 5000
+    ids = np.random.default_rng(3).permutation(n).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = deterministic_shuffle_rank(ds, seed=42, num_buckets=64,
+                                     num_partitions=8).to_pandas()
+    assert len(out) == n
+    assert sorted(out.shuffle_pos) == list(range(n))  # exact permutation
+    # matches the driver-side definition: rank by (key, id)
+    keys = _shuffle_key(out.doc_id.to_numpy(), 42)
+    order = np.lexsort((out.doc_id.to_numpy(), keys))
+    expect = np.empty(n, dtype=np.int64)
+    expect[order] = np.arange(n)
+    assert (out.shuffle_pos.to_numpy() == expect).all()
+    # reproducible, and a different seed permutes differently
+    out2 = deterministic_shuffle_rank(ds, seed=42, num_buckets=64,
+                                      num_partitions=8).to_pandas()
+    assert out.sort_values("doc_id").shuffle_pos.tolist() == \
+        out2.sort_values("doc_id").shuffle_pos.tolist()
+    out3 = deterministic_shuffle_rank(ds, seed=7, num_buckets=64,
+                                      num_partitions=8).to_pandas()
+    assert out.sort_values("doc_id").shuffle_pos.tolist() != \
+        out3.sort_values("doc_id").shuffle_pos.tolist()

@@ -421,6 +421,10 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
     summary.sort()
     mins = np.array([m for m, _ in summary], dtype=np.int64)
     sums = np.array([s for _, s in summary], dtype=np.int64)
+    if len(mins) > 1 and (mins[1:] == mins[:-1]).any():
+        raise ValueError(
+            "pack_sequences: two blocks share the same min id — input is "
+            "not id-sorted/partitioned by id; sort or repartition it first")
     excl = np.zeros(len(sums), dtype=np.int64)
     np.cumsum(sums[:-1], out=excl[1:])
     ref = ray.put((mins, excl))

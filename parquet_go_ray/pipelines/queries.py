@@ -915,7 +915,15 @@ def q_knn_ivf_index(sf_dir):
     idx = os.path.join(tempfile.gettempdir(), "pgr_ivf_index_q")
     shutil.rmtree(idx, ignore_errors=True)
     build_ivf_index(ds, idx, nlist=8)
-    qdf = ds.to_pandas().set_index("vec_id").loc[KNN_QUERIES]
+    # collect only the query vectors (vectorized is_in filter), not the corpus
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    qset = _pa.array(KNN_QUERIES, type=_pa.int64())
+    qdf = (ds.map_batches(
+        lambda t: t.filter(_pc.is_in(t.column("vec_id"), value_set=qset)),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas().set_index("vec_id").loc[KNN_QUERIES])
     qmat = np.stack(qdf["embedding"].to_numpy())
     out, stats = knn_ivf_query(idx, KNN_QUERIES, qmat, k=10, nprobe=3,
                                return_stats=True)

@@ -528,6 +528,41 @@ def q_fingerprint_documents(sf_dir):
     return a[["doc_id", "fingerprint"]]
 
 
+def q_multimodal_real_decode(sf_dir):
+    """Self-validating REAL media decode (no external codec libs): builds a
+    deterministic table of genuine PNG + WAV payloads, decodes both through
+    the actor-pool stages, and asserts in-query that dims/means/rms match
+    direct kernel decodes exactly — raises on any mismatch; the driver
+    records the rows check (payload bytes aren't SQL-representable)."""
+    import ray.data as rd
+
+    from ..functions import imagecodec as ic
+    from ..ops.multimodal import (DecodeAudio, decode_images,
+                                  make_real_audio_table,
+                                  make_real_image_table)
+
+    imgs = make_real_image_table(64, seed=11, fmt="png")
+    out = (decode_images(rd.from_arrow(imgs), fake=False)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    meta = imgs.column("meta").to_pylist()
+    assert out.width.tolist() == [m["width"] for m in meta]
+    assert out.height.tolist() == [m["height"] for m in meta]
+    for i in (0, 31, 63):
+        px = ic.decode_png(imgs.column("payload")[i].as_py())
+        assert abs(out.mean_intensity[i] - px.mean()) < 1e-9, i
+
+    auds = make_real_audio_table(64, seed=12)
+    aout = (rd.from_arrow(auds)
+            .map_batches(DecodeAudio, fn_constructor_kwargs={"fake": False},
+                         batch_format="pyarrow", batch_size=16, concurrency=2)
+            .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    assert (aout.sample_rate.to_numpy()
+            == auds.column("sample_rate").to_numpy()).all()
+    merged = out[["image_id", "width", "height", "mean_intensity"]].join(
+        aout[["n_samples", "rms"]])
+    return merged
+
+
 def q_shuffle_rank_documents(sf_dir):
     """Deterministic seeded global shuffle (ops/shuffle.py): every doc's
     position in the seed-keyed permutation via a distributed counting sort —
@@ -972,6 +1007,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "repetition_signals_documents": q_repetition_signals_documents,
     "shuffle_rank_documents": q_shuffle_rank_documents,
+    "multimodal_real_decode": q_multimodal_real_decode,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,

@@ -177,9 +177,12 @@ def test_multimodal_decode_plumbing(ray_session):
     assert (out.channels == 3).all()
     assert (out.mean_intensity >= 0).all() and (out.mean_intensity <= 255).all()
 
-    # real decode is stubbed: must raise cleanly without the image lib
+    # JPEG needs an external codec lib: the real decoder gates it cleanly
+    import pyarrow as _pa
+    jpeg = _pa.table({"image_id": _pa.array([0]),
+                      "payload": _pa.array([b"\xff\xd8\xff\xe0rest"], type=_pa.binary())})
     with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+        DecodeImage(fake=False)(jpeg)
 
 
 def test_ngram_jaccard_distributed(ray_session):
@@ -251,8 +254,11 @@ def test_audio_decode_plumbing(ray_session):
                                   t.column("sample_rate").to_numpy() % 65536)
     assert (out.n_samples >= 64).all()
     assert (out.rms > 0).all()
+    import pyarrow as _pa
+    mp3 = _pa.table({"audio_id": _pa.array([0]),
+                     "payload": _pa.array([b"ID3\x04rest"], type=_pa.binary())})
     with pytest.raises(NotImplementedError):
-        DecodeAudio(fake=False)
+        DecodeAudio(fake=False)(mp3)
 
 
 def test_session_windows(ray_session):
@@ -535,3 +541,56 @@ def test_ivf_persisted_index(ray_session, tmp_path):
     # second query run against the SAME index — no rebuild, same answer
     out2 = knn_ivf_query(idx, [0, 1, 2], qmat, k=5, nprobe=4)
     pd.testing.assert_frame_equal(out.reset_index(drop=True), out2)
+
+
+def test_real_image_decode_bmp_png(ray_session):
+    """REAL decode path: BMP + PNG payloads produce exact dims/channels and
+    pixel means matching the source arrays (no image libs involved)."""
+    from parquet_go_ray.functions import imagecodec as ic
+    from parquet_go_ray.ops.multimodal import decode_images, make_real_image_table
+
+    for fmt in ("bmp", "png"):
+        t = make_real_image_table(30, seed=2, fmt=fmt)
+        out = (decode_images(rd.from_arrow(t), fake=False)
+               .to_pandas().sort_values("image_id").reset_index(drop=True))
+        meta = t.column("meta").to_pylist()
+        assert out.width.tolist() == [m["width"] for m in meta]
+        assert out.height.tolist() == [m["height"] for m in meta]
+        # spot-check exact means against a direct decode
+        dec = ic.decode_png if fmt == "png" else ic.decode_bmp
+        for i in (0, 7, 29):
+            px = dec(t.column("payload")[i].as_py())
+            assert abs(out.mean_intensity[i] - px.mean()) < 1e-9
+
+
+def test_real_image_resize(ray_session):
+    from parquet_go_ray.functions import imagecodec as ic
+    from parquet_go_ray.ops.multimodal import make_real_image_table, resize_images_real
+
+    t = make_real_image_table(12, seed=5, fmt="png")
+    out = (resize_images_real(rd.from_arrow(t), 16, 16)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    for i in range(12):
+        px = ic.decode_png(out.payload[i])
+        assert px.shape[:2] == (16, 16)
+        src = ic.decode_png(t.column("payload")[i].as_py())
+        # box average preserves the global mean closely
+        assert abs(px.mean() - src.mean()) < 8.0
+
+
+def test_real_audio_decode_wav(ray_session):
+    from parquet_go_ray.functions.imagecodec import decode_wav
+    from parquet_go_ray.ops.multimodal import DecodeAudio, make_real_audio_table
+
+    t = make_real_audio_table(25, seed=9)
+    out = (rd.from_arrow(t)
+           .map_batches(DecodeAudio, fn_constructor_kwargs={"fake": False},
+                        batch_format="pyarrow", concurrency=2, batch_size=8)
+           .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    assert (out.sample_rate.to_numpy()
+            == t.column("sample_rate").to_numpy()).all()
+    for i in (0, 11, 24):
+        samples, sr = decode_wav(t.column("payload")[i].as_py())
+        s = samples.astype(np.float64)
+        assert abs(out.rms[i] - np.sqrt((s * s).mean())) < 1e-9
+        assert out.n_samples[i] == samples.shape[0]

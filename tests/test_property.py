@@ -175,3 +175,79 @@ def test_parquet_nested_roundtrip_property(rows, version):
     p2 = str(os.path.join(d, "pa.parquet"))
     pq.write_table(t, p2)
     assert pcq.read_parquet_with_our_kernels(p2).cast(t.schema).equals(t)
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.sampled_from([1, 3, 4]), st.sampled_from([0, 1, 2]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, ch, filt, seed):
+    from parquet_go_ray.functions import imagecodec as ic
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(ic.decode_png(ic.encode_png(px, filter_type=filt)), px)
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.sampled_from([3, 4]),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(h, w, ch, seed):
+    from parquet_go_ray.functions import imagecodec as ic
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(ic.decode_bmp(ic.encode_bmp(px)), px)
+
+
+@given(st.lists(st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_dedup_segments_matches_python_reference(docs):
+    import pyarrow as pa
+
+    from parquet_go_ray.ops.text import _dedup_segments_batch
+
+    texts = [" ".join(words) for words in docs]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    got = _dedup_segments_batch(t, " ", "text").column("text").to_pylist()
+
+    def ref(s):
+        seen, out = set(), []
+        for seg in s.split(" "):
+            if seg not in seen:
+                seen.add(seg)
+                out.append(seg)
+        return " ".join(out)
+
+    assert got == [ref(s) for s in texts]
+
+
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=1, max_size=60),
+       st.integers(0, 1000))
+@settings(max_examples=25, deadline=None)
+def test_local_cc_matches_union_find(pairs, _seed):
+    from parquet_go_ray.ops.cluster import _local_cc
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    src = np.array([a for a, _ in pairs] + [b for _, b in pairs], dtype=np.int64)
+    dst = np.array([b for _, b in pairs] + [a for a, _ in pairs], dtype=np.int64)
+    nodes, labels = _local_cc(src, dst)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in nodes}
+    assert dict(zip(nodes.tolist(), labels.tolist())) == expect

@@ -131,16 +131,49 @@ def bench_ops(sf_dir: str) -> dict:
     from parquet_go_ray.ops.dedup import minhash_candidate_pairs
     from parquet_go_ray.ops.similarity import knn_bruteforce
 
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.ops.cluster import duplicate_clusters
+    from parquet_go_ray.ops.shuffle import deterministic_shuffle_rank
+    from parquet_go_ray.ops.text import pack_sequences
+    from parquet_go_ray.pipelines.encode import _stable_hash
+
     res = {}
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     for _ in range(2):  # min-of-2: shared-host noise
         t0 = time.perf_counter()
-        minhash_candidate_pairs(docs).count()
+        pairs = minhash_candidate_pairs(docs).materialize()
         res["dedup_minhash"] = min(res.get("dedup_minhash", 9e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        duplicate_clusters(pairs).count()
+        res["dedup_cluster_cc"] = min(res.get("dedup_cluster_cc", 9e9), time.perf_counter() - t0)
         t0 = time.perf_counter()
         knn_bruteforce(emb, query_ids=[0, 1, 2, 3], k=10)
         res["knn_bruteforce"] = min(res.get("knn_bruteforce", 9e9), time.perf_counter() - t0)
+
+    # New-op scale checks over 2M rows (token-table scale, int row ids)
+    rows = int(os.environ.get("GRAFT_BENCH_ROWS") or max(int(ROWS_PER_SF * _sf()), 10_000))
+    tok = rd.read_parquet(_token_cache_dir(rows))
+
+    def add_rid(t: pa.Table) -> pa.Table:
+        return t.append_column("rid", pa.array(_stable_hash(t.column("doc_id"))))
+
+    seq = rd.range(rows).map_batches(
+        lambda t: t.append_column("n_tok", pa.array(
+            np.full(t.num_rows, 512, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    for _ in range(2):
+        t0 = time.perf_counter()
+        deterministic_shuffle_rank(
+            tok.select_columns(["doc_id"]).map_batches(
+                add_rid, batch_format="pyarrow", zero_copy_batch=True),
+            id_col="rid").count()
+        res["shuffle_rank_2m"] = min(res.get("shuffle_rank_2m", 9e9), time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        pack_sequences(seq, seq_len=2048, id_col="id").count()
+        res["pack_sequences_2m"] = min(res.get("pack_sequences_2m", 9e9), time.perf_counter() - t0)
     return res
 
 

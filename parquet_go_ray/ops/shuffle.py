@@ -60,6 +60,11 @@ def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
     offsets = np.zeros(num_buckets, dtype=np.int64)
     np.cumsum(totals[:-1], out=offsets[1:])
     ref = ray.put(offsets)
+    # the histogram already counted every row — size the shuffle to the data
+    # (~64k rows per partition) instead of paying a fixed 64-way sort-shuffle
+    # cost on small inputs
+    num_partitions = min(num_partitions,
+                         max(1, int(totals.sum()) // 65536 + 1))
 
     def tag(t: pa.Table) -> pa.Table:
         keys = _shuffle_key(np.asarray(t.column(id_col)), seed)

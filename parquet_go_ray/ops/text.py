@@ -533,3 +533,105 @@ def add_repetition_signals(batch: pa.Table, *, delimiter: str = "\n",
     return batch.append_column(
         "frac_dup_segments", pa.array(frac_seg)).append_column(
         "frac_dup_chars", pa.array(frac_chr))
+
+
+def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
+                         tokens_col: str = "tokens", pad_id: int = 0,
+                         drop_last: bool = False,
+                         num_partitions: int = 64):
+    """Physically pack a token table into fixed-length training sequences:
+    concatenate all documents' tokens in id order and cut every ``seq_len``
+    — the step that turns a cleaned corpus into pre-training examples.
+
+    Builds on the ``pack_sequences`` distributed prefix sum (each doc learns
+    its global token offset in two streaming passes), then every document
+    SPLITS its token array at sequence boundaries per batch (vectorized
+    offset arithmetic — a doc spanning k sequences emits k fragments), and
+    one shuffle keyed by ``seq_id`` regroups fragments; each group concats
+    its fragments by offset into exactly ``seq_len`` tokens (the final
+    partial sequence pads with ``pad_id`` or drops with ``drop_last``).
+    Only token payloads that genuinely must co-locate move — the shuffle is
+    the physical regrouping itself, and every group is seq_len tokens.
+
+    Returns a Dataset of (seq_id, tokens[seq_len], n_docs)."""
+    # pack_sequences counts via a count column; derive it from the list
+    # lengths first so callers need not precompute n_tok.
+    import pyarrow.compute as _pc
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__n", _pc.cast(_pc.list_value_length(t.column(tokens_col)),
+                            pa.int64()))
+
+    counted = ds.map_batches(add_len, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    with_off = pack_sequences(counted, seq_len=seq_len, count_col="__n",
+                              id_col=id_col)
+    total = int(counted.sum("__n") or 0)
+    n_seq = total // seq_len if drop_last else -(-total // seq_len)
+
+    def fragments(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array(
+                [], type=col.type)
+        flat = np.asarray(col.flatten())
+        lens = np.asarray(t.column("__n"))
+        doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        tok_start = np.asarray(t.column("tok_start"))
+        # each doc spans sequences [s0, s1]; emit one fragment per crossed
+        # boundary (vectorized: docs repeat by their sequence-span count)
+        s0 = tok_start // seq_len
+        s1 = np.maximum((tok_start + lens - 1) // seq_len, s0)
+        span = (s1 - s0 + 1).astype(np.int64)
+        d_idx = np.repeat(np.arange(len(lens)), span)
+        k = np.arange(int(span.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(span[:-1])]), span)
+        seq = s0[d_idx] + k
+        gstart = np.maximum(tok_start[d_idx], seq * seq_len)
+        gend = np.minimum(tok_start[d_idx] + lens[d_idx], (seq + 1) * seq_len)
+        fl = (gend - gstart).astype(np.int64)
+        local = gstart - tok_start[d_idx] + doc_off[d_idx]
+        src = np.repeat(local, fl) + (
+            np.arange(int(fl.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(fl[:-1])]), fl))
+        frag_offs = np.zeros(len(fl) + 1, dtype=np.int32)
+        np.cumsum(fl, out=frag_offs[1:])
+        frag_tokens = pa.ListArray.from_arrays(
+            pa.array(frag_offs), pa.array(flat[src]))
+        keep = seq < n_seq  # drop_last trims trailing-partial fragments
+        out = pa.table({
+            "seq_id": pa.array(seq),
+            "frag_start": pa.array(gstart - seq * seq_len),
+            "frag": frag_tokens,
+            "__p": pa.array(seq % num_partitions),
+        })
+        return out.filter(pa.array(keep))
+
+    def assemble(g: pd.DataFrame):
+        sids, parts, ndocs = [], [], []
+        for sid, grp in g.groupby("seq_id", sort=True):
+            grp = grp.sort_values("frag_start")
+            toks = (np.concatenate([np.asarray(f) for f in grp["frag"]])
+                    if len(grp) else np.empty(0, dtype=np.int32))
+            if len(toks) < seq_len:  # final partial sequence: pad
+                toks = np.concatenate(
+                    [toks, np.full(seq_len - len(toks), pad_id,
+                                   dtype=toks.dtype if toks.size else np.int32)])
+            sids.append(int(sid))
+            parts.append(toks)
+            ndocs.append(len(grp))
+        values = (np.concatenate(parts) if parts
+                  else np.empty(0, dtype=np.int32))
+        offs = np.arange(len(parts) + 1, dtype=np.int32) * seq_len
+        return pa.table({
+            "seq_id": pa.array(np.array(sids, dtype=np.int64)),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs),
+                                               pa.array(values)),
+            "n_docs": pa.array(np.array(ndocs, dtype=np.int64)),
+        })
+
+    return (with_off.map_batches(fragments, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+            .groupby("__p").map_groups(assemble, batch_format="pandas"))

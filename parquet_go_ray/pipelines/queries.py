@@ -576,6 +576,19 @@ def q_shuffle_rank_documents(sf_dir):
     return out.select_columns(["doc_id", "shuffle_pos"])
 
 
+def q_pack_token_sequences(sf_dir):
+    """Physical sequence packing (ops/text.py:pack_token_sequences): the
+    flagship token table cut into exact 512-token training sequences —
+    distributed prefix sum for offsets, vectorized per-doc fragment split,
+    ONE seq_id-keyed shuffle (the physical regroup itself). Hash-checked
+    against the DuckDB row_number/list oracle token-for-token."""
+    from ..ops.text import pack_token_sequences
+
+    out = pack_token_sequences(token_table_dataset(sf_dir), seq_len=512,
+                               drop_last=True)
+    return out.select_columns(["seq_id", "tokens"])
+
+
 def q_stratified_sample_documents(sf_dir):
     """Data-mixture reweighting (ops/text.py:stratified_sample): drop src0,
     keep 25% of src1, 50% of src2, everything else — deterministic
@@ -1007,6 +1020,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "repetition_signals_documents": q_repetition_signals_documents,
     "shuffle_rank_documents": q_shuffle_rank_documents,
+    "pack_token_sequences": q_pack_token_sequences,
     "multimodal_real_decode": q_multimodal_real_decode,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -1099,6 +1113,21 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "pack_token_sequences": (
+        "WITH tok AS ("
+        "  SELECT doc_id, list_transform(string_split(text, ''),"
+        "   x -> unicode(x)) AS tokens FROM documents"
+        "),"
+        "flat AS ("
+        "  SELECT (row_number() OVER (ORDER BY doc_id, pos) - 1) AS gpos, tk"
+        "  FROM (SELECT doc_id, unnest(tokens) AS tk,"
+        "        generate_subscripts(tokens, 1) AS pos FROM tok)"
+        ")"
+        "SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,"
+        " list(tk ORDER BY gpos) AS tokens FROM flat"
+        " WHERE gpos < (SELECT count(*) // 512 * 512 FROM flat)"
+        " GROUP BY 1"
     ),
     "shuffle_rank_documents": (
         "SELECT doc_id, CAST(row_number() OVER (ORDER BY "

@@ -171,3 +171,30 @@ def test_deterministic_shuffle_rank(ray_session):
                                       num_partitions=8).to_pandas()
     assert out.sort_values("doc_id").shuffle_pos.tolist() != \
         out3.sort_values("doc_id").shuffle_pos.tolist()
+
+
+def test_pack_token_sequences_exact_stream(ray_session):
+    from parquet_go_ray.ops.text import pack_token_sequences
+
+    rng = np.random.default_rng(1)
+    n = 200
+    lens = rng.integers(1, 50, n)
+    toks = [rng.integers(0, 1000, l).astype(np.int32) for l in lens]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "tokens": pa.array([x.tolist() for x in toks],
+                           type=pa.list_(pa.int32()))})
+    ds = rd.from_arrow(t).materialize()
+    SEQ = 64
+    out = (pack_token_sequences(ds, seq_len=SEQ, pad_id=-1)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    stream = np.concatenate(toks)
+    n_seq = -(-len(stream) // SEQ)
+    assert len(out) == n_seq
+    got = np.concatenate([np.asarray(x) for x in out.tokens])
+    padded = np.concatenate(
+        [stream, np.full(n_seq * SEQ - len(stream), -1, dtype=np.int32)])
+    assert np.array_equal(got, padded)
+    assert all(len(np.asarray(x)) == SEQ for x in out.tokens)
+    out2 = pack_token_sequences(ds, seq_len=SEQ, drop_last=True).to_pandas()
+    assert len(out2) == len(stream) // SEQ

@@ -124,7 +124,11 @@ def decode_png(buf: bytes | memoryview) -> np.ndarray:
         (ln,) = struct.unpack_from(">I", buf, pos)
         tag = buf[pos + 4: pos + 8]
         payload = buf[pos + 8: pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError("PNG: truncated chunk")
         if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError("PNG: bad IHDR length")
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload)
             if depth != 8 or color not in _CH_OF_COLOR or interlace:
@@ -140,7 +144,11 @@ def decode_png(buf: bytes | memoryview) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, ch = meta
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: corrupt IDAT stream ({e})") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     rowbytes = w * ch
     if len(raw) != h * (rowbytes + 1):
         raise ValueError("PNG data size mismatch")
@@ -204,6 +212,8 @@ def decode_wav(buf: bytes | memoryview) -> tuple[np.ndarray, int]:
         (ln,) = struct.unpack_from("<I", buf, pos + 4)
         payload = buf[pos + 8: pos + 8 + ln]
         if tag == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload)
             if audio_fmt != 1 or bits not in (8, 16):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")

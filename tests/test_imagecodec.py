@@ -97,3 +97,37 @@ def test_resize_box_exact_integer_downscale():
     assert np.array_equal(small, expect)
     assert ic.resize_box(px, 32, 24).shape == (32, 24, 3)  # upscale (nearest)
     assert ic.resize_box(px[:, :, 0], 4, 4).shape == (4, 4)  # 2-D gray
+
+
+def test_fuzz_parsers_raise_clean_valueerror():
+    """Truncations, bit flips, random bytes, and duplications of valid
+    files must all raise ValueError (never zlib/struct errors, hangs or
+    silent garbage-size allocations) — the repo's malformed-input
+    convention (tests/test_fuzz.py)."""
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    goods = {
+        "bmp": ic.encode_bmp(px),
+        "png": ic.encode_png(px, filter_type=1),
+        "wav": ic.encode_wav(rng.integers(-100, 100, 256, dtype=np.int16)),
+    }
+    dec = {"bmp": ic.decode_bmp, "png": ic.decode_png, "wav": ic.decode_wav}
+    for name, buf in goods.items():
+        for probe in range(120):
+            r = np.random.default_rng(probe)
+            b = bytearray(buf)
+            kind = probe % 4
+            if kind == 0:
+                b = b[: int(r.integers(0, len(b)))]
+            elif kind == 1:
+                for i in r.integers(0, len(b), 5):
+                    b[int(i)] ^= int(r.integers(1, 256))
+            elif kind == 2:
+                b = bytearray(
+                    r.integers(0, 256, len(b), dtype=np.uint8).tobytes())
+            else:
+                b = b[: len(b) // 2] + b[: len(b) // 2]
+            try:
+                dec[name](bytes(b))
+            except ValueError:
+                pass  # the only acceptable failure mode

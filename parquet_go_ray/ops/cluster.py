@@ -329,3 +329,56 @@ def dedup_near(ds, *, method: str = "minhash", id_col: str = "doc_id",
         non_canonical, batch_format="pyarrow", zero_copy_batch=True)
     drop_filter = _broadcast_id_filter(drops, ["node"])
     return _semi_filter(ds, id_col, drop_filter, invert=True)
+
+
+def cross_dedup(ds, ref_ds, *, threshold: float = 0.7, n: int = 3,
+                text_col: str = "text", id_col: str = "doc_id",
+                ref_text_col: str = "text", ref_id_col: str = "doc_id",
+                num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+                drop: bool = True):
+    """Cross-corpus near-dedup: remove (or report) documents of ``ds`` that
+    near-duplicate ANY document of a reference corpus — dedup of a new crawl
+    against previous dumps, or of training data against benchmark suites.
+
+    Both corpora flow through ONE MinHash-LSH candidate pass: reference ids
+    are remapped to the negative id space (``-id - 1``, collision-free in
+    int64), the union is bucketed/verified by exact n-gram Jaccard exactly
+    like same-corpus dedup, and only CROSS-side pairs count as matches. The
+    matched main-side ids broadcast once as a membership filter; the corpus
+    pass is a streaming anti-join — shuffle cost identical to same-corpus
+    near-dedup over |ds| + |ref|.
+
+    Returns the cleaned ``ds`` when ``drop=True``; otherwise a Dataset of
+    matched main-side ids (one column, ``id_col``)."""
+    from . import dedup as _d
+
+    def tag_main(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         text_col: t.column(text_col)})
+
+    def tag_ref(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(ref_id_col), dtype=np.int64)
+        return pa.table({id_col: pa.array(-ids - 1),
+                         text_col: t.column(ref_text_col).cast(pa.string())})
+
+    union = (ds.map_batches(tag_main, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .union(ref_ds.map_batches(tag_ref, batch_format="pyarrow",
+                                       zero_copy_batch=True)))
+    pairs = _d.ngram_jaccard_pairs(union, n=n, threshold=threshold,
+                                   text_col=text_col, id_col=id_col,
+                                   num_partitions=num_partitions)
+
+    def cross_matches(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("doc_a"))
+        b = np.asarray(t.column("doc_b"))
+        cross = (a < 0) != (b < 0)
+        main_side = np.where(a >= 0, a, b)[cross]
+        return pa.table({id_col: pa.array(main_side)})
+
+    matches = pairs.map_batches(cross_matches, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    if not drop:
+        return matches
+    match_filter = _broadcast_id_filter(matches, [id_col])
+    return _semi_filter(ds, id_col, match_filter, invert=True)

@@ -576,6 +576,25 @@ def q_shuffle_rank_documents(sf_dir):
     return out.select_columns(["doc_id", "shuffle_pos"])
 
 
+def q_cross_dedup_documents(sf_dir):
+    """Cross-corpus near-dedup (ops/cluster.py:cross_dedup): documents
+    matching any doc of a reference corpus (here: the first 50 docs,
+    playing the 'benchmark suite' role) are dropped after one joint
+    MinHash-LSH pass + exact n-gram Jaccard verification. The oracle states
+    the ground truth directly (those 50 texts and nothing else match), so
+    the whole LSH→verify→broadcast-anti-join chain is value-checked."""
+    import pyarrow.compute as _pc
+
+    from ..ops.cluster import cross_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ds.map_batches(
+        lambda t: t.filter(_pc.less(t.column("doc_id"), 50)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = cross_dedup(ds, ref, threshold=0.9, n=3)
+    return out.select_columns(["doc_id"])
+
+
 def q_pack_token_sequences(sf_dir):
     """Physical sequence packing (ops/text.py:pack_token_sequences): the
     flagship token table cut into exact 512-token training sequences —
@@ -1021,6 +1040,7 @@ QUERIES = {
     "repetition_signals_documents": q_repetition_signals_documents,
     "shuffle_rank_documents": q_shuffle_rank_documents,
     "pack_token_sequences": q_pack_token_sequences,
+    "cross_dedup_documents": q_cross_dedup_documents,
     "multimodal_real_decode": q_multimodal_real_decode,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -1113,6 +1133,19 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "cross_dedup_documents": (
+        # the oracle computes the op's true semantics: word-3-gram Jaccard
+        # of every main doc against every ref doc (docs < 50), drop >= 0.9
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),"
+        "g AS (SELECT doc_id, list_distinct(list_transform("
+        "        generate_series(1, greatest(len(ws) - 2, 1)),"
+        "        i -> array_to_string(ws[i:i+2], ' '))) AS grams FROM w)"
+        "SELECT d.doc_id FROM g d"
+        " WHERE d.doc_id >= 50 AND NOT EXISTS ("
+        "  SELECT 1 FROM g r WHERE r.doc_id < 50"
+        "  AND CAST(len(list_intersect(d.grams, r.grams)) AS DOUBLE) /"
+        "      len(list_distinct(list_concat(d.grams, r.grams))) >= 0.9)"
     ),
     "pack_token_sequences": (
         "WITH tok AS ("

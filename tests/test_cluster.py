@@ -198,3 +198,32 @@ def test_pack_token_sequences_exact_stream(ray_session):
     assert all(len(np.asarray(x)) == SEQ for x in out.tokens)
     out2 = pack_token_sequences(ds, seq_len=SEQ, drop_last=True).to_pandas()
     assert len(out2) == len(stream) // SEQ
+
+
+def test_cross_dedup_planted_overlap(ray_session):
+    from parquet_go_ray.ops.cluster import cross_dedup
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(300)]
+    main_texts = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+    ref_texts = [" ".join(rng.choice(words, 60)) for _ in range(20)]
+    # plant: main docs 0-4 are exact copies of ref docs, 5-6 near copies
+    for i in range(5):
+        main_texts[i] = ref_texts[i]
+    for i in (5, 6):
+        toks = ref_texts[i + 5].split()
+        toks[10] = "TWEAKED"
+        main_texts[i] = " ".join(toks)
+    main = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64), "text": main_texts}))
+    ref = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64), "text": ref_texts}))
+    kept = set(cross_dedup(main, ref, threshold=0.5, n=3,
+                           num_partitions=8).to_pandas().doc_id)
+    dropped = set(range(40)) - kept
+    assert dropped == {0, 1, 2, 3, 4, 5, 6}, dropped
+    # report mode returns the matched ids instead
+    matches = set(cross_dedup(main, ref, threshold=0.5, n=3,
+                              num_partitions=8, drop=False)
+                  .to_pandas().doc_id)
+    assert matches == {0, 1, 2, 3, 4, 5, 6}

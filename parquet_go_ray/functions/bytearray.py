@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import delta
+from .segments import ragged_gather_indices
 
 _MAX_PAD = 1024  # bytes per value for the vectorized prefix matrix
 
@@ -130,7 +131,7 @@ def decode_delta_byte_array(data, count: int) -> tuple[np.ndarray, np.ndarray]:
     outv = memoryview(out)
     if total:
         # suffix scatter: positions [s+p, s+p+sl) <- suf_data[so, so+sl)
-        dst = np.repeat(offsets[:-1] + pref, suf_lengths) + _within(suf_lengths)
+        dst = ragged_gather_indices(offsets[:-1] + pref, suf_lengths)
         np.frombuffer(out, dtype=np.uint8)[dst] = np.asarray(
             suf_data, dtype=np.uint8)[: int(suf_offsets[-1])]
     offs = offsets[:-1].tolist()
@@ -143,13 +144,3 @@ def decode_delta_byte_array(data, count: int) -> tuple[np.ndarray, np.ndarray]:
             outv[s : s + p] = outv[prev : prev + p]
         prev = s
     return offsets, np.frombuffer(out, dtype=np.uint8)
-
-
-def _within(lengths: np.ndarray) -> np.ndarray:
-    """[0..l0), [0..l1), ... concatenated — intra-segment positions."""
-    total = int(lengths.sum())
-    if not total:
-        return np.empty(0, dtype=np.int64)
-    starts = np.zeros(len(lengths), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)

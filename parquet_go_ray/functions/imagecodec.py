@@ -211,6 +211,8 @@ def decode_wav(buf: bytes | memoryview) -> tuple[np.ndarray, int]:
         tag = buf[pos: pos + 4]
         (ln,) = struct.unpack_from("<I", buf, pos + 4)
         payload = buf[pos + 8: pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError("WAV: truncated chunk")
         if tag == b"fmt ":
             if len(payload) < 16:
                 raise ValueError("WAV: truncated fmt chunk")

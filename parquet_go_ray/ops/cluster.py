@@ -293,8 +293,11 @@ def dedup_near(ds, *, method: str = "minhash", id_col: str = "doc_id",
     The min-id doc of every duplicate cluster survives; docs in no pair pass
     through untouched (streaming filter — never shuffled). ``method`` picks
     the pair source: "minhash" (exact n-gram Jaccard over LSH candidates,
-    ``ngram_jaccard_pairs``), "simhash", or "embedding" (requires the
-    embeddings dataset via ``method_kw``); extra kwargs flow to it.
+    ``ngram_jaccard_pairs``) and "simhash" operate on a documents-shaped
+    ``ds`` (text_col); "embedding" treats ``ds`` ITSELF as the embeddings
+    dataset — set ``id_col`` to its id column (e.g. "vec_id") and pass
+    ``vec_col``/``tau`` via ``method_kw``. Extra kwargs flow to the pair
+    source.
     """
     from . import dedup as _d
 
@@ -327,7 +330,7 @@ def dedup_near(ds, *, method: str = "minhash", id_col: str = "doc_id",
 
     drops = clusters.map_batches(
         non_canonical, batch_format="pyarrow", zero_copy_batch=True)
-    drop_filter = _broadcast_id_filter(drops, ["node"])
+    drop_filter = _broadcast_id_filter(drops, ["node"], exact=True)
     return _semi_filter(ds, id_col, drop_filter, invert=True)
 
 
@@ -353,8 +356,10 @@ def cross_dedup(ds, ref_ds, *, threshold: float = 0.7, n: int = 3,
     from . import dedup as _d
 
     def tag_main(t: pa.Table) -> pa.Table:
+        # cast both branches to the same string type (a large_string corpus
+        # unioned with a string ref would diverge the union schema)
         return pa.table({id_col: t.column(id_col).cast(pa.int64()),
-                         text_col: t.column(text_col)})
+                         text_col: t.column(text_col).cast(pa.string())})
 
     def tag_ref(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(ref_id_col), dtype=np.int64)
@@ -380,5 +385,5 @@ def cross_dedup(ds, ref_ds, *, threshold: float = 0.7, n: int = 3,
                                 zero_copy_batch=True)
     if not drop:
         return matches
-    match_filter = _broadcast_id_filter(matches, [id_col])
+    match_filter = _broadcast_id_filter(matches, [id_col], exact=True)
     return _semi_filter(ds, id_col, match_filter, invert=True)

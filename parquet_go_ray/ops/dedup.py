@@ -462,21 +462,28 @@ class IdMembershipFilter:
         return out
 
 
-def _broadcast_id_filter(cands_ds, cols: list[str]):
+def _broadcast_id_filter(cands_ds, cols: list[str], *, exact: bool = False):
     """Collect the distinct candidate ids from ``cols`` of a candidate
     dataset and broadcast an IdMembershipFilter via ``ray.put`` (once).
 
     The driver holds O(candidates) ints — the candidate set is the OUTPUT of
     the pruning stage (LSH buckets / collision groups), orders of magnitude
     smaller than the corpus; above ~4M ids the broadcast object degrades
-    gracefully to a Bloom filter rather than growing linearly."""
+    gracefully to a Bloom filter rather than growing linearly.
+
+    ``exact=True`` disables the Bloom degradation (8 B/id exact array at any
+    size). REQUIRED for anti-join (drop-set) consumers: a Bloom false
+    positive only admits extra rows into a verifying join on the semi-join
+    path, but on the anti-join path it would silently DELETE a non-duplicate
+    row."""
     import ray
 
     parts = [np.asarray(b.column(c).to_numpy(zero_copy_only=False), dtype=np.int64)
              for b in cands_ds.select_columns(cols).iter_batches(batch_format="pyarrow")
              for c in cols]
     ids = np.concatenate(parts) if parts else np.empty(0, np.int64)
-    return ray.put(IdMembershipFilter(ids))
+    return ray.put(IdMembershipFilter(
+        ids, bloom_threshold=(1 << 62) if exact else None))
 
 
 def _semi_filter(ds, id_col: str, filter_ref, invert: bool = False):
@@ -666,12 +673,11 @@ def _pairwise_ngram_jaccard(texts_a: list[str], texts_b: list[str], n: int) -> n
     pid = np.concatenate([np.repeat(np.arange(npairs), la), np.repeat(np.arange(npairs), lb)])
 
     def gather(idx: np.ndarray, seg: np.ndarray) -> np.ndarray:
-        total = int(seg.sum())
-        if not total:
+        from ..functions.segments import ragged_gather_indices
+
+        if not int(seg.sum()):
             return np.empty(0, np.uint64)
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(seg[:-1])]), seg)
-        return uh[np.repeat(ub[idx], seg) + within]
+        return uh[ragged_gather_indices(ub[idx], seg)]
 
     hh = np.concatenate([gather(ia, la), gather(ib, lb)])
     order = np.lexsort((hh, pid))
@@ -761,13 +767,25 @@ class _MultiLshEmitter:
 
         M = _normalize(_to_matrix(batch, self.vec_col)).astype(np.float32)
         n, d = M.shape if M.size else (0, 0)
-        empty = pa.table({
-            self.id_col: pa.array([], pa.int64()),
-            "__vec": pa.array([], pa.list_(pa.float32())),
-            "__key": pa.array([], pa.int64()),
-        })
         if n == 0:
-            return empty
+            # match the non-empty schema (fixed_size_list<d>) when the dim is
+            # knowable — a plain list<float32> here would diverge the block
+            # schemas whenever an empty block meets real ones in the shuffle
+            ftype = (batch.schema.field(self.vec_col).type
+                     if self.vec_col in batch.column_names else None)
+            if ftype is not None and pa.types.is_fixed_size_list(ftype):
+                d0 = ftype.list_size
+            elif self.H is not None:
+                d0 = self.H.shape[0]
+            else:
+                d0 = None
+            vec_type = (pa.list_(pa.float32(), d0) if d0
+                        else pa.list_(pa.float32()))
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                "__vec": pa.array([], vec_type),
+                "__key": pa.array([], pa.int64()),
+            })
         if self.H is None:
             rng = np.random.default_rng(self.seed)
             self.H = rng.standard_normal((d, self.tables * self.bits)).astype(np.float32)

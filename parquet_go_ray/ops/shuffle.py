@@ -49,8 +49,8 @@ def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
         keys = _shuffle_key(np.asarray(t.column(id_col)), seed)
         bucket = (keys * np.uint64(num_buckets)) >> np.uint64(32)
         counts = np.bincount(bucket.astype(np.int64), minlength=num_buckets)
-        return pa.table({"bucket": pa.array(np.arange(num_buckets)),
-                         "n": pa.array(counts)})
+        nz = np.flatnonzero(counts)  # sparse: rows ∝ data, not buckets×blocks
+        return pa.table({"bucket": pa.array(nz), "n": pa.array(counts[nz])})
 
     totals = np.zeros(num_buckets, dtype=np.int64)
     for b in (ds.map_batches(histogram, batch_format="pyarrow",

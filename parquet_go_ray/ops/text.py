@@ -341,11 +341,13 @@ def lm_quality_score(ds, sample_texts: list[str], *, text_col: str = "text",
 
 
 # -------------------------------------------- intra-document repetition removal
-def _dedup_segments_batch(t: pa.Table, delimiter: str, text_col: str) -> pa.Table:
-    """Keep the FIRST occurrence of each distinct segment within a document,
-    preserving order. Exact (Arrow dictionary_encode gives collision-free
-    segment identities) and fully vectorized: one split, one dictionary
-    encode, one segmented lexsort, one filtered re-join."""
+def _segment_groups(t: pa.Table, delimiter: str, text_col: str):
+    """Shared prologue of the segment-level kernels: split each text on
+    ``delimiter``, dictionary-encode the segments (exact, collision-free
+    identities), and group occurrences per (doc, segment) with one segmented
+    lexsort. Returns (flat_segments, offs, counts, order, first) where
+    ``first`` marks the first occurrence of each (doc, segment) group in
+    ``order``."""
     col = t.column(text_col).combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.chunk(0) if col.num_chunks else pa.array([], type=pa.string())
@@ -362,12 +364,21 @@ def _dedup_segments_batch(t: pa.Table, delimiter: str, text_col: str) -> pa.Tabl
     d_s, c_s = doc[order], codes[order]
     first = np.ones(len(order), dtype=bool)
     first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
-    keep = np.zeros(len(codes), dtype=bool)
+    return flat, offs, counts, order, first
+
+
+def _dedup_segments_batch(t: pa.Table, delimiter: str, text_col: str) -> pa.Table:
+    """Keep the FIRST occurrence of each distinct segment within a document,
+    preserving order. Exact (Arrow dictionary_encode gives collision-free
+    segment identities) and fully vectorized: one split, one dictionary
+    encode, one segmented lexsort, one filtered re-join."""
+    flat, offs, counts, order, first = _segment_groups(t, delimiter, text_col)
+    keep = np.zeros(len(flat), dtype=bool)
     keep[order[first]] = True
     kept = flat.filter(pa.array(keep))
     if isinstance(kept, pa.ChunkedArray):
         kept = kept.combine_chunks()
-    csum = np.zeros(len(codes) + 1, dtype=np.int64)
+    csum = np.zeros(len(flat) + 1, dtype=np.int64)
     np.cumsum(keep, out=csum[1:])
     new_offs = (csum[offs]).astype(np.int32)
     joined = pc.binary_join(
@@ -494,38 +505,24 @@ def add_repetition_signals(batch: pa.Table, *, delimiter: str = "\n",
     segments (and of characters) occurring more than once. Shares the split
     + dictionary-encode + segmented-lexsort shape of ``dedup_segments`` —
     vectorized, streaming, no shuffle."""
-    col = batch.column(text_col).combine_chunks()
-    if isinstance(col, pa.ChunkedArray):
-        col = col.chunk(0) if col.num_chunks else pa.array([], type=pa.string())
-    split = pc.split_pattern(col, pattern=delimiter)
-    offs = np.asarray(split.offsets, dtype=np.int64)
-    offs = offs - offs[0]
-    counts = np.diff(offs)
-    flat = split.flatten()
+    flat, offs, counts, order, first = _segment_groups(batch, delimiter, text_col)
     seg_chars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
-    codes = np.asarray(
-        flat.dictionary_encode().indices.fill_null(-1), dtype=np.int64)
-    doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    pos = np.arange(len(codes), dtype=np.int64)
-    order = np.lexsort((pos, codes, doc))
-    d_s, c_s = doc[order], codes[order]
-    first = np.ones(len(order), dtype=bool)
-    first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    n_seg = len(flat)
     # a segment is "repeated" if its (doc, code) group has size > 1; mark ALL
     # members of such groups (the Gopher duplicate-line fraction counts them
     # all, including the first occurrence)
     grp = np.cumsum(first) - 1
     gsize = np.bincount(grp, minlength=grp[-1] + 1 if len(grp) else 0)
     rep_sorted = gsize[grp] > 1 if len(grp) else np.zeros(0, dtype=bool)
-    rep = np.zeros(len(codes), dtype=bool)
+    rep = np.zeros(n_seg, dtype=bool)
     rep[order] = rep_sorted
-    csum_n = np.zeros(len(codes) + 1, dtype=np.int64)
+    csum_n = np.zeros(n_seg + 1, dtype=np.int64)
     np.cumsum(rep, out=csum_n[1:])
     rep_per_doc = csum_n[offs[1:]] - csum_n[offs[:-1]]
-    csum_c = np.zeros(len(codes) + 1, dtype=np.int64)
+    csum_c = np.zeros(n_seg + 1, dtype=np.int64)
     np.cumsum(np.where(rep, seg_chars, 0), out=csum_c[1:])
     repc_per_doc = csum_c[offs[1:]] - csum_c[offs[:-1]]
-    tot_c = np.zeros(len(codes) + 1, dtype=np.int64)
+    tot_c = np.zeros(n_seg + 1, dtype=np.int64)
     np.cumsum(seg_chars, out=tot_c[1:])
     totc_per_doc = tot_c[offs[1:]] - tot_c[offs[:-1]]
     frac_seg = rep_per_doc / np.maximum(counts, 1)
@@ -580,22 +577,20 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
         doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=doc_off[1:])
         tok_start = np.asarray(t.column("tok_start"))
+        from ..functions.segments import ragged_gather_indices, segment_positions
+
         # each doc spans sequences [s0, s1]; emit one fragment per crossed
         # boundary (vectorized: docs repeat by their sequence-span count)
         s0 = tok_start // seq_len
         s1 = np.maximum((tok_start + lens - 1) // seq_len, s0)
         span = (s1 - s0 + 1).astype(np.int64)
         d_idx = np.repeat(np.arange(len(lens)), span)
-        k = np.arange(int(span.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(span[:-1])]), span)
-        seq = s0[d_idx] + k
+        seq = s0[d_idx] + segment_positions(span)
         gstart = np.maximum(tok_start[d_idx], seq * seq_len)
         gend = np.minimum(tok_start[d_idx] + lens[d_idx], (seq + 1) * seq_len)
         fl = (gend - gstart).astype(np.int64)
         local = gstart - tok_start[d_idx] + doc_off[d_idx]
-        src = np.repeat(local, fl) + (
-            np.arange(int(fl.sum()), dtype=np.int64)
-            - np.repeat(np.concatenate([[0], np.cumsum(fl[:-1])]), fl))
+        src = ragged_gather_indices(local, fl)
         frag_offs = np.zeros(len(fl) + 1, dtype=np.int32)
         np.cumsum(fl, out=frag_offs[1:])
         frag_tokens = pa.ListArray.from_arrays(

@@ -274,9 +274,17 @@ def decode_dataset(
     (the point-lookup path for keyed layouts, e.g. IVF inverted lists).
     """
     records = mf.load_records(out_dir)
-    if keys is not None and records:
+    if keys is not None:
+        if not records:
+            raise ValueError(
+                f"decode_dataset(keys=...): no manifest records under "
+                f"{out_dir} — key pruning needs the manifest; decoding "
+                f"everything instead would silently drop the point-lookup "
+                f"contract")
         keyset = {str(k) for k in keys}
         records = [r for r in records if str(r.get("key")) in keyset]
+        if not records:
+            return rd.from_items([])  # no partition carries a requested key
     if records:
         paths = sorted({r["path"] for r in records})
     else:

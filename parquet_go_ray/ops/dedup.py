@@ -234,7 +234,10 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16, k: int =
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True, concurrency=conc,
+        # signature compute is ~1 ms/doc x num_perm passes — 512-doc batches
+        # keep every core busy even on a single-file corpus (4096 collapsed a
+        # 5k-doc table into 2 serial tasks: measured 3.5 s of the 6 s wall)
+        batch_format="pyarrow", batch_size=512, zero_copy_batch=True, concurrency=conc,
     )
     triples = sigs.map_batches(
         BandEmitter,

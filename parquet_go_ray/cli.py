@@ -153,6 +153,59 @@ def cmd_decode(args):
     print(json.dumps({"rows": ds.count(), "out": args.out}))
 
 
+def cmd_dedup(args):
+    """Near-dedup a parquet corpus end-to-end (candidates -> verify ->
+    connected components -> canonical keep-set) and write the survivors."""
+    _ray_session()
+    import ray.data as rd
+
+    from .ops.cluster import dedup_near
+
+    ds = rd.read_parquet(args.input)
+    out = dedup_near(ds, method=args.method, id_col=args.id_col,
+                     text_col=args.text_col, threshold=args.threshold)
+    out.write_parquet(args.out)
+    kept = out.count()
+    print(json.dumps({"rows_kept": kept, "out": args.out}))
+
+
+def cmd_sample(args):
+    """Stratified (data-mixture) sampling: --rates src0=0.1,src1=1.0 ..."""
+    _ray_session()
+    import ray.data as rd
+
+    from .ops.text import stratified_sample
+
+    rates = {}
+    for part in (args.rates or "").split(","):
+        if part:
+            k, v = part.split("=")
+            rates[k] = float(v)
+    ds = rd.read_parquet(args.input)
+    out = stratified_sample(ds, rates, key_col=args.key_col,
+                            id_col=args.id_col, salt=args.salt,
+                            default_rate=args.default_rate)
+    out.write_parquet(args.out)
+    print(json.dumps({"rows_kept": out.count(), "out": args.out}))
+
+
+def cmd_pack(args):
+    """Pack a token table (id-sorted parquet with a list<int> column) into
+    fixed-length training sequences."""
+    _ray_session()
+    import ray.data as rd
+
+    from .ops.text import pack_token_sequences
+
+    ds = rd.read_parquet(args.input)
+    out = pack_token_sequences(ds, seq_len=args.seq_len, id_col=args.id_col,
+                               tokens_col=args.tokens_col,
+                               drop_last=args.drop_last)
+    out.write_parquet(args.out)
+    print(json.dumps({"sequences": out.count(), "seq_len": args.seq_len,
+                      "out": args.out}))
+
+
 def cmd_csv2parquet(args):
     """Typed CSV ingest: -type col=int64,col2=string like the reference's
     csv2parquet type hints (cmd/csv2parquet/main.go:367-435)."""
@@ -207,6 +260,9 @@ def main(argv=None):
     s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.set_defaults(fn=cmd_encode)
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
     s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)
+    s = sub.add_parser("dedup"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--method", default="minhash"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--text-col", default="text"); s.add_argument("--threshold", type=float, default=0.7); s.set_defaults(fn=cmd_dedup)
+    s = sub.add_parser("sample"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--rates", required=True); s.add_argument("--key-col", default="source"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--salt", type=int, default=0); s.add_argument("--default-rate", type=float, default=1.0); s.set_defaults(fn=cmd_sample)
+    s = sub.add_parser("pack"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--seq-len", type=int, default=2048); s.add_argument("--id-col", default="doc_id"); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--drop-last", action="store_true"); s.set_defaults(fn=cmd_pack)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -75,3 +75,54 @@ def test_meta_shows_kv_metadata(tmp_path):
     write_partition(t, p, EncodeConfig(metadata={"owner": "pipeline-7"}))
     out = _capture(["meta", p])
     assert "owner = pipeline-7" in out
+
+
+def test_cli_sample(tmp_path, ray_session):
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "sampled"
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray.cli", "sample",
+         "/root/testdata/sf0.001/documents.parquet", str(out),
+         "--rates", "src0=0.0", "--default-rate", "1.0"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-800:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    import duckdb
+
+    expect = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE source <> 'src0'").fetchone()[0]
+    assert info["rows_kept"] == expect
+
+
+def test_cli_pack(tmp_path, ray_session):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    toks = [rng.integers(0, 100, int(rng.integers(1, 30))).astype(np.int32)
+            for _ in range(50)]
+    src = tmp_path / "tok.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+        "tokens": pa.array([t.tolist() for t in toks],
+                           type=pa.list_(pa.int32()))}), src)
+    out = tmp_path / "packed"
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray.cli", "pack", str(src),
+         str(out), "--seq-len", "32", "--drop-last"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-800:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    total = sum(len(t) for t in toks)
+    assert info["sequences"] == total // 32

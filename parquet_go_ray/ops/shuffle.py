@@ -42,8 +42,15 @@ def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
                                num_partitions: int = 64):
     """Append ``shuffle_pos`` — the row's position in the seed-keyed global
     permutation — to every row of ``ds`` (id and any other columns pass
-    through the bucket shuffle)."""
+    through the bucket shuffle).
+
+    The input executes ONCE (materialized into the spillable object store)
+    because both the histogram pass and the tagged shuffle consume it —
+    without this, any upstream lineage (reads, hashing, filters) runs
+    twice."""
     import ray
+
+    ds = ds.materialize()
 
     def histogram(t: pa.Table) -> pa.Table:
         keys = _shuffle_key(np.asarray(t.column(id_col)), seed)

@@ -576,6 +576,56 @@ def q_shuffle_rank_documents(sf_dir):
     return out.select_columns(["doc_id", "shuffle_pos"])
 
 
+def q_pipeline_corpus_e2e(sf_dir):
+    """The COMPLETE corpus pipeline as one composition of this repo's ops:
+    quality/language filter → benchmark decontamination (drop) → PII
+    redaction → exact dedup (keep min-id per content) → stratified
+    source-mixture sampling → deterministic train/val split → token count →
+    sequence-offset assignment (distributed prefix sum). Every stage is the
+    production operator; ONE chained SQL oracle checks the whole composition
+    hash-exact — the 'a user could run their entire pipeline here' query."""
+    import pyarrow.parquet as pq2
+
+    from ..ops.dedup import _broadcast_id_filter, _semi_filter, dedup_exact
+    from ..ops.text import (add_token_count, decontaminate, pack_sequences,
+                            redact_pii, stratified_sample, train_val_split)
+
+    # deterministic eval 8-gram, same construction as q_decontaminate
+    tbl = pq2.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = np.asarray(tbl.column("doc_id"))
+    eval_text = " ".join(
+        tbl.column("text")[int(np.argmin(ids))].as_py().split()[:8])
+
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def quality(t: pa.Table) -> pa.Table:
+        keep = _pc.and_(
+            _pc.greater_equal(_pc.utf8_length(t.column("text")), 100),
+            _pc.is_in(t.column("lang"),
+                      value_set=pa.array(["en", "fr"])))
+        return t.filter(keep).drop_columns(["lang"])
+
+    ds = ds.map_batches(quality, batch_format="pyarrow", zero_copy_batch=True)
+    ds = decontaminate(ds, [eval_text], n=8, drop=True).map_batches(
+        lambda t: t.drop_columns(["contaminated", "n_contaminated_grams"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = redact_pii(ds).materialize()  # feeds dedup AND the keep filter
+    keep_ids = dedup_exact(ds.select_columns(["doc_id", "text"]))
+    # exact (non-Bloom) keep filter: a false positive would ADMIT a dup row
+    filt = _broadcast_id_filter(keep_ids, ["doc_id"], exact=True)
+    ds = _semi_filter(ds, "doc_id", filt)
+    ds = stratified_sample(ds, {"src0": 0.5}, default_rate=1.0)
+    ds = train_val_split(ds)
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    out = pack_sequences(ds, seq_len=512)
+    return out.select_columns(["doc_id", "split", "n_tok", "tok_start",
+                               "seq_id"])
+
+
 def q_cross_dedup_documents(sf_dir):
     """Cross-corpus near-dedup (ops/cluster.py:cross_dedup): documents
     matching any doc of a reference corpus (here: the first 50 docs,
@@ -1041,6 +1091,7 @@ QUERIES = {
     "shuffle_rank_documents": q_shuffle_rank_documents,
     "pack_token_sequences": q_pack_token_sequences,
     "cross_dedup_documents": q_cross_dedup_documents,
+    "pipeline_corpus_e2e": q_pipeline_corpus_e2e,
     "multimodal_real_decode": q_multimodal_real_decode,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -1133,6 +1184,38 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "pipeline_corpus_e2e": (
+        r"WITH ev AS (SELECT array_to_string(string_split(text, ' ')[1:8], ' ')"
+        r" AS g FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),"
+        r"filtered AS ("
+        r"  SELECT doc_id, text, source FROM documents"
+        r"  WHERE length(text) >= 100 AND lang IN ('en', 'fr')"
+        r"    AND instr(' ' || text || ' ', ' ' || (SELECT g FROM ev) || ' ') = 0),"
+        r"red AS ("
+        r"  SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(text,"
+        r" '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),"
+        r" '\+?[0-9]{1,3}[ .\-]?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}', '[REDACTED]', 'g'),"
+        r" '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[REDACTED]', 'g')"
+        r" AS text FROM filtered),"
+        r"dedup AS (SELECT * FROM red QUALIFY"
+        r"  row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),"
+        r"sampled AS ("
+        r"  SELECT * FROM dedup"
+        r"  WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <"
+        r"        CASE source WHEN 'src0' THEN 5000 ELSE 10000 END),"
+        r"tagged AS ("
+        r"  SELECT doc_id,"
+        r"    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10"
+        r"      THEN 'val' ELSE 'train' END AS split,"
+        r"    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok"
+        r"  FROM sampled)"
+        r"SELECT doc_id, split, n_tok,"
+        r"  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN"
+        r"    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start,"
+        r"  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN"
+        r"    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id"
+        r" FROM tagged"
     ),
     "cross_dedup_documents": (
         # the oracle computes the op's true semantics: word-3-gram Jaccard

@@ -153,6 +153,15 @@ def bench_ops(sf_dir: str) -> dict:
         knn_bruteforce(emb, query_ids=[0, 1, 2, 3], k=10)
         res["knn_bruteforce"] = min(res.get("knn_bruteforce", 9e9), time.perf_counter() - t0)
 
+    # Full corpus pipeline (filter→decontaminate→redact→dedup→sample→split→
+    # count→pack offsets) over the sf documents table
+    from parquet_go_ray.pipelines.queries import q_pipeline_corpus_e2e
+
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q_pipeline_corpus_e2e(sf_dir).count()
+        res["pipeline_e2e"] = min(res.get("pipeline_e2e", 9e9), time.perf_counter() - t0)
+
     # New-op scale checks over 2M rows (token-table scale, int row ids)
     rows = int(os.environ.get("GRAFT_BENCH_ROWS") or max(int(ROWS_PER_SF * _sf()), 10_000))
     tok = rd.read_parquet(_token_cache_dir(rows))

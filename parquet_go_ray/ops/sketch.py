@@ -98,3 +98,25 @@ def quantile_sketch(ds, col: str, quantiles: list[float], *, k: int = 512) -> li
         i = int(np.searchsorted(cum, target * total))
         out.append(float(q[min(i, len(q) - 1)]))
     return out
+
+
+def quantile_filter(ds, col: str, *, keep_above: float = 0.1, k: int = 512):
+    """Sketch-driven adaptive filtering — "drop the bottom decile by
+    quality": one streaming pass learns the approximate ``keep_above``
+    quantile of ``col`` (mergeable weighted order-statistic sketch, driver
+    holds O(k) floats per block), the threshold broadcasts in the closure,
+    and a second streaming pass keeps rows with ``col >= threshold``. No
+    shuffle, no corpus materialization; the usual two-pass shape of
+    statistics-driven filters.
+
+    Returns ``(filtered_ds, threshold)`` so callers can log/persist the cut
+    point alongside the output."""
+    import pyarrow.compute as pc
+
+    (threshold,) = quantile_sketch(ds, col, [keep_above], k=k)
+
+    def keep(t):
+        return t.filter(pc.greater_equal(t.column(col), threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True), threshold

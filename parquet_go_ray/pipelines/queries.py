@@ -576,6 +576,30 @@ def q_shuffle_rank_documents(sf_dir):
     return out.select_columns(["doc_id", "shuffle_pos"])
 
 
+def q_quantile_filter_documents(sf_dir):
+    """Sketch-driven adaptive quality filter: learn the 10th percentile of
+    doc length from the streaming quantile sketch, drop everything below.
+    Self-validating (sketches aren't SQL-expressible): asserts in-query that
+    the sketch threshold sits within 2 exact percentile points of DuckDB's
+    quantile_cont and that the kept fraction is 90% ± the sketch's rank
+    error — raises on violation; driver records the rows check."""
+    import duckdb
+
+    from ..ops.sketch import quantile_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out, threshold = quantile_filter(ds, "n_chars", keep_above=0.1)
+    lo, hi = duckdb.sql(
+        f"SELECT quantile_cont(n_chars, 0.08), quantile_cont(n_chars, 0.12) "
+        f"FROM '{os.path.join(sf_dir, 'documents.parquet')}'").fetchone()
+    assert lo <= threshold <= hi, (threshold, lo, hi)
+    res = out.to_pandas()
+    total = ds.count()
+    frac = len(res) / total
+    assert 0.85 <= frac <= 0.95, frac
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pipeline_corpus_e2e(sf_dir):
     """The COMPLETE corpus pipeline as one composition of this repo's ops:
     quality/language filter → benchmark decontamination (drop) → PII
@@ -1092,6 +1116,7 @@ QUERIES = {
     "pack_token_sequences": q_pack_token_sequences,
     "cross_dedup_documents": q_cross_dedup_documents,
     "pipeline_corpus_e2e": q_pipeline_corpus_e2e,
+    "quantile_filter_documents": q_quantile_filter_documents,
     "multimodal_real_decode": q_multimodal_real_decode,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,

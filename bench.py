@@ -153,6 +153,35 @@ def bench_ops(sf_dir: str) -> dict:
         knn_bruteforce(emb, query_ids=[0, 1, 2, 3], k=10)
         res["knn_bruteforce"] = min(res.get("knn_bruteforce", 9e9), time.perf_counter() - t0)
 
+    # Heavy-dup corpus: 20 near-copies of every sf document (distinct ids,
+    # per-copy suffix so copies are NEAR-dups, not byte dups) — the realistic
+    # web-dedup load profile (~95% duplication) for LSH + clustering.
+    def replicate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        parts = []
+        for i in range(20):
+            parts.append(pa.table({
+                "doc_id": pa.array(np.asarray(t.column("doc_id")) * 32 + i),
+                "text": pc2.binary_join_element_wise(
+                    t.column("text").combine_chunks(),
+                    pa.array([f"copy marker {i}"] * t.num_rows), " "),
+            }))
+        return pa.concat_tables(parts)
+
+    heavy = (docs.select_columns(["doc_id", "text"])
+             .map_batches(replicate, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+    t0 = time.perf_counter()
+    pairs = minhash_candidate_pairs(heavy).materialize()
+    res["dedup_minhash_heavy"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_clusters = duplicate_clusters(pairs).count()
+    res["dedup_cluster_heavy"] = time.perf_counter() - t0
+    res["heavy_docs"] = heavy.count()
+    res["heavy_pairs"] = pairs.count()
+    res["heavy_clustered"] = n_clusters
+
     # Full corpus pipeline (filter→decontaminate→redact→dedup→sample→split→
     # count→pack offsets) over the sf documents table
     from parquet_go_ray.pipelines.queries import q_pipeline_corpus_e2e

@@ -97,9 +97,13 @@ def _min_label_per_node(keyed_ds, node_col: str, lab_col: str,
     # repartition bounds the output block count: Ray's sort-shuffle emits as
     # many blocks as the (union) input has, so an iterated groupby would
     # otherwise DOUBLE its block count — and task fan-out — every round
-    # (measured: 2^r blocks, geometric per-round slowdown).
+    # (measured: 2^r blocks, geometric per-round slowdown). The trailing
+    # Arrow normalization matters too: the next round unions these labels
+    # with Arrow edge blocks, and Ray's batcher asserts (block-order-
+    # dependent) when one consumer window mixes pandas and Arrow blocks.
     return (keyed_ds.map_batches(key, batch_format="pyarrow")
             .groupby("__p").map_groups(reduce_min, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
             .repartition(num_partitions))
 
 

@@ -99,6 +99,11 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id",
         attached.map_batches(rekey, batch_format="pyarrow")
         .groupby("__p2")
         .map_groups(first_per_content, batch_format="pandas")
+        # normalize to Arrow blocks: the union below mixes with the Arrow
+        # `resolved` branch, and Ray's batcher asserts (intermittently, by
+        # block arrival order) when one consumer window sees both pandas and
+        # Arrow blocks
+        .map_batches(lambda t: t, batch_format="pyarrow")
     )
     return resolved.union(verified)
 

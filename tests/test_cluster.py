@@ -31,12 +31,15 @@ def test_clusters_match_union_find_random_graph(ray_session):
     # chains, and merged blobs
     pairs = [(int(a), int(b)) for a, b in rng.integers(0, 300, (220, 2)) if a != b]
     ds = rd.from_pandas(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
-    out = duplicate_clusters(ds, max_iters=12, num_partitions=8).to_pandas()
-    nodes = sorted({n for p in pairs for n in p})
-    expect = _union_find(pairs, nodes)
-    assert len(out) == len(nodes)
-    got = dict(zip(out.node, out.cluster_id))
-    assert got == expect
+    expect = _union_find(pairs, sorted({n for p in pairs for n in p}))
+    # both execution paths must agree with ground truth: the broadcast fast
+    # path (default for candidate-bounded label sets) and the fully
+    # distributed shuffle loop (broadcast_nodes=0 forces it)
+    for bn in (1 << 22, 0):
+        out = duplicate_clusters(ds, max_iters=12, num_partitions=8,
+                                 broadcast_nodes=bn).to_pandas()
+        assert len(out) == len(expect)
+        assert dict(zip(out.node, out.cluster_id)) == expect
 
 
 def test_clusters_chain_needs_iterations(ray_session):
@@ -52,12 +55,14 @@ def test_clusters_chain_needs_iterations(ray_session):
 def test_clusters_unconverged_raises(ray_session, monkeypatch):
     import parquet_go_ray.ops.cluster as C
 
-    # force the chain across many partitions so one round cannot solve it
+    # force the shuffle path (broadcast_nodes=0) and spread the chain across
+    # many partitions so one round cannot solve it
     monkeypatch.setattr(C, "_EDGES_PER_PARTITION", 4)
     chain = [(i, i + 1) for i in range(30)]
     ds = rd.from_pandas(pd.DataFrame(chain, columns=["doc_a", "doc_b"]))
     with pytest.raises(RuntimeError, match="not converged"):
-        C.duplicate_clusters(ds, max_iters=1, num_partitions=8)
+        C.duplicate_clusters(ds, max_iters=1, num_partitions=8,
+                             broadcast_nodes=0)
 
 
 def test_dedup_near_minhash_end_to_end(ray_session):

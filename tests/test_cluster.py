@@ -232,3 +232,32 @@ def test_cross_dedup_planted_overlap(ray_session):
                               num_partitions=8, drop=False)
                   .to_pandas().doc_id)
     assert matches == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_dedup_near_simhash_and_embedding_paths(ray_session):
+    from parquet_go_ray.ops.cluster import dedup_near
+
+    # simhash path: exact copies collide in every band; base docs are random
+    # word soup so unrelated docs stay beyond the hamming radius
+    wrng = np.random.default_rng(8)
+    words = [f"w{i}" for i in range(400)]
+    texts = [" ".join(wrng.choice(words, 50)) for _ in range(20)]
+    texts += texts[:4]  # ids 20..23 duplicate 0..3
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    kept = set(dedup_near(ds, method="simhash", num_partitions=8)
+               .to_pandas().doc_id)
+    assert kept == set(range(20)), kept
+
+    # embedding path: ds IS the embeddings dataset (id_col names its ids)
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[25:] = vecs[:5] + 1e-4  # ids 25..29 near-duplicate 0..4
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), 16)}))
+    kept = set(dedup_near(emb, method="embedding", id_col="vec_id",
+                          tau=0.999).to_pandas().vec_id)
+    assert set(range(25)) <= kept
+    assert kept.isdisjoint(range(25, 30)), kept

@@ -178,9 +178,8 @@ def bench_ops(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     n_clusters = duplicate_clusters(pairs).count()
     res["dedup_cluster_heavy"] = time.perf_counter() - t0
-    res["heavy_docs"] = heavy.count()
-    res["heavy_pairs"] = pairs.count()
-    res["heavy_clustered"] = n_clusters
+    res["_meta"] = {"heavy_docs": heavy.count(), "heavy_pairs": pairs.count(),
+                    "heavy_clustered": n_clusters}
 
     # Full corpus pipeline (filter→decontaminate→redact→dedup→sample→split→
     # count→pack offsets) over the sf documents table
@@ -234,7 +233,9 @@ def run_bench() -> dict:
     if not headline_only:
         base = bench_parquet_baseline(rows)
         queries["baseline_parquet_write"] = round(base["sec"], 3)
-        queries.update({k: round(v, 3) for k, v in bench_ops(SF_DIR).items()})
+        op_res = bench_ops(SF_DIR)
+        op_meta = op_res.pop("_meta", {})
+        queries.update({k: round(v, 3) for k, v in op_res.items()})
 
     gb_in = enc["bytes_in"] / 1e9
     result = {
@@ -250,6 +251,7 @@ def run_bench() -> dict:
         "encode_gb_per_s": round(gb_in / enc["sec"], 3),
     }
     if not headline_only:
+        result.update(op_meta)
         result["compression_ratio_vs_parquet"] = round(enc["bytes_out"] / base["bytes"], 4)
         result["speedup_vs_singlethread_baseline"] = round(base["sec"] / enc["sec"], 2)
     ray.shutdown()

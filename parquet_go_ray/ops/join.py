@@ -43,3 +43,79 @@ def broadcast_join(ds, small: pa.Table, on: str, *, right_on: str | None = None,
         return batch
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join_broadcast(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
+                        by: str | None = None, dim_by: str | None = None):
+    """Broadcast AS-OF join: every probe row is matched to the LAST dim row
+    whose ``dim_ts_col`` <= its ``ts_col`` (per ``by`` key when given) — the
+    event-to-latest-checkpoint / trade-to-quote join.
+
+    Same scale shape as ``broadcast_join``: the dimension table ships ONCE
+    via ``ray.put`` (sorted by (key, ts)); each batch does one vectorized
+    ``searchsorted`` (per present key when ``by`` is set — the loop is over
+    the BROADCAST side's keys, never probe rows). No shuffle, no sort of
+    the probe side. Unmatched rows (ts before the first checkpoint) get
+    null dim columns. Timestamps and plain numerics both work (everything
+    compares as int64)."""
+    import numpy as np
+    import ray
+
+    dim_by = dim_by or by
+
+    def key_array(t, col):
+        arr = t.column(col) if hasattr(t, "column") else col
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.timestamp("us"))
+            return np.asarray(arr).view("i8")
+        return np.asarray(arr).astype(np.int64)
+
+    overlap = set(dim.column_names) & set(ds.schema().names)
+    if overlap:
+        raise ValueError(f"asof_join_broadcast: overlapping columns {overlap}"
+                         " — rename the dim columns first")
+    dts = key_array(dim, dim_ts_col)
+    if by is None:
+        order = np.argsort(dts, kind="stable")
+    else:
+        dkey = key_array(dim, dim_by)
+        order = np.lexsort((dts, dkey))
+    dim_sorted = dim.take(pa.array(order))
+    dts_sorted = dts[order]
+    if by is not None:
+        dkey_sorted = key_array(dim_sorted, dim_by)
+    ref = ray.put((dim_sorted, dts_sorted,
+                   dkey_sorted if by is not None else None))
+
+    def attach(t: pa.Table) -> pa.Table:
+        dim_t, dts_s, dkey_s = ray.get(ref)
+        ts = key_array(t, ts_col)
+        if by is None:
+            idx = np.searchsorted(dts_s, ts, side="right") - 1
+        else:
+            pk = key_array(t, by)
+            idx = np.full(len(ts), -1, dtype=np.int64)
+            for k in np.unique(pk):  # loop over the small side's key space
+                lo = np.searchsorted(dkey_s, k, side="left")
+                hi = np.searchsorted(dkey_s, k, side="right")
+                if lo == hi:
+                    continue
+                rows = pk == k
+                idx[rows] = lo + np.searchsorted(
+                    dts_s[lo:hi], ts[rows], side="right") - 1
+                idx[rows & (idx < lo)] = -1
+        valid = idx >= 0
+        take = pa.array(np.where(valid, idx, 0))
+        out = t
+        vmask = pa.array(valid)
+        for c in dim_t.column_names:
+            vals = dim_t.column(c).take(take)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if not valid.all():
+                vals = pc.if_else(vmask, vals, pa.nulls(len(vals), vals.type))
+            out = out.append_column(c, vals)
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)

@@ -576,6 +576,24 @@ def q_shuffle_rank_documents(sf_dir):
     return out.select_columns(["doc_id", "shuffle_pos"])
 
 
+def q_asof_join_events(sf_dir):
+    """Broadcast AS-OF join (ops/join.py:asof_join_broadcast): every event
+    matched to the latest 3-daily checkpoint at or before its timestamp —
+    the trade-to-quote / event-to-latest-state join. Hash-checked against
+    DuckDB's native ASOF JOIN."""
+    from ..ops.join import asof_join_broadcast
+
+    base = np.datetime64("2024-01-01", "us")
+    cts = base + np.arange(10) * np.timedelta64(3, "D").astype("timedelta64[us]")
+    dim = pa.table({
+        "cts": pa.array(cts),
+        "rate": pa.array(1.0 + 0.03 * np.arange(10)),
+    })
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    out = asof_join_broadcast(ds, dim, ts_col="ts", dim_ts_col="cts")
+    return out.select_columns(["event_id", "cts", "rate"])
+
+
 def q_quantile_filter_documents(sf_dir):
     """Sketch-driven adaptive quality filter: learn the 10th percentile of
     doc length from the streaming quantile sketch, drop everything below.
@@ -1117,6 +1135,7 @@ QUERIES = {
     "cross_dedup_documents": q_cross_dedup_documents,
     "pipeline_corpus_e2e": q_pipeline_corpus_e2e,
     "quantile_filter_documents": q_quantile_filter_documents,
+    "asof_join_events": q_asof_join_events,
     "multimodal_real_decode": q_multimodal_real_decode,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -1209,6 +1228,12 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "asof_join_events": (
+        "WITH dim AS (SELECT TIMESTAMP '2024-01-01' + INTERVAL (3 * i) DAY"
+        " AS cts, 1.0 + 0.03 * i AS rate FROM generate_series(0, 9) AS t(i))"
+        " SELECT e.event_id, d.cts, d.rate FROM events e"
+        " ASOF JOIN dim d ON e.ts >= d.cts"
     ),
     "pipeline_corpus_e2e": (
         r"WITH ev AS (SELECT array_to_string(string_split(text, ' ')[1:8], ' ')"

@@ -261,3 +261,26 @@ def test_dedup_near_simhash_and_embedding_paths(ray_session):
                           tau=0.999).to_pandas().vec_id)
     assert set(range(25)) <= kept
     assert kept.isdisjoint(range(25, 30)), kept
+
+
+def test_asof_join_broadcast_keyed_and_unmatched(ray_session):
+    from parquet_go_ray.ops.join import asof_join_broadcast
+
+    # per-key checkpoints; probe rows before the first checkpoint get nulls
+    dim = pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "cts": pa.array([10, 20, 15], type=pa.int64()),
+        "val": pa.array([100, 200, 150], type=pa.int64()),
+    })
+    probe = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "ts": pa.array([5, 12, 25, 14, 16, 99], type=pa.int64()),
+    }))
+    out = (asof_join_broadcast(probe, dim.drop_columns(["k"])
+                               .append_column("dk", dim.column("k")),
+                               ts_col="ts", dim_ts_col="cts",
+                               by="k", dim_by="dk")
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    assert out.val.tolist() == [None, 100, 200, None, 150, None] or \
+        [None if pd.isna(v) else int(v) for v in out.val] == \
+        [None, 100, 200, None, 150, None]

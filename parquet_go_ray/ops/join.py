@@ -119,3 +119,47 @@ def asof_join_broadcast(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
         return out
 
     return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def range_join_broadcast(ds, dim: pa.Table, *, value_col: str, lo_col: str,
+                         hi_col: str):
+    """Broadcast RANGE join: every probe row matched to the dim interval with
+    ``lo <= value <= hi`` — score banding, histogram bucketing, SLA tiers.
+    Intervals must be non-overlapping (dimension-table semantics; sorted by
+    ``lo`` internally, overlap raises). Same scale shape as the other
+    broadcast joins: dim ships once, one vectorized searchsorted + bound
+    check per batch, no shuffle. Rows in no interval get null dim columns."""
+    import numpy as np
+    import ray
+
+    overlap = set(dim.column_names) & set(ds.schema().names)
+    if overlap:
+        raise ValueError(f"range_join_broadcast: overlapping columns "
+                         f"{overlap} — rename the dim columns first")
+    lo = np.asarray(dim.column(lo_col), dtype=np.float64)
+    hi = np.asarray(dim.column(hi_col), dtype=np.float64)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    if (hi < lo).any() or (len(lo) > 1 and (lo[1:] <= hi[:-1]).any()):
+        raise ValueError("range_join_broadcast: intervals must be valid and "
+                         "non-overlapping")
+    ref = ray.put((dim.take(pa.array(order)), lo, hi))
+
+    def attach(t: pa.Table) -> pa.Table:
+        dim_t, lo_s, hi_s = ray.get(ref)
+        v = np.asarray(t.column(value_col).combine_chunks().cast(pa.float64()))
+        idx = np.searchsorted(lo_s, v, side="right") - 1
+        valid = (idx >= 0) & (v <= hi_s[np.maximum(idx, 0)])
+        take = pa.array(np.where(valid, idx, 0))
+        vmask = pa.array(valid)
+        out = t
+        for c in dim_t.column_names:
+            vals = dim_t.column(c).take(take)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if not valid.all():
+                vals = pc.if_else(vmask, vals, pa.nulls(len(vals), vals.type))
+            out = out.append_column(c, vals)
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)

@@ -594,6 +594,25 @@ def q_asof_join_events(sf_dir):
     return out.select_columns(["event_id", "cts", "rate"])
 
 
+def q_range_join_events(sf_dir):
+    """Broadcast RANGE join (ops/join.py:range_join_broadcast): each event's
+    value banded into a non-overlapping tier table (lo <= value <= hi).
+    Hash-checked against DuckDB's BETWEEN join; rows outside every tier get
+    null tier columns (tiers stop at 400, max value ~490)."""
+    from ..ops.join import range_join_broadcast
+
+    los = np.array([0.0, 100.0, 200.0, 300.0])
+    dim = pa.table({
+        "lo": pa.array(los),
+        "hi": pa.array(los + 99.999),
+        "tier": pa.array(["T0", "T1", "T2", "T3"]),
+    })
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = range_join_broadcast(ds, dim, value_col="value", lo_col="lo",
+                               hi_col="hi")
+    return out.select_columns(["event_id", "tier"])
+
+
 def q_quantile_filter_documents(sf_dir):
     """Sketch-driven adaptive quality filter: learn the 10th percentile of
     doc length from the streaming quantile sketch, drop everything below.
@@ -1136,6 +1155,7 @@ QUERIES = {
     "pipeline_corpus_e2e": q_pipeline_corpus_e2e,
     "quantile_filter_documents": q_quantile_filter_documents,
     "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
     "multimodal_real_decode": q_multimodal_real_decode,
     "dedup_minhash_documents": q_dedup_minhash_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -1228,6 +1248,12 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "range_join_events": (
+        "WITH dim AS (SELECT 100.0 * i AS lo, 100.0 * i + 99.999 AS hi,"
+        " 'T' || CAST(i AS VARCHAR) AS tier FROM generate_series(0, 3) AS t(i))"
+        " SELECT e.event_id, d.tier FROM events e"
+        " LEFT JOIN dim d ON e.value BETWEEN d.lo AND d.hi"
     ),
     "asof_join_events": (
         "WITH dim AS (SELECT TIMESTAMP '2024-01-01' + INTERVAL (3 * i) DAY"

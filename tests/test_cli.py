@@ -126,3 +126,33 @@ def test_cli_pack(tmp_path, ray_session):
     info = json.loads(r.stdout.strip().splitlines()[-1])
     total = sum(len(t) for t in toks)
     assert info["sequences"] == total // 32
+
+
+def test_cli_dedup(tmp_path, ray_session):
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(6)
+    words = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, 60)) for _ in range(30)]
+    texts += texts[:5]  # ids 30..34 duplicate 0..4
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)}), src)
+    out = tmp_path / "deduped"
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray.cli", "dedup", str(src),
+         str(out), "--threshold", "0.5"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["rows_kept"] == 30
+    kept = set(pd.read_parquet(out).doc_id)
+    assert kept == set(range(30))

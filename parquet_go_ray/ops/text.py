@@ -8,6 +8,7 @@ classes so actor pools pay setup once (`__init__`) per actor, not per batch.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -630,3 +631,69 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
     return (with_off.map_batches(fragments, batch_format="pyarrow",
                                  batch_size=None, zero_copy_batch=True)
             .groupby("__p").map_groups(assemble, batch_format="pandas"))
+
+
+def remap_rare_tokens(ds, *, min_count: int = 2, unk_id: int = -1,
+                      tokens_col: str = "tokens",
+                      num_partitions: int = 64):
+    """Vocabulary pruning over an integer token table: token ids occurring
+    fewer than ``min_count`` times corpus-wide remap to ``unk_id`` — the
+    apply step that follows ``build_vocab`` in a tokenizer pipeline.
+
+    Pass 1 moves only (token_id, partial_count) pairs (per-batch np.unique
+    combiner, hash-partitioned sum); the surviving vocabulary — bounded by
+    distinct token ids, not corpus length — broadcasts once via ``ray.put``.
+    Pass 2 is a streaming remap of the flattened list values (one
+    searchsorted membership test per batch, offsets reused). No corpus
+    shuffle."""
+    import ray
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.chunk(0) if col.num_chunks
+                   else pa.array([], type=pa.list_(pa.int64())))
+        vals, counts = np.unique(
+            np.asarray(col.flatten(), dtype=np.int64), return_counts=True)
+        return pa.table({
+            "tk": pa.array(vals),
+            "c": pa.array(counts.astype(np.int64)),
+            "__p": pa.array(vals % num_partitions),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("tk", sort=False)["c"].sum().reset_index()
+        return agg[agg.c >= min_count][["tk"]]
+
+    vocab_parts = [np.asarray(b.column("tk"), dtype=np.int64)
+                   for b in (ds.map_batches(partials, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+                             .groupby("__p")
+                             .map_groups(merge, batch_format="pandas")
+                             .iter_batches(batch_format="pyarrow"))]
+    vocab = (np.sort(np.concatenate(vocab_parts)) if vocab_parts
+             else np.empty(0, np.int64))
+    ref = ray.put(vocab)
+
+    def remap(t: pa.Table) -> pa.Table:
+        vb = ray.get(ref)
+        col = t.column(tokens_col).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.chunk(0) if col.num_chunks
+                   else pa.array([], type=pa.list_(pa.int64())))
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        if len(vb):
+            pos = np.searchsorted(vb, flat).clip(0, len(vb) - 1)
+            keep = vb[pos] == flat
+        else:
+            keep = np.zeros(len(flat), dtype=bool)
+        out_vals = np.where(keep, flat, unk_id)
+        offs = np.asarray(col.offsets, dtype=np.int32)
+        offs = offs - offs[0]
+        new = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(out_vals.astype(
+                col.type.value_type.to_pandas_dtype())))
+        return t.set_column(t.schema.get_field_index(tokens_col),
+                            tokens_col, new)
+
+    return ds.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)

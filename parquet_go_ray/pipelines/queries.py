@@ -687,6 +687,18 @@ def q_pipeline_corpus_e2e(sf_dir):
                                "seq_id"])
 
 
+def q_remap_rare_tokens(sf_dir):
+    """Vocabulary pruning (ops/text.py:remap_rare_tokens): token ids seen
+    fewer than 2000 times corpus-wide remap to UNK (-1) over the flagship
+    codepoint token table — the build_vocab apply step. Token-exact SQL
+    oracle (vocab computed and applied in one DuckDB CTE)."""
+    from ..ops.text import remap_rare_tokens
+
+    out = remap_rare_tokens(token_table_dataset(sf_dir), min_count=2000,
+                            unk_id=-1)
+    return out.select_columns(["doc_id", "tokens"])
+
+
 def q_cross_dedup_documents(sf_dir):
     """Cross-corpus near-dedup (ops/cluster.py:cross_dedup): documents
     matching any doc of a reference corpus (here: the first 50 docs,
@@ -1152,6 +1164,7 @@ QUERIES = {
     "shuffle_rank_documents": q_shuffle_rank_documents,
     "pack_token_sequences": q_pack_token_sequences,
     "cross_dedup_documents": q_cross_dedup_documents,
+    "remap_rare_tokens": q_remap_rare_tokens,
     "pipeline_corpus_e2e": q_pipeline_corpus_e2e,
     "quantile_filter_documents": q_quantile_filter_documents,
     "asof_join_events": q_asof_join_events,
@@ -1248,6 +1261,16 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "remap_rare_tokens": (
+        "WITH tok AS (SELECT doc_id, list_transform(string_split(text, ''),"
+        " x -> unicode(x)) AS tokens FROM documents),"
+        "counts AS (SELECT tk, count(*) AS c FROM"
+        " (SELECT unnest(tokens) AS tk FROM tok) GROUP BY tk),"
+        "keep AS (SELECT list(tk) AS ks FROM counts WHERE c >= 2000)"
+        " SELECT doc_id, list_transform(tokens, t -> CASE WHEN"
+        " list_contains(k.ks, t) THEN t ELSE -1 END) AS tokens"
+        " FROM tok, keep k"
     ),
     "range_join_events": (
         "WITH dim AS (SELECT 100.0 * i AS lo, 100.0 * i + 99.999 AS hi,"

@@ -162,8 +162,17 @@ def cmd_dedup(args):
     from .ops.cluster import dedup_near
 
     ds = rd.read_parquet(args.input)
+    # --threshold means different things per method: Jaccard for minhash,
+    # cosine tau for embedding; simhash buckets on Hamming distance and
+    # takes no threshold at all (forwarding one would TypeError).
+    kw = {}
+    if args.method == "minhash":
+        kw["threshold"] = args.threshold
+    elif args.method == "embedding":
+        kw["tau"] = args.threshold
+        kw["vec_col"] = args.vec_col
     out = dedup_near(ds, method=args.method, id_col=args.id_col,
-                     text_col=args.text_col, threshold=args.threshold)
+                     text_col=args.text_col, **kw)
     out.write_parquet(args.out)
     kept = out.count()
     print(json.dumps({"rows_kept": kept, "out": args.out}))
@@ -260,7 +269,7 @@ def main(argv=None):
     s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.set_defaults(fn=cmd_encode)
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
     s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)
-    s = sub.add_parser("dedup"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--method", default="minhash"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--text-col", default="text"); s.add_argument("--threshold", type=float, default=0.7); s.set_defaults(fn=cmd_dedup)
+    s = sub.add_parser("dedup"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--method", default="minhash", choices=["minhash", "simhash", "embedding"]); s.add_argument("--id-col", default="doc_id"); s.add_argument("--text-col", default="text"); s.add_argument("--vec-col", default="embedding"); s.add_argument("--threshold", type=float, default=0.7); s.set_defaults(fn=cmd_dedup)
     s = sub.add_parser("sample"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--rates", required=True); s.add_argument("--key-col", default="source"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--salt", type=int, default=0); s.add_argument("--default-rate", type=float, default=1.0); s.set_defaults(fn=cmd_sample)
     s = sub.add_parser("pack"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--seq-len", type=int, default=2048); s.add_argument("--id-col", default="doc_id"); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--drop-last", action="store_true"); s.set_defaults(fn=cmd_pack)
 

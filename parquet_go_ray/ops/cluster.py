@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..pipelines.encode import _stable_hash
 from .dedup import (
@@ -138,10 +139,9 @@ def _clusters_broadcast(edges, labels, max_iters: int):
             lv = nl
 
     lab = jump(lab)
-    # delta rounds are ~free once quiescent, but propagate one graph hop per
-    # round (no in-block contraction) — budget more of them than the
-    # shuffle path's contracting rounds need
-    for _ in range(max(max_iters, 64)):
+    rounds_attempted = 0
+    for _ in range(max_iters):
+        rounds_attempted += 1
         ref = ray.put((nodes, lab))
 
         def local_min(t: pa.Table) -> pa.Table:
@@ -170,12 +170,14 @@ def _clusters_broadcast(edges, labels, max_iters: int):
                 "node": pa.array(nodes), "cluster_id": pa.array(lab)}))
         lab = jump(new)
     raise RuntimeError(
-        f"duplicate_clusters: not converged after {max_iters} rounds "
-        "(pair-graph diameter exceeds max_iters; raise max_iters)")
+        f"duplicate_clusters: broadcast path not converged after "
+        f"{rounds_attempted} delta rounds (pair-graph diameter exceeds the "
+        "budget; raise broadcast_iters)")
 
 
 def duplicate_clusters(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b", *,
                        max_iters: int = 25,
+                       broadcast_iters: int | None = None,
                        num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
                        broadcast_nodes: int = 1 << 22):
     """(doc_a, doc_b) pairs -> (node, cluster_id): connected components of the
@@ -183,14 +185,21 @@ def duplicate_clusters(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b", *,
 
     Only nodes appearing in >=1 pair are emitted; callers treat absent docs
     as their own singleton cluster. Raises if the propagation has not
-    converged after ``max_iters`` rounds (diameter > max_iters — never the
-    case for LSH dup clusters; raise the cap for adversarial chain graphs).
+    converged within the round budget (diameter exceeds it — never the case
+    for LSH dup clusters; raise the cap for adversarial chain graphs).
 
     When the pair graph has at most ``broadcast_nodes`` nodes (4M default →
     a ~64 MB label broadcast), the rounds run on the shuffle-free broadcast
     path (labels ray.put once per round, edges never move); above it, the
-    fully-distributed hash-min shuffle loop below takes over.
+    fully-distributed hash-min shuffle loop below takes over. The two paths
+    have different per-round reach — shuffle rounds contract whole local
+    subgraphs (a few rounds suffice), broadcast delta rounds propagate about
+    one graph hop each (cheap but numerous) — so they budget separately:
+    ``max_iters`` bounds the shuffle loop, ``broadcast_iters`` (default
+    ``max(max_iters, 64)``) bounds the broadcast loop explicitly.
     """
+    if broadcast_iters is None:
+        broadcast_iters = max(max_iters, 64)
 
     def sym(t: pa.Table) -> pa.Table:
         a = t.column(a_col).combine_chunks().cast(pa.int64())
@@ -228,7 +237,7 @@ def duplicate_clusters(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b", *,
         edges.map_batches(self_min, batch_format="pyarrow", zero_copy_batch=True),
         "u", "v", num_partitions).materialize()
     if labels.count() <= broadcast_nodes:
-        return _clusters_broadcast(edges, labels, max_iters)
+        return _clusters_broadcast(edges, labels, broadcast_iters)
     prev_sum = labels.sum("label")
 
     for _ in range(max_iters):
@@ -386,7 +395,8 @@ def dedup_near(ds, *, method: str = "minhash", id_col: str = "doc_id",
             num_partitions=num_partitions, **method_kw)
         a_col, b_col = "doc_a", "doc_b"
     elif method == "simhash":
-        pairs = _d.simhash_candidate_pairs(ds, id_col=id_col, **method_kw)
+        pairs = _d.simhash_candidate_pairs(ds, id_col=id_col,
+                                           text_col=text_col, **method_kw)
         a_col, b_col = "doc_a", "doc_b"
     elif method == "embedding":
         pairs = _d.embedding_neardup_lsh(ds, id_col=id_col, **method_kw)
@@ -437,7 +447,17 @@ def cross_dedup(ds, ref_ds, *, threshold: float = 0.7, n: int = 3,
     def tag_main(t: pa.Table) -> pa.Table:
         # cast both branches to the same string type (a large_string corpus
         # unioned with a string ref would diverge the union schema)
-        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+        ids = t.column(id_col).cast(pa.int64())
+        lo = pc.min(ids).as_py()
+        if lo is not None and lo < 0:
+            # the sign bit IS the side marker below — a negative main id
+            # would be silently classified as reference-side and produce
+            # wrong matches/drops
+            raise ValueError(
+                f"cross_dedup: main-corpus {id_col} must be non-negative "
+                f"(found {lo}); reference ids are remapped to the negative "
+                "id space to mark the side")
+        return pa.table({id_col: ids,
                          text_col: t.column(text_col).cast(pa.string())})
 
     def tag_ref(t: pa.Table) -> pa.Table:

@@ -364,13 +364,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", concurrency=None,
+def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
+                            text_col: str = "text", concurrency=None,
                             num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
     """SimHash near-dup: bucket on 4x16-bit bands (any pair within Hamming<=3
     of the full 64 bits shares at least one exact band), verify Hamming
     in-bucket. Same hash-partitioned vectorized pairing as MinHash-LSH."""
     conc = concurrency or _default_concurrency()
-    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"id_col": id_col},
+    sigs = ds.map_batches(SimHasher,
+                          fn_constructor_kwargs={"id_col": id_col,
+                                                 "text_col": text_col},
                           batch_format="pyarrow", zero_copy_batch=True, concurrency=conc)
 
     def emit_bands(batch: pa.Table) -> pa.Table:

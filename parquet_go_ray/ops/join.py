@@ -136,18 +136,27 @@ def range_join_broadcast(ds, dim: pa.Table, *, value_col: str, lo_col: str,
     if overlap:
         raise ValueError(f"range_join_broadcast: overlapping columns "
                          f"{overlap} — rename the dim columns first")
-    lo = np.asarray(dim.column(lo_col), dtype=np.float64)
-    hi = np.asarray(dim.column(hi_col), dtype=np.float64)
+    # compare in int64 when every side is integral: float64 holds only 53
+    # mantissa bits, so int64 values past 2^53 would band into the wrong
+    # interval or falsely pass the hi check
+    s = ds.schema()  # ray.data Schema: parallel .names / .types lists
+    int_exact = all(pa.types.is_integer(typ) for typ in (
+        dim.column(lo_col).type, dim.column(hi_col).type,
+        s.types[s.names.index(value_col)]))
+    cmp_t = np.int64 if int_exact else np.float64
+    lo = np.asarray(dim.column(lo_col), dtype=cmp_t)
+    hi = np.asarray(dim.column(hi_col), dtype=cmp_t)
     order = np.argsort(lo, kind="stable")
     lo, hi = lo[order], hi[order]
     if (hi < lo).any() or (len(lo) > 1 and (lo[1:] <= hi[:-1]).any()):
         raise ValueError("range_join_broadcast: intervals must be valid and "
                          "non-overlapping")
     ref = ray.put((dim.take(pa.array(order)), lo, hi))
+    cmp_pa = pa.int64() if int_exact else pa.float64()
 
     def attach(t: pa.Table) -> pa.Table:
         dim_t, lo_s, hi_s = ray.get(ref)
-        v = np.asarray(t.column(value_col).combine_chunks().cast(pa.float64()))
+        v = np.asarray(t.column(value_col).combine_chunks().cast(cmp_pa))
         idx = np.searchsorted(lo_s, v, side="right") - 1
         valid = (idx >= 0) & (v <= hi_s[np.maximum(idx, 0)])
         take = pa.array(np.where(valid, idx, 0))

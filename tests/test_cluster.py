@@ -125,6 +125,40 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert (out.seq_id.to_numpy() == expect_start // 64).all()
 
 
+def test_pack_sequences_gappy_and_unsorted_input(ray_session):
+    """VERDICT r3 #5: block fingerprinting lifts the id-sortedness
+    requirement — a stratified-sampled (gappy-id) upstream and a
+    non-id-sorted (shuffled-block) upstream both pack correctly in their
+    dataset order."""
+    from parquet_go_ray.ops.text import pack_sequences, stratified_sample
+
+    n = 200
+    toks = ((np.arange(n) * 37) % 90 + 10).astype(np.int64)
+    base = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "n_tok": toks,
+                         "source": np.where(np.arange(n) % 2 == 0,
+                                            "evens", "odds")})
+    # gappy ids: drop all of one stratum, keep dataset order
+    ds = stratified_sample(
+        rd.from_pandas(base).repartition(8).materialize(),
+        {"odds": 0.0}, key_col="source", default_rate=1.0).materialize()
+    out = pack_sequences(ds, seq_len=64).to_pandas()
+    kept = out.sort_values("tok_start")
+    expect = np.concatenate([[0], np.cumsum(kept.n_tok.to_numpy()[:-1])])
+    assert (kept.tok_start.to_numpy() == expect).all()
+    assert (kept.seq_id.to_numpy() == expect // 64).all()
+
+    # non-id-sorted: pack order = dataset order, not id order
+    perm = np.random.default_rng(3).permutation(n)
+    shuf = rd.from_pandas(base.iloc[perm].reset_index(drop=True)) \
+        .repartition(8).materialize()
+    out2 = pack_sequences(shuf, seq_len=64).to_pandas()
+    # every tok_start is the sum of the n_toks packed before it
+    by_start = out2.sort_values("tok_start")
+    expect2 = np.concatenate([[0], np.cumsum(by_start.n_tok.to_numpy()[:-1])])
+    assert (by_start.tok_start.to_numpy() == expect2).all()
+
+
 def test_stratified_sample_rates(ray_session):
     from parquet_go_ray.ops.text import stratified_sample
 

@@ -417,6 +417,30 @@ def test_quantile_sketch(ray_session):
         assert abs(g - e) / e < 0.05, (got, exact)
 
 
+def test_exact_quantile_threshold(ray_session):
+    """Sketch-guided exact order statistic == numpy's sorted[floor(q*N)],
+    including heavy ties and integer-valued data (the quality-filter shape)."""
+    from parquet_go_ray.ops.sketch import exact_quantile_threshold, quantile_filter
+
+    rng = np.random.default_rng(5)
+    for v in (
+        rng.integers(0, 300, 20_000).astype(np.float64),   # heavy ties
+        rng.lognormal(3, 1, 20_000),                       # continuous
+        np.full(1000, 7.0),                                # single value
+    ):
+        ds = rd.from_arrow(pa.table({"x": v})).repartition(8)
+        for q in (0.1, 0.5, 0.9):
+            got = exact_quantile_threshold(ds, "x", q)
+            want = float(np.sort(v)[int(np.floor(q * len(v)))])
+            assert got == want, (q, got, want)
+
+    v = rng.integers(0, 300, 20_000).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(8)
+    out, thr = quantile_filter(ds, "x", keep_above=0.25, exact=True)
+    assert thr == float(np.sort(v)[int(np.floor(0.25 * len(v)))])
+    assert out.count() == int((v >= thr).sum())
+
+
 def test_redact_pii(ray_session):
     from parquet_go_ray.ops.text import redact_pii
 

@@ -172,14 +172,45 @@ def bench_ops(sf_dir: str) -> dict:
     heavy = (docs.select_columns(["doc_id", "text"])
              .map_batches(replicate, batch_format="pyarrow",
                           zero_copy_batch=True).materialize())
+    # Full near-dedup chain with per-stage split (VERDICT r3 #7):
+    # candidates -> exact n-gram Jaccard verify -> connected components ->
+    # broadcast anti-join keep-filter. No stage is quadratic in docs.
+    from parquet_go_ray.ops.cluster import _broadcast_id_filter as _bif
+    from parquet_go_ray.ops.cluster import _semi_filter as _sf2
+    from parquet_go_ray.ops.dedup import verify_ngram_jaccard
+
     t0 = time.perf_counter()
     pairs = minhash_candidate_pairs(heavy).materialize()
-    res["dedup_minhash_heavy"] = time.perf_counter() - t0
+    res["dedup_minhash_heavy"] = time.perf_counter() - t0  # candidates stage
     t0 = time.perf_counter()
     n_clusters = duplicate_clusters(pairs).count()
-    res["dedup_cluster_heavy"] = time.perf_counter() - t0
+    res["dedup_cluster_heavy"] = time.perf_counter() - t0  # CC on raw cands (r3 continuity)
+    t0 = time.perf_counter()
+    vpairs = verify_ngram_jaccard(heavy, pairs, threshold=0.5).materialize()
+    res["dedup_near_heavy_verify"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    clusters = duplicate_clusters(vpairs).materialize()
+    res["dedup_near_heavy_cc"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+
+    def _non_canonical(t: pa.Table) -> pa.Table:
+        keep = (np.asarray(t.column("node"))
+                != np.asarray(t.column("cluster_id")))
+        return t.filter(pa.array(keep))
+
+    drops = clusters.map_batches(_non_canonical, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    kept = _sf2(heavy, "doc_id", _bif(drops, ["node"], exact=True),
+                invert=True).count()
+    res["dedup_near_heavy_filter"] = time.perf_counter() - t0
+    res["dedup_near_heavy"] = (res["dedup_minhash_heavy"]
+                               + res["dedup_near_heavy_verify"]
+                               + res["dedup_near_heavy_cc"]
+                               + res["dedup_near_heavy_filter"])
     res["_meta"] = {"heavy_docs": heavy.count(), "heavy_pairs": pairs.count(),
-                    "heavy_clustered": n_clusters}
+                    "heavy_clustered": n_clusters,
+                    "heavy_verified_pairs": vpairs.count(),
+                    "heavy_kept": kept}
 
     # Full corpus pipeline (filter→decontaminate→redact→dedup→sample→split→
     # count→pack offsets) over the sf documents table
@@ -211,6 +242,17 @@ def bench_ops(sf_dir: str) -> dict:
         t0 = time.perf_counter()
         pack_sequences(seq, seq_len=2048, id_col="id").count()
         res["pack_sequences_2m"] = min(res.get("pack_sequences_2m", 9e9), time.perf_counter() - t0)
+
+    # PHYSICAL packing of the full token table (~260M tokens at sf0.1): the
+    # vectorized assemble (VERDICT r3 #2) must hold at token-corpus scale —
+    # one seq_id shuffle of ~1 GB of int32 payload, no per-sequence loop.
+    from parquet_go_ray.ops.text import pack_token_sequences
+
+    t0 = time.perf_counter()
+    n_seqs = pack_token_sequences(tok, seq_len=2048, id_col="doc_id",
+                                  drop_last=True).count()
+    res["pack_tokens_2m"] = time.perf_counter() - t0
+    res.setdefault("_meta", {})["packed_sequences"] = n_seqs
     return res
 
 

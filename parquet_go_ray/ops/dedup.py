@@ -581,6 +581,18 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
     per-pair inside the final partition groups — no driver-side corpus.
     """
     cands = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col).materialize()
+    return verify_ngram_jaccard(ds, cands, n=n, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                num_partitions=num_partitions)
+
+
+def verify_ngram_jaccard(ds, cands, *, n: int = 3, threshold: float = 0.5,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+    """The verify stage of ``ngram_jaccard_pairs`` given a MATERIALIZED
+    candidate-pair Dataset — exposed separately so pipelines (and the bench's
+    per-stage split, VERDICT r3 #7) can time/reuse candidates and
+    verification independently."""
     pair_filter = _broadcast_id_filter(cands, ["doc_a", "doc_b"])
     texts = _semi_filter(ds.select_columns([id_col, text_col]), id_col, pair_filter)
     with_a = _attach_text(cands, texts, "doc_a", "__text_a", id_col, text_col, num_partitions)
@@ -839,7 +851,7 @@ def embedding_neardup_lsh(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
         _MultiLshEmitter,
         fn_constructor_args=(tables, bits, seed, vec_col, id_col),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=_default_concurrency(),
     )
 
     def pairs_in_bucket(g: pa.Table) -> pd.DataFrame:

@@ -418,9 +418,17 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
     DETERMINISTIC between the two passes (a fresh ``read_parquet`` or a
     materialized dataset qualifies); a pass-2 block whose fingerprint was
     not seen in pass 1 fails fast. Both passes run block-aligned
-    (``batch_size=None``) so the summaries line up exactly.
+    (``batch_size=None``) so the summaries line up exactly. Non-integer id
+    columns (e.g. ``doc_id:string``) fingerprint via their stable hash.
     """
     import ray
+
+    from ..pipelines.encode import _stable_hash
+
+    def _ids64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if pa.types.is_integer(col.type):
+            return np.asarray(col, dtype=np.int64)
+        return _stable_hash(col).view(np.int64)
 
     def _fingerprint(ids: np.ndarray, n_tok_sum: int) -> tuple:
         h = (ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
@@ -435,7 +443,7 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
                 int(ids[-1]) if len(ids) else -1)
 
     def summarize(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        ids = _ids64(t.column(id_col))
         tok_sum = int(np.asarray(t.column(count_col)).sum())
         fp = _fingerprint(ids, tok_sum)
         return pa.table({
@@ -465,7 +473,7 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
             return t.append_column("tok_start", empty).append_column(
                 "seq_id", empty)
         offs_b = ray.get(ref)
-        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        ids = _ids64(t.column(id_col))
         n = np.asarray(t.column(count_col), dtype=np.int64)
         fp = repr(_fingerprint(ids, int(n.sum())))
         if fp not in offs_b:

@@ -45,12 +45,38 @@ def _buf(payload):
     return payload
 
 
+# ------------------------------------------------------ compressor registry
+# Built-ins route through pyarrow's block codecs; ``register_compressor``
+# adds a user codec by name — the RegisterBlockCompressor role of the
+# reference (/root/reference/compress.go:131-137). Registration is
+# per-process (exactly the reference's contract: the codec must be
+# registered in any process that encodes or decodes with it) — under Ray,
+# register at import time of a module your pipeline imports so workers
+# re-register when they import it.
+_BUILTIN_CODECS = frozenset({"none", "snappy", "zstd", "gzip", "lz4"})
+_CUSTOM_COMPRESSORS: dict[str, tuple] = {}
+
+
+def register_compressor(name: str, compress_fn, decompress_fn) -> None:
+    """Register a page compressor: ``compress_fn(buffer) -> bytes-like``,
+    ``decompress_fn(buffer, usize) -> bytes-like of exactly usize bytes``.
+    Any ``EncodeConfig(compression=name)`` then uses it for every page."""
+    if name in _BUILTIN_CODECS:
+        raise ValueError(f"cannot override built-in codec {name!r}")
+    if not callable(compress_fn) or not callable(decompress_fn):
+        raise TypeError("register_compressor needs two callables")
+    _CUSTOM_COMPRESSORS[name] = (compress_fn, decompress_fn)
+
+
 def _compress(payload, codec: str):
     """payload: any buffer-like (bytes, memoryview, C-contiguous ndarray).
     Returns a buffer-like; no .to_pybytes() copy — the file writer streams
     buffers directly (memory traffic matters: encode is bandwidth-bound)."""
     if codec == "none" or len(payload) == 0:
         return payload
+    custom = _CUSTOM_COMPRESSORS.get(codec)
+    if custom is not None:
+        return custom[0](_buf(payload))
     return pa.compress(payload, codec=codec)
 
 
@@ -61,6 +87,18 @@ def _decompress(payload: bytes, codec: str, usize: int):
     int.from_bytes / slicing, all of which take memoryviews."""
     if codec == "none" or usize == 0:
         return payload
+    custom = _CUSTOM_COMPRESSORS.get(codec)
+    if custom is not None:
+        out = custom[1](payload, usize)
+        if len(out) != usize:
+            raise ValueError(
+                f"custom codec {codec!r} returned {len(out)} bytes, "
+                f"page declares {usize}")
+        return out if isinstance(out, memoryview) else memoryview(out)
+    if codec not in _BUILTIN_CODECS:
+        raise ValueError(
+            f"unknown page codec {codec!r} — call register_compressor() in "
+            "this process (Ray workers re-register via module import)")
     return memoryview(pa.decompress(payload, decompressed_size=usize, codec=codec))
 
 

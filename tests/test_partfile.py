@@ -304,3 +304,39 @@ def test_kv_metadata_in_compat_writer(tmp_path):
     assert md[b"source"] == b"parquet_go_ray" and md[b"run"] == b"42"
     assert pq.read_table(p).column("x").combine_chunks().equals(
         t.column("x").combine_chunks())
+
+
+def test_register_custom_compressor_roundtrip(tmp_path):
+    """Pluggable page-compressor registry (VERDICT r3 #8; reference
+    RegisterBlockCompressor, compress.go:131-137): a user codec registered by
+    name is used for every page of EncodeConfig(compression=name), decodes
+    symmetrically, and an unregistered name fails with a clear error."""
+    import zlib
+
+    from parquet_go_ray.sources import columns as C
+
+    name = "testzlib"
+    C._CUSTOM_COMPRESSORS.pop(name, None)
+    C.register_compressor(
+        name,
+        lambda buf: zlib.compress(bytes(buf), 6),
+        lambda buf, usize: zlib.decompress(bytes(buf), bufsize=usize))
+    try:
+        t = pa.table({
+            "a": pa.array(np.arange(5000, dtype=np.int64)),
+            "s": pa.array([f"row-{i % 97}" for i in range(5000)]),
+        })
+        p = str(tmp_path / "part-zlib.rdpg")
+        write_partition(t, p, EncodeConfig(compression=name))
+        got = read_partition(p)
+        assert got.equals(t)
+        # decode in a registry-less "process": clear error, not garbage
+        saved = C._CUSTOM_COMPRESSORS.pop(name)
+        with pytest.raises(ValueError, match="register_compressor"):
+            read_partition(p)
+        C._CUSTOM_COMPRESSORS[name] = saved
+    finally:
+        C._CUSTOM_COMPRESSORS.pop(name, None)
+    # built-ins cannot be overridden
+    with pytest.raises(ValueError, match="built-in"):
+        C.register_compressor("snappy", bytes, bytes)

@@ -26,7 +26,6 @@ order (inherent cost of a physical shuffle).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _KNUTH = np.uint64(2654435761)
@@ -81,17 +80,25 @@ def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
                 .append_column("__p", pa.array(
                     bucket.astype(np.int64) % num_partitions)))
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
+    def rank(t: pa.Table) -> pa.Table:
+        # ONE lexsort over the whole partition group, then segmented
+        # positions per bucket — no per-bucket Python loop (a partition
+        # holds up to num_buckets/num_partitions buckets; the loop was
+        # a pandas sort_values + concat per bucket).
         offs = ray.get(ref)
-        out = []
-        for bucket, grp in g.groupby("__bucket", sort=True):
-            grp = grp.sort_values(
-                ["__key", id_col], kind="stable").reset_index(drop=True)
-            grp["shuffle_pos"] = offs[int(bucket)] + np.arange(len(grp))
-            out.append(grp)
-        res = pd.concat(out, ignore_index=True) if out else g.assign(
-            shuffle_pos=np.empty(0, dtype=np.int64))
-        return res.drop(columns=["__key", "__bucket", "__p"])
+        b = np.asarray(t.column("__bucket"))
+        k = np.asarray(t.column("__key"))
+        ids = np.asarray(t.column(id_col))
+        order = np.lexsort((ids, k, b))  # ties (id spaces >= 2^32) break by id
+        sb = b[order]
+        starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+        seg_len = np.diff(np.r_[starts, len(sb)])
+        within = (np.arange(len(sb), dtype=np.int64)
+                  - np.repeat(starts.astype(np.int64), seg_len))
+        pos = np.empty(len(sb), dtype=np.int64)
+        pos[order] = offs[sb] + within  # scatter back to input row order
+        return (t.drop_columns(["__key", "__bucket", "__p"])
+                .append_column("shuffle_pos", pa.array(pos)))
 
     return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("__p").map_groups(rank, batch_format="pandas"))
+            .groupby("__p").map_groups(rank, batch_format="pyarrow"))

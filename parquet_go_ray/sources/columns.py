@@ -147,6 +147,28 @@ def _bss_trial(v: np.ndarray, config: EncodeConfig) -> str | None:
     return best_codec
 
 
+def _decode_bss_pages(pages: list[dict], page_payload, dtype_str: str) -> np.ndarray:
+    """Interleave BSS plane pages straight into ONE preallocated output
+    array: per-plane column assignment into the final buffer is ~5x cheaper
+    than ``ascontiguousarray(planes.T)`` per page + a concatenate pass
+    (0.40 vs 2.18 ms per 1 MiB page) — decode is bandwidth-bound and the
+    transpose temp plus concat were two full extra passes."""
+    dt = np.dtype(dtype_str)
+    k = dt.itemsize
+    total = sum(p["num_values"] for p in pages)
+    out = np.empty(total, dtype=dt)
+    ob = out.view(np.uint8).reshape(total, k) if total else None
+    pos = 0
+    for p in pages:
+        nv = p["num_values"]
+        planes = np.frombuffer(page_payload(p), dtype=np.uint8).reshape(k, nv)
+        tgt = ob[pos : pos + nv]
+        for i in range(k):
+            tgt[:, i] = planes[i]
+        pos += nv
+    return out
+
+
 def _to_class(values: np.ndarray, dtype: str) -> tuple[np.ndarray, int]:
     nbits = _INT_CLASS[dtype]
     if nbits == 32:
@@ -517,6 +539,9 @@ def decode_stream(meta: dict, read_at) -> Stream:
     if kind in ("values", "lengths") and dtype in _INT_CLASS:
         nbits = _INT_CLASS[dtype]
         cls_dtype = "int32" if nbits == 32 else "int64"
+        if codec == "BSS":
+            v = _decode_bss_pages(meta["pages"], page_payload, cls_dtype)
+            return Stream(meta["path"], kind, dtype, _from_class(v, dtype), meta["num_values"])
         parts = []
         for p in meta["pages"]:
             payload = page_payload(p)
@@ -529,26 +554,21 @@ def decode_stream(meta: dict, read_at) -> Stream:
                 parts.append(delta.decode(payload, nbits))
             elif codec in ("FOR", "FOR_DELTA"):
                 parts.append(forr.decode(payload))
-            elif codec == "BSS":
-                k = np.dtype(cls_dtype).itemsize
-                planes = np.frombuffer(payload, dtype=np.uint8).reshape(k, p["num_values"])
-                parts.append(np.ascontiguousarray(planes.T).reshape(-1).view(cls_dtype))
             else:
                 raise ValueError(f"unknown int codec {codec}")
         v = np.concatenate(parts) if parts else np.empty(0, cls_dtype)
         return Stream(meta["path"], kind, dtype, _from_class(v, dtype), meta["num_values"])
 
     if kind == "values":  # float
-        itemsize = np.dtype(dtype).itemsize
+        if codec == "BSS":
+            v = _decode_bss_pages(meta["pages"], page_payload, dtype)
+            return Stream(meta["path"], kind, dtype, v, meta["num_values"])
         parts = []
         for p in meta["pages"]:
             payload = page_payload(p)
             if codec == "DICT":
                 idx = dictionary.decode_indices(payload, p["num_values"])
                 parts.append(dict_values[idx])
-            elif codec == "BSS":
-                planes = np.frombuffer(payload, dtype=np.uint8).reshape(itemsize, p["num_values"])
-                parts.append(np.ascontiguousarray(planes.T).reshape(-1).view(dtype))
             else:
                 parts.append(plain.decode_fixed(payload, dtype, p["num_values"]))
         return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, dtype), meta["num_values"])

@@ -451,9 +451,17 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
             "tok_sum": pa.array([tok_sum], type=pa.int64()),
         })
 
+    from .ordering import ordered
+
     offsets: dict[str, int] = {}
     running = 0
-    # iter_batches preserves dataset (block) order — the pack order
+    # pass 1 MUST see blocks in the one logical order — it defines the pack
+    # order. Without preserve_order the streaming executor yields summaries
+    # in completion order, which varies run to run (observed: ~1/3 of
+    # pipeline_corpus_e2e runs packed in a different order than the input).
+    # Flipped on the dataset's own (shared, creation-time) context — the
+    # global flag no longer reaches an already-built dataset.
+    ordered(ds)
     for b in (ds.map_batches(summarize, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)
               .iter_batches(batch_format="pyarrow")):
@@ -587,8 +595,12 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
             "__n", _pc.cast(_pc.list_value_length(t.column(tokens_col)),
                             pa.int64()))
 
-    counted = ds.map_batches(add_len, batch_format="pyarrow",
-                             zero_copy_batch=True).materialize()
+    from .ordering import ordered
+
+    # materialize under preserve_order so the pinned block list — the pack
+    # order — is the input's logical order, not a completion order
+    counted = ordered(ds.map_batches(add_len, batch_format="pyarrow",
+                                     zero_copy_batch=True)).materialize()
     with_off = pack_sequences(counted, seq_len=seq_len, count_col="__n",
                               id_col=id_col)
     total = int(counted.sum("__n") or 0)

@@ -675,6 +675,13 @@ def q_pipeline_corpus_e2e(sf_dir):
     ds = decontaminate(ds, [eval_text], n=8, drop=True).map_batches(
         lambda t: t.drop_columns(["contaminated", "n_contaminated_grams"]),
         batch_format="pyarrow", zero_copy_batch=True)
+    from ..ops.ordering import ordered
+
+    # pack_sequences (the last stage) packs in dataset order; run the whole
+    # chain order-preserving (the context is shared from this root through
+    # every derived stage) so that order is the doc_id read order the SQL
+    # oracle states, on every run
+    ordered(ds)
     ds = redact_pii(ds).materialize()  # feeds dedup AND the keep filter
     keep_ids = dedup_exact(ds.select_columns(["doc_id", "text"]))
     # exact (non-Bloom) keep filter: a false positive would ADMIT a dup row
@@ -718,6 +725,20 @@ def q_cross_dedup_documents(sf_dir):
         batch_format="pyarrow", zero_copy_batch=True)
     out = cross_dedup(ds, ref, threshold=0.9, n=3)
     return out.select_columns(["doc_id"])
+
+
+def q_dedup_substrings_tokens(sf_dir):
+    """Exact substring dedup (ops/substring.py:dedup_substrings — the token
+    span removal of Lee et al. 2022, arXiv:2107.06499, as a fixed-k
+    rolling-hash join): every 20-token span occurring more than once in the
+    flagship codepoint token table is removed from all but its canonical
+    first occurrence. Token-exact SQL oracle: DuckDB recomputes the k-gram
+    occurrence table, canonical keys, covered positions and the rebuilt
+    lists."""
+    from ..ops.substring import dedup_substrings
+
+    out = dedup_substrings(token_table_dataset(sf_dir), k=20)
+    return out.select_columns(["doc_id", "tokens", "n_removed"])
 
 
 def q_pack_token_sequences(sf_dir):
@@ -1272,7 +1293,7 @@ QUERIES = {
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "dedup_simhash_documents": q_dedup_simhash_documents,
     "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "dedup_substrings_tokens": q_dedup_substrings_tokens,
     "cross_dedup_documents": q_cross_dedup_documents,
     "cluster_entities_documents": q_cluster_entities_documents,
     # -- intra-doc repetition (1, merged) --------------------------------------
@@ -1324,6 +1345,10 @@ QUERIES = {
     "hopping_window_events": q_hopping_window_events,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    # embedding family keeps its hash-checked exact variant in the window;
+    # the LSH variant self-validates (recall >= 0.95 vs exact, in-query) and
+    # runs every session via tests/test_oracle.py
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
 }
 
 _CHECKED_WINDOW = 50
@@ -1546,6 +1571,42 @@ ORACLE_SQL = {
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
         f"JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {TOKEN_VOCAB_TAU}"
+    ),
+    # exact substring dedup, k=20: occurrence table -> canonical (first) key
+    # per duplicated gram -> covered positions of non-canonical occurrences
+    # -> lists rebuilt without them (1-based positions; key packing matches
+    # ops/substring.py's doc_id << 32 | pos up to the constant shift)
+    "dedup_substrings_tokens": (
+        "WITH docs AS ("
+        "  SELECT doc_id,"
+        "         list_transform(string_split(text, ''), x -> unicode(x)) AS tokens"
+        "  FROM documents"
+        "), grams AS ("
+        "  SELECT d.doc_id, s.s AS s, d.tokens[s.s : s.s + 19] AS gram"
+        "  FROM docs d, LATERAL ("
+        "    SELECT unnest(generate_series(1, greatest(len(d.tokens) - 19, 0)))"
+        "  ) AS s(s)"
+        "), canon AS ("
+        "  SELECT gram, min(doc_id * 4294967296 + s) AS mk"
+        "  FROM grams GROUP BY gram HAVING count(*) >= 2"
+        "), covered AS ("
+        "  SELECT DISTINCT g.doc_id, p.p AS p"
+        "  FROM grams g JOIN canon c ON g.gram = c.gram"
+        "       AND g.doc_id * 4294967296 + g.s <> c.mk,"
+        "  LATERAL (SELECT unnest(generate_series(g.s, g.s + 19))) AS p(p)"
+        "), toks AS ("
+        "  SELECT doc_id, unnest(tokens) AS tok,"
+        "         generate_subscripts(tokens, 1) AS pos"
+        "  FROM docs"
+        "), kept AS ("
+        "  SELECT t.doc_id,"
+        "         list(t.tok ORDER BY t.pos) FILTER (WHERE cv.p IS NULL) AS tokens,"
+        "         CAST(count(*) FILTER (WHERE cv.p IS NOT NULL) AS BIGINT) AS n_removed"
+        "  FROM toks t LEFT JOIN covered cv ON t.doc_id = cv.doc_id AND t.pos = cv.p"
+        "  GROUP BY t.doc_id"
+        ") SELECT d.doc_id, coalesce(k.tokens, []) AS tokens,"
+        "         coalesce(k.n_removed, 0) AS n_removed"
+        "  FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id"
     ),
     "redact_pii_documents": (
         "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, "

@@ -253,6 +253,31 @@ def bench_ops(sf_dir: str) -> dict:
                                   drop_last=True).count()
     res["pack_tokens_2m"] = time.perf_counter() - t0
     res.setdefault("_meta", {})["packed_sequences"] = n_seqs
+
+    # Exact substring dedup (Lee et al. k=50) over a 200k-doc / ~26M-token
+    # slice of the fixture: the gram partial-agg shuffle is the dominant
+    # cost and is bounded by DISTINCT grams, never corpus length.
+    import pyarrow.compute as pc2
+
+    from parquet_go_ray.ops.substring import dedup_substrings
+
+    sub_rows = max(rows // 10, 10_000)
+
+    def int_id(t: pa.Table) -> pa.Table:
+        # doc-SSSSS-NNNNNNNNNN -> shard << 26 | seq (unique, < 2^31)
+        shard = pc2.cast(pc2.utf8_slice_codeunits(t.column("doc_id"), 4, 9),
+                         pa.int64())
+        seq = pc2.cast(pc2.utf8_slice_codeunits(t.column("doc_id"), 10, 20),
+                       pa.int64())
+        rid = pc2.add(pc2.multiply(shard, pa.scalar(1 << 26, pa.int64())), seq)
+        return pa.table({"doc_id": rid, "tokens": t.column("tokens")})
+
+    subtok = tok.limit(sub_rows).map_batches(
+        int_id, batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.perf_counter()
+    removed = dedup_substrings(subtok, k=50).sum("n_removed")
+    res["dedup_substrings_200k"] = time.perf_counter() - t0
+    res["_meta"]["substring_tokens_removed"] = int(removed or 0)
     return res
 
 

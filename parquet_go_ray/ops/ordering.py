@@ -47,3 +47,19 @@ def ordered(ds):
     created, so the global flag no longer reaches it)."""
     ds.context.execution_options.preserve_order = True
     return ds
+
+
+@contextlib.contextmanager
+def ordered_scope(ds):
+    """``ordered()`` scoped to the executions started inside the ``with``
+    block, restoring the dataset's previous setting after. Use when only ONE
+    pass needs logical order (a prefix-sum or a pinning materialize) and the
+    heavy downstream stages — shuffles, groupbys — should keep the executor's
+    freedom to emit in completion order."""
+    opts = ds.context.execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        yield ds
+    finally:
+        opts.preserve_order = prev

@@ -451,7 +451,7 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
             "tok_sum": pa.array([tok_sum], type=pa.int64()),
         })
 
-    from .ordering import ordered
+    from .ordering import ordered_scope
 
     offsets: dict[str, int] = {}
     running = 0
@@ -460,11 +460,15 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
     # in completion order, which varies run to run (observed: ~1/3 of
     # pipeline_corpus_e2e runs packed in a different order than the input).
     # Flipped on the dataset's own (shared, creation-time) context — the
-    # global flag no longer reaches an already-built dataset.
-    ordered(ds)
-    for b in (ds.map_batches(summarize, batch_format="pyarrow",
-                             batch_size=None, zero_copy_batch=True)
-              .iter_batches(batch_format="pyarrow")):
+    # global flag no longer reaches an already-built dataset — and scoped to
+    # this pass: assign (pass 2) keys blocks by content fingerprint, so the
+    # caller's downstream shuffles keep completion-order freedom.
+    with ordered_scope(ds):
+        batches = list(
+            ds.map_batches(summarize, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow"))
+    for b in batches:
         for r in b.to_pylist():
             if r["fp"] in offsets:
                 raise ValueError(
@@ -595,12 +599,20 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
             "__n", _pc.cast(_pc.list_value_length(t.column(tokens_col)),
                             pa.int64()))
 
-    from .ordering import ordered
+    from .ordering import ordered_scope
 
     # materialize under preserve_order so the pinned block list — the pack
-    # order — is the input's logical order, not a completion order
-    counted = ordered(ds.map_batches(add_len, batch_format="pyarrow",
-                                     zero_copy_batch=True)).materialize()
+    # order — is the input's logical order, not a completion order. Scoped:
+    # the seq_id shuffle and assemble downstream are order-insensitive and
+    # run markedly faster with completion-order emission.
+    pipeline = ds.map_batches(add_len, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    with ordered_scope(pipeline):
+        counted = pipeline.materialize()
+    # materialize COPIES the context (flag included); restore the copy so
+    # the stages derived from `counted` inherit the caller's setting
+    counted.context.execution_options.preserve_order = \
+        pipeline.context.execution_options.preserve_order
     with_off = pack_sequences(counted, seq_len=seq_len, count_col="__n",
                               id_col=id_col)
     total = int(counted.sum("__n") or 0)

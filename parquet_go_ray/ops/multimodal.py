@@ -3,12 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample stages are actor-pool
 ``map_batches`` classes. Formats the container can represent decode FOR REAL
-with pure numpy/stdlib kernels (``functions/imagecodec.py``): BMP, PNG (zlib
-inflate + unfilter) and PCM WAV, including a real pixel resize
-(``ResizeImageReal``). Formats that require external codec libraries (JPEG,
-MP3/FLAC, video codecs) raise ``NotImplementedError`` — an honest capability
-gate, exercised in tests. ``fake=True`` keeps the deterministic synthetic
-FIMG/FAUD parsers for plumbing-scale tests.
+with pure numpy/stdlib kernels: BMP, PNG (zlib inflate + unfilter) and PCM
+WAV (``functions/imagecodec.py``), plus baseline JPEG — full T.81 sequential
+process with 4:4:4/4:2:2/4:2:0 subsampling and restart markers
+(``functions/jpegcodec.py``) — including a real pixel resize
+(``ResizeImageReal``). Formats that require external codec libraries
+(MP3/FLAC, video codecs, progressive JPEG) raise ``NotImplementedError`` —
+an honest capability gate, exercised in tests. ``fake=True`` keeps the
+deterministic synthetic FIMG/FAUD parsers for plumbing-scale tests.
 
 Synthetic payload layout (``make_fake_image_payload``):
     magic b"FIMG" | width:u16 | height:u16 | channels:u8 | seed:u32 | blob
@@ -82,9 +84,11 @@ class DecodeImage:
             elif head == b"\x89PNG\r\n\x1a\n":
                 px = ic.decode_png(buf)
             elif head[:2] == b"\xff\xd8":
-                raise NotImplementedError(
-                    "JPEG decode requires an external codec library "
-                    "(not in this container); BMP and PNG decode for real")
+                from ..functions.jpegcodec import decode_jpeg
+
+                px = decode_jpeg(buf)
+                if px.ndim == 2:
+                    px = px[:, :, np.newaxis]
             else:
                 raise ValueError(f"unrecognized image payload (head={head!r})")
             heights[i], widths[i], channels[i] = px.shape
@@ -328,8 +332,9 @@ class DecodeAudio:
 
 # ------------------------------------------------------- real-format helpers
 def make_real_image_table(n: int, seed: int = 0, fmt: str = "png") -> pa.Table:
-    """(image_id, payload, meta) with REAL BMP or PNG payloads (deterministic
-    random pixels) — exercises the genuine decode path end-to-end."""
+    """(image_id, payload, meta) with REAL BMP, PNG or baseline-JPEG payloads
+    (deterministic random pixels) — exercises the genuine decode path
+    end-to-end."""
     from ..functions import imagecodec as ic
 
     rng = np.random.default_rng(seed)
@@ -337,10 +342,19 @@ def make_real_image_table(n: int, seed: int = 0, fmt: str = "png") -> pa.Table:
     for _ in range(n):
         h = int(rng.integers(8, 48))
         w = int(rng.integers(8, 48))
-        ch = int(rng.choice([3, 4] if fmt == "bmp" else [1, 3, 4]))
+        if fmt == "jpeg":
+            ch = int(rng.choice([1, 3]))
+        else:
+            ch = int(rng.choice([3, 4] if fmt == "bmp" else [1, 3, 4]))
         px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
         if fmt == "bmp":
             payloads.append(ic.encode_bmp(px))
+        elif fmt == "jpeg":
+            from ..functions.jpegcodec import encode_jpeg
+
+            payloads.append(encode_jpeg(
+                px[:, :, 0] if ch == 1 else px, quality=92,
+                subsampling=str(rng.choice(["4:4:4", "4:2:2", "4:2:0"]))))
         else:
             payloads.append(ic.encode_png(
                 px, filter_type=int(rng.integers(0, 3))))

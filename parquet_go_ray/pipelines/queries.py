@@ -530,10 +530,11 @@ def q_fingerprint_documents(sf_dir):
 
 def q_multimodal_real_decode(sf_dir):
     """Self-validating REAL media decode (no external codec libs): builds a
-    deterministic table of genuine PNG + WAV payloads, decodes both through
-    the actor-pool stages, and asserts in-query that dims/means/rms match
-    direct kernel decodes exactly — raises on any mismatch; the driver
-    records the rows check (payload bytes aren't SQL-representable)."""
+    deterministic table of genuine PNG + baseline-JPEG + WAV payloads,
+    decodes all three through the actor-pool stages, and asserts in-query
+    that dims/means/rms match direct kernel decodes exactly — raises on any
+    mismatch; the driver records the rows check (payload bytes aren't
+    SQL-representable)."""
     import ray.data as rd
 
     from ..functions import imagecodec as ic
@@ -541,14 +542,23 @@ def q_multimodal_real_decode(sf_dir):
                                   make_real_audio_table,
                                   make_real_image_table)
 
-    imgs = make_real_image_table(64, seed=11, fmt="png")
+    imgs = make_real_image_table(48, seed=11, fmt="png")
+    jpgs = make_real_image_table(16, seed=13, fmt="jpeg")
+    jpgs = jpgs.set_column(0, "image_id", pa.array(
+        np.asarray(jpgs.column("image_id")) + 48))
+    imgs = pa.concat_tables([imgs, jpgs])
     out = (decode_images(rd.from_arrow(imgs), fake=False)
            .to_pandas().sort_values("image_id").reset_index(drop=True))
     meta = imgs.column("meta").to_pylist()
     assert out.width.tolist() == [m["width"] for m in meta]
     assert out.height.tolist() == [m["height"] for m in meta]
-    for i in (0, 31, 63):
+    for i in (0, 31, 47):
         px = ic.decode_png(imgs.column("payload")[i].as_py())
+        assert abs(out.mean_intensity[i] - px.mean()) < 1e-9, i
+    from ..functions.jpegcodec import decode_jpeg
+
+    for i in (48, 55, 63):  # stage output must equal the kernel bit-exactly
+        px = decode_jpeg(imgs.column("payload")[i].as_py())
         assert abs(out.mean_intensity[i] - px.mean()) < 1e-9, i
 
     auds = make_real_audio_table(64, seed=12)

@@ -177,12 +177,21 @@ def test_multimodal_decode_plumbing(ray_session):
     assert (out.channels == 3).all()
     assert (out.mean_intensity >= 0).all() and (out.mean_intensity <= 255).all()
 
-    # JPEG needs an external codec lib: the real decoder gates it cleanly
+    # baseline JPEG decodes for real now; a malformed stream still raises
     import pyarrow as _pa
+
+    from parquet_go_ray.functions.jpegcodec import encode_jpeg
+
+    px = np.random.default_rng(4).integers(0, 256, (16, 24, 3), dtype=np.uint8)
     jpeg = _pa.table({"image_id": _pa.array([0]),
-                      "payload": _pa.array([b"\xff\xd8\xff\xe0rest"], type=_pa.binary())})
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)(jpeg)
+                      "payload": _pa.array([encode_jpeg(px)], type=_pa.binary())})
+    got = DecodeImage(fake=False)(jpeg)
+    assert got.column("width")[0].as_py() == 24
+    assert got.column("height")[0].as_py() == 16
+    bad = _pa.table({"image_id": _pa.array([0]),
+                     "payload": _pa.array([b"\xff\xd8\xff\xe0rest"], type=_pa.binary())})
+    with pytest.raises(Exception):
+        DecodeImage(fake=False)(bad)
 
 
 def test_ngram_jaccard_distributed(ray_session):

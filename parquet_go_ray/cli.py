@@ -178,6 +178,24 @@ def cmd_dedup(args):
     print(json.dumps({"rows_kept": kept, "out": args.out}))
 
 
+def cmd_dedup_substrings(args):
+    """Exact substring dedup (Lee et al. 2022): remove every duplicated
+    >=k-token span from all but its first occurrence."""
+    _ray_session()
+    import ray.data as rd
+
+    from .ops.substring import dedup_substrings
+
+    ds = rd.read_parquet(args.input)
+    out = dedup_substrings(ds, k=args.k, tokens_col=args.tokens_col,
+                           id_col=args.id_col, mode=args.mode)
+    out.write_parquet(args.out)
+    stats = {"rows": out.count(), "out": args.out}
+    if args.mode == "remove":
+        stats["tokens_removed"] = int(out.sum("n_removed") or 0)
+    print(json.dumps(stats))
+
+
 def cmd_sample(args):
     """Stratified (data-mixture) sampling: --rates src0=0.1,src1=1.0 ..."""
     _ray_session()
@@ -270,6 +288,7 @@ def main(argv=None):
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
     s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)
     s = sub.add_parser("dedup"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--method", default="minhash", choices=["minhash", "simhash", "embedding"]); s.add_argument("--id-col", default="doc_id"); s.add_argument("--text-col", default="text"); s.add_argument("--vec-col", default="embedding"); s.add_argument("--threshold", type=float, default=0.7); s.set_defaults(fn=cmd_dedup)
+    s = sub.add_parser("dedup-substrings"); s.add_argument("input"); s.add_argument("out"); s.add_argument("-k", type=int, default=50); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--mode", default="remove", choices=["remove", "flag"]); s.set_defaults(fn=cmd_dedup_substrings)
     s = sub.add_parser("sample"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--rates", required=True); s.add_argument("--key-col", default="source"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--salt", type=int, default=0); s.add_argument("--default-rate", type=float, default=1.0); s.set_defaults(fn=cmd_sample)
     s = sub.add_parser("pack"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--seq-len", type=int, default=2048); s.add_argument("--id-col", default="doc_id"); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--drop-last", action="store_true"); s.set_defaults(fn=cmd_pack)
 

@@ -156,3 +156,32 @@ def test_cli_dedup(tmp_path, ray_session):
     assert info["rows_kept"] == 30
     kept = set(pd.read_parquet(out).doc_id)
     assert kept == set(range(30))
+
+
+def test_cli_dedup_substrings(tmp_path, ray_session):
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(9)
+    span = rng.integers(0, 1000, 40).astype(np.int32)
+    docs = [span.tolist(),
+            rng.integers(2000, 3000, 30).astype(np.int32).tolist() + span[:20].tolist(),
+            rng.integers(4000, 5000, 25).astype(np.int32).tolist()]
+    src = tmp_path / "tok.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "tokens": pa.array(docs, pa.list_(pa.int32()))}), src)
+    out = tmp_path / "clean"
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray.cli", "dedup-substrings",
+         str(src), str(out), "-k", "10"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-800:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["rows"] == 3
+    assert info["tokens_removed"] == 20  # doc 1's copied span, first kept

@@ -489,9 +489,21 @@ def _broadcast_id_filter(cands_ds, cols: list[str], *, exact: bool = False):
     row."""
     import ray
 
-    parts = [np.asarray(b.column(c).to_numpy(zero_copy_only=False), dtype=np.int64)
-             for b in cands_ds.select_columns(cols).iter_batches(batch_format="pyarrow")
-             for c in cols]
+    def block_unique(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"__id": pa.array([], pa.int64())})
+        vals = np.unique(np.concatenate([
+            np.asarray(t.column(c).to_numpy(zero_copy_only=False), dtype=np.int64)
+            for c in cols]))
+        return pa.table({"__id": vals})
+
+    # dedup per block IN TASKS and stream whole blocks (batch_size=None): the
+    # driver loop over raw candidate rows in 4k-row default batches was ~4x
+    # the cost of the whole gather at 2M pairs
+    small = cands_ds.select_columns(cols).map_batches(
+        block_unique, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [np.asarray(b.column("__id"), dtype=np.int64)
+             for b in small.iter_batches(batch_format="pyarrow", batch_size=None)]
     ids = np.concatenate(parts) if parts else np.empty(0, np.int64)
     return ray.put(IdMembershipFilter(
         ids, bloom_threshold=(1 << 62) if exact else None))
@@ -573,38 +585,201 @@ def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str
 
 def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+                        num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+                        method: str = "auto"):
     """Exact word-n-gram Jaccard over MinHash-LSH candidate pairs.
 
-    LSH prunes the quadratic space; texts are attached to candidate pairs via
-    two hash-partitioned joins (one per side), then Jaccard is computed
-    per-pair inside the final partition groups — no driver-side corpus.
+    LSH prunes the quadratic space; each candidate doc's gram set is hashed
+    once, then verified against the pairs either by broadcast (small gram
+    table, zero shuffles) or by two hash-partitioned attach joins — see
+    ``verify_ngram_jaccard`` for the ``method`` contract. No driver-side
+    corpus materialization on either path.
     """
     cands = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col).materialize()
     return verify_ngram_jaccard(ds, cands, n=n, threshold=threshold,
                                 text_col=text_col, id_col=id_col,
-                                num_partitions=num_partitions)
+                                num_partitions=num_partitions, method=method)
+
+
+def _jaccard_from_segments(la: np.ndarray, lb: np.ndarray,
+                           hh: np.ndarray) -> np.ndarray:
+    """Per-pair Jaccard given back-to-back unique-gram segments: ``hh`` holds
+    pair 0..P-1's A-side sets then the B-side sets (lengths ``la``/``lb``).
+
+    Kernel: pairs are bucketed by combined set size into power-of-two width
+    groups; each group scatters into a PAD-filled (rows x width) matrix and
+    does ONE row-wise ``np.sort`` — per-row sorts stay cache-resident, ~12x
+    faster than a global (pair, hash) lexsort at 65k pairs x 300 grams. A
+    hash seen twice within a row is an intersection member (each side's set
+    is unique). A real gram hashing to PAD (2^64-1) would be excluded from
+    its intersection — a one-in-2^64 undercount, accepted."""
+    npairs = len(la)
+    if npairs == 0:
+        return np.empty(0, np.float64)
+    from ..functions.segments import ragged_gather_indices, segment_positions
+
+    la = np.asarray(la, dtype=np.int64)
+    lb = np.asarray(lb, dtype=np.int64)
+    tot = la + lb
+    a_off = np.zeros(npairs + 1, dtype=np.int64)
+    np.cumsum(la, out=a_off[1:])
+    b_off = np.zeros(npairs + 1, dtype=np.int64)
+    np.cumsum(lb, out=b_off[1:])
+    b_off += a_off[-1]
+    PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+    inter = np.zeros(npairs, dtype=np.int64)
+    maxw = int(tot.max())
+    lo, w = 0, 16
+    while lo < maxw:
+        sel = np.flatnonzero((tot > lo) & (tot <= w))
+        lo, w = w, w * 2
+        if not len(sel):
+            continue
+        W = int(tot[sel].max())
+        M = np.full((len(sel), W), PAD, dtype=np.uint64)
+        rows = np.arange(len(sel), dtype=np.int64)
+        Mf = M.reshape(-1)
+        Mf[np.repeat(rows * W, la[sel]) + segment_positions(la[sel])] = \
+            hh[ragged_gather_indices(a_off[:-1][sel], la[sel])]
+        Mf[np.repeat(rows * W + la[sel], lb[sel]) + segment_positions(lb[sel])] = \
+            hh[ragged_gather_indices(b_off[:-1][sel], lb[sel])]
+        M.sort(axis=1)
+        eq = (M[:, 1:] == M[:, :-1]) & (M[:, 1:] != PAD)
+        inter[sel] = eq.sum(axis=1)
+    union = np.maximum(tot - inter, 1)
+    return inter / union
 
 
 def verify_ngram_jaccard(ds, cands, *, n: int = 3, threshold: float = 0.5,
                          text_col: str = "text", id_col: str = "doc_id",
-                         num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+                         num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+                         method: str = "auto",
+                         broadcast_bytes_cap: int = 512 << 20):
     """The verify stage of ``ngram_jaccard_pairs`` given a MATERIALIZED
     candidate-pair Dataset — exposed separately so pipelines (and the bench's
     per-stage split, VERDICT r3 #7) can time/reuse candidates and
-    verification independently."""
+    verification independently.
+
+    Each candidate doc's unique-gram hash set is computed ONCE corpus-wide
+    (one vectorized pass over the semi-filtered texts); raw texts are never
+    re-hashed per pair. Two execution paths, chosen by ``method``:
+
+    - ``"broadcast"`` (the ``"auto"`` pick while the gram table fits
+      ``broadcast_bytes_cap``): the candidate docs' gram sets are gathered
+      into one (sorted ids, offsets, flat hashes) triple, ``ray.put`` once,
+      and every pair batch verifies with two searchsorted gathers — ZERO
+      shuffles; the driver holds only O(candidate-doc grams) bounded by the
+      cap (same pattern as ``_clusters_broadcast``).
+    - ``"shuffle"`` (the scale fallback): gram arrays ride the two
+      hash-partitioned attach shuffles of ``_attach_text`` — O(pairs) rows
+      move, nothing is gathered anywhere.
+    """
+    import ray
+
+    if method not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown method {method!r}")
+
     pair_filter = _broadcast_id_filter(cands, ["doc_a", "doc_b"])
     texts = _semi_filter(ds.select_columns([id_col, text_col]), id_col, pair_filter)
-    with_a = _attach_text(cands, texts, "doc_a", "__text_a", id_col, text_col, num_partitions)
-    with_b = _attach_text(with_a.drop_columns(["__p"]), texts, "doc_b", "__text_b", id_col, text_col, num_partitions)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        j = _pairwise_ngram_jaccard(g.__text_a.tolist(), g.__text_b.tolist(), n)
-        out = g.assign(jaccard=j)
-        out = out[out.jaccard >= threshold]
-        return out[["doc_a", "doc_b", "jaccard"]]
+    def to_grams(t: pa.Table) -> pa.Table:
+        uh, ub = _gram_hash_sets(t.column(text_col).combine_chunks(), n)
+        grams = pa.LargeListArray.from_arrays(ub, pa.array(uh, pa.uint64()))
+        return pa.table({id_col: t.column(id_col), "__grams": grams})
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    grams = texts.map_batches(to_grams, batch_format="pyarrow")
+    if method != "shuffle":
+        grams = grams.materialize()
+        if method == "broadcast" or grams.size_bytes() <= broadcast_bytes_cap:
+            return _verify_ngram_broadcast(cands, grams, id_col=id_col,
+                                           threshold=threshold)
+    return _verify_ngram_shuffle(cands, grams, id_col=id_col,
+                                 threshold=threshold,
+                                 num_partitions=num_partitions)
+
+
+def _verify_ngram_broadcast(cands, grams, *, id_col: str, threshold: float):
+    """Zero-shuffle verify: gather the bounded gram table once, broadcast via
+    ``ray.put``, verify each pair batch with searchsorted gathers."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.segments import ragged_gather_indices
+
+    id_parts, len_parts, flat_parts = [], [], []
+    for b in grams.iter_batches(batch_format="pyarrow"):
+        col = b.column("__grams").combine_chunks()
+        id_parts.append(np.asarray(b.column(id_col), dtype=np.int64))
+        len_parts.append(np.asarray(pc.list_value_length(col), dtype=np.int64))
+        flat_parts.append(np.asarray(col.flatten(), dtype=np.uint64))
+    ids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+    lens = np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
+    flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)
+    order = np.argsort(ids, kind="stable")
+    starts = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    flat = flat[ragged_gather_indices(starts[:-1][order], lens[order])]
+    ids, lens = ids[order], lens[order]
+    offs = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    ref = ray.put((ids, offs, flat))
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids_s, offs_s, flat_s = ray.get(ref)  # plasma read, zero-copy
+        nd = len(ids_s)
+        if nd == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        da = np.asarray(t.column("doc_a"), dtype=np.int64)
+        db = np.asarray(t.column("doc_b"), dtype=np.int64)
+        ia = np.searchsorted(ids_s, da).clip(0, nd - 1)
+        ib = np.searchsorted(ids_s, db).clip(0, nd - 1)
+        ok = (ids_s[ia] == da) & (ids_s[ib] == db)
+        t2 = t.select(["doc_a", "doc_b"])
+        if not ok.all():  # pairs referencing docs absent from ds: drop
+            t2 = t2.filter(pa.array(ok))
+            ia, ib = ia[ok], ib[ok]
+        la = offs_s[ia + 1] - offs_s[ia]
+        lb = offs_s[ib + 1] - offs_s[ib]
+        hh = np.concatenate([
+            flat_s[ragged_gather_indices(offs_s[ia], la)],
+            flat_s[ragged_gather_indices(offs_s[ib], lb)]])
+        j = _jaccard_from_segments(la, lb, hh)
+        keep = j >= threshold
+        out = t2.filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(j[keep], pa.float64()))
+
+    return cands.map_batches(verify, batch_format="pyarrow",
+                             batch_size=65536, zero_copy_batch=True)
+
+
+def _verify_ngram_shuffle(cands, grams, *, id_col: str, threshold: float,
+                          num_partitions: int):
+    """Shuffle-attach verify (the 100 TB path): gram arrays — not texts —
+    ride the two hash-partitioned attaches; O(pairs) rows move."""
+    gram_t = pa.large_list(pa.uint64())
+    with_a = _attach_text(cands, grams, "doc_a", "__g_a", id_col, "__grams",
+                          num_partitions, col_type=gram_t)
+    with_b = _attach_text(with_a.drop_columns(["__p"]), grams, "doc_b", "__g_b",
+                          id_col, "__grams", num_partitions, col_type=gram_t)
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ga = t.column("__g_a").combine_chunks()
+        gb = t.column("__g_b").combine_chunks()
+        la = np.asarray(pc.list_value_length(ga), dtype=np.int64)
+        lb = np.asarray(pc.list_value_length(gb), dtype=np.int64)
+        hh = np.concatenate([np.asarray(ga.flatten(), dtype=np.uint64),
+                             np.asarray(gb.flatten(), dtype=np.uint64)])
+        j = _jaccard_from_segments(la, lb, hh)
+        keep = j >= threshold
+        out = t.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(j[keep], pa.float64()))
+
+    return with_b.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def _gram_hash_sets(texts: list[str] | pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -693,7 +868,6 @@ def _pairwise_ngram_jaccard(texts_a: list[str], texts_b: list[str], n: int) -> n
     ib = np.array([index[s] for s in texts_b], dtype=np.int64)
     lens = np.diff(ub)
     la, lb = lens[ia], lens[ib]
-    pid = np.concatenate([np.repeat(np.arange(npairs), la), np.repeat(np.arange(npairs), lb)])
 
     def gather(idx: np.ndarray, seg: np.ndarray) -> np.ndarray:
         from ..functions.segments import ragged_gather_indices
@@ -703,12 +877,7 @@ def _pairwise_ngram_jaccard(texts_a: list[str], texts_b: list[str], n: int) -> n
         return uh[ragged_gather_indices(ub[idx], seg)]
 
     hh = np.concatenate([gather(ia, la), gather(ib, lb)])
-    order = np.lexsort((hh, pid))
-    p_s, h_s = pid[order], hh[order]
-    same = (p_s[1:] == p_s[:-1]) & (h_s[1:] == h_s[:-1])
-    inter = np.bincount(p_s[1:][same], minlength=npairs)
-    union = np.maximum(la + lb - inter, 1)
-    return inter / union
+    return _jaccard_from_segments(la, lb, hh)
 
 
 # ------------------------------------------------- embedding-cosine near-dup

@@ -715,52 +715,128 @@ def _schema_element_bytes(node) -> list[bytes]:
     return out
 
 
-def write_parquet_with_our_kernels(
-    table: pa.Table, path: str, *, compression: str | None = "snappy",
-    column_encoding: dict[str, str] | None = None,
-    row_group_rows: int | None = None,
-    data_page_version: int = 1,
-    write_crc: bool = True,
-    int96_timestamps: bool = False,
-    key_value_metadata: dict | None = None,
-) -> None:
-    """Write a REAL Parquet file whose pages are produced by OUR encoders —
-    readable by pyarrow/DuckDB — for ARBITRARY nesting (structs, LIST, MAP,
-    optional-in-repeated via the vectorized Dremel shredder in dremel.py; the
-    reference's equivalents are schema.go:837-891 and data_store.go:96-136),
-    with multiple row groups (file_writer.go:229-276 FlushRowGroup), v1 or v2
-    data pages (page_v2.go:173-190, WithDataPageV2), page CRCs
-    (page_v1.go:210-215) and INT96 timestamps (type_int96.go).
 
-    ``column_encoding`` keys are dotted leaf paths ("meta.list.element") or
-    top-level column names; values: PLAIN (default), DICT,
-    DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY.
+class ParquetStreamWriter:
+    """Streaming REAL-parquet writer: the compat-format analogue of the
+    reference's ``NewFileWriter`` / ``AddData`` / ``FlushRowGroup`` /
+    ``Close`` lifecycle (file_writer.go:28-118,229-276) — row groups are
+    encoded with OUR kernels and written to disk incrementally, so a file of
+    any length can be produced with only one row group's rows in memory.
+    Schema is captured from the first ``add_table``; every page/footer detail
+    (v1/v2 pages, CRCs, dictionary pages, statistics, KV metadata, INT96)
+    matches ``write_parquet_with_our_kernels``, which is now a thin one-shot
+    wrapper over this class.
+
+    ``row_group_rows=None`` buffers until an explicit ``flush_row_group()``
+    (the reference's caller-driven FlushRowGroup model); an integer cap
+    auto-flushes whenever the buffer reaches it (WithMaxRowGroupSize role).
     """
-    import zlib
 
-    from ..functions import hybrid as hyb
-    from .dremel import fix_levels, node_from_arrow, shred_column
+    def __init__(self, path: str, *, compression: str | None = "snappy",
+                 column_encoding: dict[str, str] | None = None,
+                 row_group_rows: int | None = None,
+                 data_page_version: int = 1,
+                 write_crc: bool = True,
+                 int96_timestamps: bool = False,
+                 key_value_metadata: dict | None = None):
+        self._compression = compression
+        self._enc_map = column_encoding or {}
+        self._rg_rows = row_group_rows
+        self._dpv = data_page_version
+        self._write_crc = write_crc
+        self._int96 = int96_timestamps
+        self._kv = key_value_metadata
+        self._f = open(path, "wb")
+        self._pos = 0
+        self._emit(MAGIC)
+        self._schema: pa.Schema | None = None
+        self._nodes = None
+        self._buf: list[pa.Table] = []
+        self._buf_rows = 0
+        self._row_groups: list[tuple[list, int]] = []  # (col_chunks, num_rows)
+        self._total_rows = 0
+        self._closed = False
 
-    table = table.combine_chunks()
-    enc_map = column_encoding or {}
-    nodes = [node_from_arrow(table.schema.field(i), int96_ns=int96_timestamps)
-             for i in range(table.num_columns)]
-    for n in nodes:
-        fix_levels(n)
+    # ------------------------------------------------------------- lifecycle
+    def add_table(self, table: pa.Table) -> None:
+        """AddData role: buffer rows, auto-flushing full row groups."""
+        if self._closed:
+            raise ValueError("writer is closed")
+        if self._schema is None:
+            self._schema = table.schema
+            from .dremel import fix_levels, node_from_arrow
 
-    rg_rows = row_group_rows or table.num_rows or 1
-    body = bytearray(MAGIC)
-    row_groups = []  # (col_chunks, num_rows)
+            self._nodes = [node_from_arrow(table.schema.field(i),
+                                           int96_ns=self._int96)
+                           for i in range(table.num_columns)]
+            for n in self._nodes:
+                fix_levels(n)
+        elif not table.schema.equals(self._schema):
+            raise ValueError(
+                f"schema mismatch: writer has {self._schema}, got {table.schema}")
+        if table.num_rows:
+            self._buf.append(table)
+            self._buf_rows += table.num_rows
+        if self._rg_rows:
+            while self._buf_rows >= self._rg_rows:
+                pending = pa.concat_tables(self._buf).combine_chunks()
+                self._write_row_group(pending.slice(0, self._rg_rows))
+                rest = pending.slice(self._rg_rows)
+                self._buf = [rest] if rest.num_rows else []
+                self._buf_rows = rest.num_rows
 
-    for rg_start in range(0, max(table.num_rows, 1), rg_rows):
-        sl = table.slice(rg_start, rg_rows)
-        if sl.num_rows == 0 and table.num_rows > 0:
-            break
-        col_chunks = []  # (path, meta_fields, total_cmp)
-        for ci, node in enumerate(nodes):
+    def flush_row_group(self) -> None:
+        """FlushRowGroup role: encode and write whatever is buffered."""
+        if self._closed:
+            raise ValueError("writer is closed")
+        if not self._buf_rows:
+            return
+        pending = pa.concat_tables(self._buf).combine_chunks()
+        self._buf, self._buf_rows = [], 0
+        self._write_row_group(pending)
+
+    def close(self) -> None:
+        """Close role: flush the tail row group, write footer + magic."""
+        if self._closed:
+            return
+        if self._nodes is None:
+            raise ValueError(
+                "no schema: add_table at least once (a zero-row table is fine)")
+        self.flush_row_group()
+        if not self._row_groups:
+            # zero-row file: one empty row group so readers see the schema
+            self._write_row_group(self._schema.empty_table())
+            self._total_rows = 0
+        self._write_footer()
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.close()
+        else:
+            self._f.close()
+            self._closed = True
+
+    # -------------------------------------------------------------- internals
+    def _emit(self, b) -> None:
+        self._f.write(b)
+        self._pos += len(b)
+
+    def _write_row_group(self, sl: pa.Table) -> None:
+        from ..functions import hybrid as hyb
+        from .dremel import shred_column
+
+        compression, write_crc = self._compression, self._write_crc
+        col_chunks = []  # (path, meta_fields, total_unc)
+        for ci, node in enumerate(self._nodes):
             for leaf in shred_column(sl.column(ci), node):
                 dotted = ".".join(leaf.path)
-                encoding = enc_map.get(dotted, enc_map.get(leaf.path[0], "PLAIN"))
+                encoding = self._enc_map.get(
+                    dotted, self._enc_map.get(leaf.path[0], "PLAIN"))
                 n_entries = len(leaf.reps)
                 vals = _leaf_values_physical(leaf.values, leaf.node)
                 values_payload, data_enc_id, dict_page, ndict = _encode_leaf_values(
@@ -771,7 +847,6 @@ def write_parquet_with_our_kernels(
                 def_b = (hyb.encode(leaf.defs.astype(np.uint64), leaf.max_d.bit_length())
                          if leaf.max_d > 0 else b"")
 
-                chunk_start = len(body)
                 dict_off = None
                 encodings = [data_enc_id]
                 if leaf.max_d > 0 or leaf.max_r > 0:
@@ -785,13 +860,14 @@ def write_parquet_with_our_kernels(
                         hfields.append((4, T_I32, _crc_i32(comp)))
                     hfields.append((7, T_STRUCT, [(1, T_I32, ndict), (2, T_I32, ENC_PLAIN)]))
                     header = CompactWriter.struct_(hfields)
-                    dict_off = len(body)
-                    body += header + comp
+                    dict_off = self._pos
+                    self._emit(header)
+                    self._emit(comp)
                     total_unc += len(header) + len(dict_page)
                     total_cmp += len(header) + len(comp)
                     encodings.append(ENC_PLAIN)
 
-                if data_page_version == 2:
+                if self._dpv == 2:
                     comp_vals = _compress_page(values_payload, compression)
                     page_bytes = rep_b + def_b + comp_vals
                     unc_size = len(rep_b) + len(def_b) + len(values_payload)
@@ -823,8 +899,9 @@ def write_parquet_with_our_kernels(
                     page_bytes = comp
                     unc_size = len(page_payload)
 
-                data_off = len(body)
-                body += header + page_bytes
+                data_off = self._pos
+                self._emit(header)
+                self._emit(page_bytes)
                 total_unc += len(header) + unc_size
                 total_cmp += len(header) + len(page_bytes)
 
@@ -845,79 +922,109 @@ def write_parquet_with_our_kernels(
                 # defined as total UNCOMPRESSED column data size; compressed
                 # totals live in ColumnMetaData field 7 above
                 col_chunks.append((leaf.path, meta_fields, total_unc))
-        row_groups.append((col_chunks, sl.num_rows))
-        if table.num_rows == 0:
-            break
+        self._row_groups.append((col_chunks, sl.num_rows))
+        self._total_rows += sl.num_rows
 
-    # footer
-    schema_elems = [CompactWriter.struct_([(4, T_BINARY, "schema"),
-                                           (5, T_I32, table.num_columns)])]
-    for node in nodes:
-        schema_elems.extend(_schema_element_bytes(node))
+    def _write_footer(self) -> None:
+        schema_elems = [CompactWriter.struct_([(4, T_BINARY, "schema"),
+                                               (5, T_I32, len(self._nodes))])]
+        for node in self._nodes:
+            schema_elems.extend(_schema_element_bytes(node))
 
-    rg_blobs = []
-    for col_chunks, nrows in row_groups:
-        rg_blobs.append(CompactWriter.struct_([
-            (1, T_LIST, (T_STRUCT, [
-                [(2, T_I64, 0), (3, T_STRUCT, meta)] for (_, meta, _) in col_chunks
-            ])),
-            (2, T_I64, sum(c[2] for c in col_chunks)),
-            (3, T_I64, nrows),
-        ]))
+        rg_blobs = []
+        for col_chunks, nrows in self._row_groups:
+            rg_blobs.append(CompactWriter.struct_([
+                (1, T_LIST, (T_STRUCT, [
+                    [(2, T_I64, 0), (3, T_STRUCT, meta)] for (_, meta, _) in col_chunks
+                ])),
+                (2, T_I64, sum(c[2] for c in col_chunks)),
+                (3, T_I64, nrows),
+            ]))
 
-    from .thrift_compact import _uvarint as _uv
+        from .thrift_compact import _uvarint as _uv
 
-    fb = bytearray()
-    fb += bytes([(1 << 4) | T_I32]) + CompactWriter.value(T_I32, 1)  # version
-    fb += bytes([(1 << 4) | T_LIST])  # field 2: schema
-    nel = len(schema_elems)
-    if nel < 15:
-        fb.append((nel << 4) | T_STRUCT)
-    else:
-        fb.append((15 << 4) | T_STRUCT)
-        fb += _uv(nel)
-    for el in schema_elems:
-        fb += el
-    fb += bytes([(1 << 4) | T_I64]) + CompactWriter.value(T_I64, table.num_rows)  # field 3
-    fb += bytes([(1 << 4) | T_LIST])  # field 4: row_groups
-    nrg = len(rg_blobs)
-    if nrg < 15:
-        fb.append((nrg << 4) | T_STRUCT)
-    else:
-        fb.append((15 << 4) | T_STRUCT)
-        fb += _uv(nrg)
-    for blob in rg_blobs:
-        fb += blob
-    if key_value_metadata:
-        # field 5: key_value_metadata — WithMetaData role (file_writer.go:86-98)
-        kv_items = [[(1, T_BINARY, str(k)), (2, T_BINARY, str(v))]
-                    for k, v in key_value_metadata.items()]
-        fb += bytes([(1 << 4) | T_LIST])
-        if len(kv_items) < 15:
-            fb.append((len(kv_items) << 4) | T_STRUCT)
+        fb = bytearray()
+        fb += bytes([(1 << 4) | T_I32]) + CompactWriter.value(T_I32, 1)  # version
+        fb += bytes([(1 << 4) | T_LIST])  # field 2: schema
+        nel = len(schema_elems)
+        if nel < 15:
+            fb.append((nel << 4) | T_STRUCT)
         else:
             fb.append((15 << 4) | T_STRUCT)
-            fb += _uv(len(kv_items))
-        for kvf in kv_items:
-            fb += CompactWriter.struct_(kvf)
-        fb += bytes([(1 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
-    else:
-        fb += bytes([(2 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
-    # field 7: column_orders — one TypeDefinedOrder per leaf; readers ignore
-    # Statistics.min_value/max_value unless this declares the sort order
-    n_leaves = len(row_groups[0][0]) if row_groups else 0
-    fb += bytes([(1 << 4) | T_LIST])
-    if n_leaves < 15:
-        fb.append((n_leaves << 4) | T_STRUCT)
-    else:
-        fb.append((15 << 4) | T_STRUCT)
-        fb += _uv(n_leaves)
-    for _ in range(n_leaves):
-        fb += CompactWriter.struct_([(1, T_STRUCT, [])])  # ColumnOrder.TYPE_ORDER
-    fb.append(0)
+            fb += _uv(nel)
+        for el in schema_elems:
+            fb += el
+        fb += bytes([(1 << 4) | T_I64]) + CompactWriter.value(T_I64, self._total_rows)  # field 3
+        fb += bytes([(1 << 4) | T_LIST])  # field 4: row_groups
+        nrg = len(rg_blobs)
+        if nrg < 15:
+            fb.append((nrg << 4) | T_STRUCT)
+        else:
+            fb.append((15 << 4) | T_STRUCT)
+            fb += _uv(nrg)
+        for blob in rg_blobs:
+            fb += blob
+        if self._kv:
+            # field 5: key_value_metadata — WithMetaData role (file_writer.go:86-98)
+            kv_items = [[(1, T_BINARY, str(k)), (2, T_BINARY, str(v))]
+                        for k, v in self._kv.items()]
+            fb += bytes([(1 << 4) | T_LIST])
+            if len(kv_items) < 15:
+                fb.append((len(kv_items) << 4) | T_STRUCT)
+            else:
+                fb.append((15 << 4) | T_STRUCT)
+                fb += _uv(len(kv_items))
+            for kvf in kv_items:
+                fb += CompactWriter.struct_(kvf)
+            fb += bytes([(1 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
+        else:
+            fb += bytes([(2 << 4) | T_BINARY]) + CompactWriter.value(T_BINARY, "parquet_go_ray")  # field 6
+        # field 7: column_orders — one TypeDefinedOrder per leaf; readers ignore
+        # Statistics.min_value/max_value unless this declares the sort order
+        n_leaves = len(self._row_groups[0][0]) if self._row_groups else 0
+        fb += bytes([(1 << 4) | T_LIST])
+        if n_leaves < 15:
+            fb.append((n_leaves << 4) | T_STRUCT)
+        else:
+            fb.append((15 << 4) | T_STRUCT)
+            fb += _uv(n_leaves)
+        for _ in range(n_leaves):
+            fb += CompactWriter.struct_([(1, T_STRUCT, [])])  # ColumnOrder.TYPE_ORDER
+        fb.append(0)
 
-    body += fb
-    body += len(fb).to_bytes(4, "little")
-    body += MAGIC
-    with open(path, "wb") as f:
-        f.write(body)
+        self._emit(fb)
+        self._emit(len(fb).to_bytes(4, "little"))
+        self._emit(MAGIC)
+
+
+def write_parquet_with_our_kernels(
+    table: pa.Table, path: str, *, compression: str | None = "snappy",
+    column_encoding: dict[str, str] | None = None,
+    row_group_rows: int | None = None,
+    data_page_version: int = 1,
+    write_crc: bool = True,
+    int96_timestamps: bool = False,
+    key_value_metadata: dict | None = None,
+) -> None:
+    """Write a REAL Parquet file whose pages are produced by OUR encoders —
+    readable by pyarrow/DuckDB — for ARBITRARY nesting (structs, LIST, MAP,
+    optional-in-repeated via the vectorized Dremel shredder in dremel.py; the
+    reference's equivalents are schema.go:837-891 and data_store.go:96-136),
+    with multiple row groups (file_writer.go:229-276 FlushRowGroup), v1 or v2
+    data pages (page_v2.go:173-190, WithDataPageV2), page CRCs
+    (page_v1.go:210-215) and INT96 timestamps (type_int96.go).
+
+    ``column_encoding`` keys are dotted leaf paths ("meta.list.element") or
+    top-level column names; values: PLAIN (default), DICT,
+    DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY.
+
+    One-shot wrapper over ``ParquetStreamWriter`` (the streaming
+    AddData/FlushRowGroup/Close surface).
+    """
+    w = ParquetStreamWriter(
+        path, compression=compression, column_encoding=column_encoding,
+        row_group_rows=row_group_rows or table.num_rows or None,
+        data_page_version=data_page_version, write_crc=write_crc,
+        int96_timestamps=int96_timestamps, key_value_metadata=key_value_metadata)
+    w.add_table(table.combine_chunks())
+    w.close()

@@ -161,9 +161,16 @@ def read_partition_footer(path: str) -> dict:
     if blob[-len(MAGIC):] != MAGIC:
         raise ValueError(f"{path}: bad trailing magic")
     flen = int.from_bytes(blob[-len(MAGIC) - 4 : -len(MAGIC)], "little")
+    if flen + 4 + len(MAGIC) > size:
+        raise ValueError(f"{path}: footer length {flen} exceeds file size {size}")
     if flen + 4 + len(MAGIC) > len(blob):
         blob = fsio.read_range(path, size - flen - 4 - len(MAGIC), flen + 4 + len(MAGIC))
-    return json.loads(blob[-len(MAGIC) - 4 - flen : -len(MAGIC) - 4])
+    try:
+        return json.loads(blob[-len(MAGIC) - 4 - flen : -len(MAGIC) - 4])
+    except (ValueError, UnicodeDecodeError) as e:
+        # a bit-flip inside the footer region must surface as a clean
+        # corruption error, not a JSON/unicode decode traceback
+        raise ValueError(f"{path}: corrupt footer ({e})") from None
 
 
 def partition_stats(path: str) -> dict[str, dict]:

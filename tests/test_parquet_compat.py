@@ -500,3 +500,69 @@ def test_statistics_float_nan_and_zero(tmp_path):
     assert not st["g"].has_min_max
     assert math.copysign(1, st["z"].min) == -1.0
     assert math.copysign(1, st["z"].max) == 1.0
+
+
+# ---------------------------------------------------- streaming writer (r4)
+def test_stream_writer_incremental_row_groups(tmp_path):
+    from parquet_go_ray.sources.parquet_compat import ParquetStreamWriter
+
+    p = str(tmp_path / "stream.parquet")
+    t = _table(3000)
+    with ParquetStreamWriter(p, compression="snappy") as w:
+        # caller-driven FlushRowGroup: three explicit row groups
+        for lo in (0, 1000, 2000):
+            w.add_table(t.slice(lo, 1000))
+            w.flush_row_group()
+    back = pq.read_table(p)
+    assert back.num_rows == 3000
+    assert pq.ParquetFile(p).num_row_groups == 3
+    for name in t.column_names:
+        a = back.column(name).combine_chunks()
+        b = t.column(name).combine_chunks()
+        if pa.types.is_binary(a.type) and pa.types.is_string(b.type):
+            a = a.cast(pa.string())
+        assert a.equals(b), name
+    # DuckDB agrees
+    assert duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0] == 3000
+
+
+def test_stream_writer_auto_rowgroup_split_matches_oneshot(tmp_path):
+    from parquet_go_ray.sources.parquet_compat import ParquetStreamWriter
+
+    t = _table(2500)
+    p1 = str(tmp_path / "a.parquet")
+    with ParquetStreamWriter(p1, compression="zstd", row_group_rows=700) as w:
+        # add in awkward increments; auto-flush must slice at exactly 700
+        for lo in range(0, 2500, 600):
+            w.add_table(t.slice(lo, 600))
+    p2 = str(tmp_path / "b.parquet")
+    write_parquet_with_our_kernels(t, p2, compression="zstd", row_group_rows=700)
+    f1, f2 = pq.ParquetFile(p1), pq.ParquetFile(p2)
+    assert f1.num_row_groups == f2.num_row_groups == 4  # 700*3 + 400
+    assert pq.read_table(p1).equals(pq.read_table(p2))
+
+
+def test_stream_writer_schema_mismatch_and_empty(tmp_path):
+    import pytest as _pytest
+
+    from parquet_go_ray.sources.parquet_compat import ParquetStreamWriter
+
+    p = str(tmp_path / "s.parquet")
+    w = ParquetStreamWriter(p)
+    w.add_table(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        w.add_table(pa.table({"x": pa.array([1.0])}))
+    w.close()
+    assert pq.read_table(p).num_rows == 2
+
+    # zero-row stream still produces a readable file with the schema
+    p0 = str(tmp_path / "empty.parquet")
+    with ParquetStreamWriter(p0) as w0:
+        w0.add_table(pa.table({"x": pa.array([], pa.int64())}))
+    back = pq.read_table(p0)
+    assert back.num_rows == 0 and back.schema.names == ["x"]
+
+    # no schema at all -> close() refuses
+    w2 = ParquetStreamWriter(str(tmp_path / "none.parquet"))
+    with _pytest.raises(ValueError, match="no schema"):
+        w2.close()

@@ -106,15 +106,43 @@ def test_ngram_jaccard_attach_is_candidate_bounded(ray_session, monkeypatch):
         return orig(pairs, texts_ds, *a, **k)
 
     monkeypatch.setattr(dedup, "_attach_text", spy)
-    out = dedup.ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    out = dedup.ngram_jaccard_pairs(ds, threshold=0.5,
+                                    method="shuffle").to_pandas()
 
     found = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
     planted = {(2 * i, 2 * i + 1) for i in range(8)}
     assert planted <= found, f"missing {planted - found}"
-    # both attach passes saw only candidate members (<= 2 ids/pair), not all 48 docs
+    # the shuffle path ran (auto would pick broadcast at this size) and both
+    # attach passes saw only candidate members (<= 2 ids/pair), not all docs
+    assert len(attach_rows) == 2
     n_corpus = len(ids)
     for rows in attach_rows:
         assert rows < n_corpus, f"attach saw {rows} rows of a {n_corpus}-doc corpus"
+
+
+def test_ngram_verify_broadcast_matches_shuffle(ray_session):
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(120)]
+    texts, ids = [], []
+    for i in range(50):
+        t = " ".join(rng.choice(words, 40))
+        texts.append(t); ids.append(3 * i)
+        if i % 2 == 0:
+            toks = t.split(); toks[7] = "ALT"
+            texts.append(" ".join(toks)); ids.append(3 * i + 1)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array(ids, dtype=np.int64), "text": texts}))
+    cands = dedup.minhash_candidate_pairs(ds).materialize()
+
+    def key_set(df):
+        return set(zip(df.doc_a, df.doc_b, np.round(df.jaccard, 12)))
+
+    b = dedup.verify_ngram_jaccard(ds, cands, threshold=0.4,
+                                   method="broadcast").to_pandas()
+    s = dedup.verify_ngram_jaccard(ds, cands, threshold=0.4,
+                                   method="shuffle").to_pandas()
+    assert len(b) > 0
+    assert key_set(b) == key_set(s)
 
 
 def test_minhash_verify_semi_filtered(ray_session, monkeypatch):

@@ -280,16 +280,24 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16, k: int =
 
 def minhash_verify_pairs(pairs_ds, sigs_ds, threshold: float = 0.7, *,
                          id_col: str = "doc_id",
-                         num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
-    """Estimate Jaccard from MinHash signature agreement for candidate pairs —
-    DISTRIBUTED: signatures attach to pairs via two hash-partitioned joins
-    (same pattern as the text attach), agreement is one vectorized comparison
-    per batch. Only (pair, signature) rows ever move.
+                         num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+                         method: str = "auto",
+                         broadcast_bytes_cap: int = 512 << 20):
+    """Estimate Jaccard from MinHash signature agreement for candidate pairs.
 
     ``pairs_ds``: Dataset of (doc_a, doc_b); ``sigs_ds``: Dataset of
     (doc_id, signature) as produced by MinHasher. Returns (doc_a, doc_b,
     jaccard) for pairs with estimated Jaccard >= threshold.
+
+    ``method`` mirrors ``verify_ngram_jaccard``: ``"broadcast"`` (the
+    ``"auto"`` pick while the semi-filtered signature table fits
+    ``broadcast_bytes_cap``) gathers it once, ``ray.put``s a (sorted ids,
+    signature matrix) pair and verifies with zero shuffles; ``"shuffle"``
+    attaches signatures to pairs via two hash-partitioned joins — only
+    (pair, signature) rows ever move.
     """
+    if method not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown method {method!r}")
     # plain list<int64> (not fixed_size_list): Ray's pandas conversion maps
     # fixed-size lists to its tensor extension, which breaks on sliced chunks
     sig_type = pa.list_(pa.int64())
@@ -309,6 +317,11 @@ def minhash_verify_pairs(pairs_ds, sigs_ds, threshold: float = 0.7, *,
         sigs_ds.map_batches(as_list, batch_format="pyarrow", zero_copy_batch=True),
         id_col, pair_filter,
     )
+    if method != "shuffle":
+        sigs = sigs.materialize()
+        if method == "broadcast" or sigs.size_bytes() <= broadcast_bytes_cap:
+            return _minhash_verify_broadcast(pairs_ds, sigs, id_col=id_col,
+                                             threshold=threshold)
     with_a = _attach_text(pairs_ds, sigs, "doc_a", "__sig_a", id_col, "signature",
                           num_partitions, col_type=sig_type)
     with_b = _attach_text(with_a.drop_columns(["__p"]), sigs, "doc_b", "__sig_b",
@@ -334,6 +347,48 @@ def minhash_verify_pairs(pairs_ds, sigs_ds, threshold: float = 0.7, *,
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     return with_b.map_batches(verify, batch_format="pyarrow")
+
+
+def _minhash_verify_broadcast(pairs, sigs, *, id_col: str, threshold: float):
+    """Zero-shuffle signature verify: gather the bounded signature table once
+    (sorted ids + one (docs x num_perm) matrix), broadcast via ``ray.put``,
+    compare each pair batch with two row gathers."""
+    import ray
+
+    id_parts, sig_parts = [], []
+    for b in sigs.iter_batches(batch_format="pyarrow", batch_size=None):
+        col = b.column("signature").combine_chunks()
+        id_parts.append(np.asarray(b.column(id_col), dtype=np.int64))
+        sig_parts.append(np.asarray(col.flatten(), dtype=np.int64))
+    ids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+    flat = np.concatenate(sig_parts) if sig_parts else np.empty(0, np.int64)
+    S = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], S[order]))
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids_s, S_s = ray.get(ref)  # plasma read, zero-copy
+        nd = len(ids_s)
+        if nd == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        da = np.asarray(t.column("doc_a"), dtype=np.int64)
+        db = np.asarray(t.column("doc_b"), dtype=np.int64)
+        ia = np.searchsorted(ids_s, da).clip(0, nd - 1)
+        ib = np.searchsorted(ids_s, db).clip(0, nd - 1)
+        ok = (ids_s[ia] == da) & (ids_s[ib] == db)
+        t2 = t.select(["doc_a", "doc_b"])
+        if not ok.all():  # pairs referencing docs absent from sigs: drop
+            t2 = t2.filter(pa.array(ok))
+            ia, ib = ia[ok], ib[ok]
+        j = (S_s[ia] == S_s[ib]).mean(axis=1)
+        keep = j >= threshold
+        out = t2.filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(j[keep], pa.float64()))
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             batch_size=65536, zero_copy_batch=True)
 
 
 # ------------------------------------------------------------------- SimHash

@@ -170,7 +170,8 @@ def test_minhash_verify_semi_filtered(ray_session, monkeypatch):
         return orig(p, s, *a, **k)
 
     monkeypatch.setattr(dedup, "_attach_text", spy)
-    out = dedup.minhash_verify_pairs(pairs, sigs, threshold=0.5).to_pandas()
+    out = dedup.minhash_verify_pairs(pairs, sigs, threshold=0.5,
+                                     method="shuffle").to_pandas()
 
     found = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
     planted = {(2 * i, 2 * i + 1) for i in range(6)}
@@ -178,3 +179,9 @@ def test_minhash_verify_semi_filtered(ray_session, monkeypatch):
     n_corpus = len(ids)
     # first attach pass input is the semi-filtered signature set
     assert attach_rows[0] < n_corpus
+
+    # the broadcast (auto at this size) path agrees exactly with shuffle
+    monkeypatch.setattr(dedup, "_attach_text", orig)
+    b = dedup.minhash_verify_pairs(pairs, sigs, threshold=0.5).to_pandas()
+    key = lambda df: set(zip(df.doc_a, df.doc_b, np.round(df.jaccard, 12)))
+    assert key(b) == key(out)

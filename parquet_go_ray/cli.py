@@ -233,6 +233,36 @@ def cmd_pack(args):
                       "out": args.out}))
 
 
+def cmd_bpe(args):
+    """Train a byte-level BPE tokenizer on a text column and tokenize the
+    corpus: writes the tokenized table (bpe_ids list<int32> + n_bpe) and a
+    sidecar vocab parquet (token_id, token_bytes, left, right)."""
+    _ray_session()
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ops.bpe import apply_bpe, train_bpe
+
+    ds = rd.read_parquet(args.input)
+    model = train_bpe(ds, num_merges=args.merges, text_col=args.text_col,
+                      min_count=args.min_count)
+    out = apply_bpe(ds, model, text_col=args.text_col)
+    out.write_parquet(args.out)
+    m = model.merges
+    vocab = pa.table({
+        "token_id": pa.array(np.arange(model.vocab_size, dtype=np.int32)),
+        "token_bytes": pa.array(model.token_bytes, pa.binary()),
+        "left": pa.array(np.concatenate([np.full(256, -1, np.int32), m[:, 0]])),
+        "right": pa.array(np.concatenate([np.full(256, -1, np.int32), m[:, 1]])),
+    })
+    pq.write_table(vocab, args.vocab)
+    print(json.dumps({"vocab_size": model.vocab_size,
+                      "merges": int(len(model.merges)),
+                      "out": args.out, "vocab": args.vocab}))
+
+
 def cmd_csv2parquet(args):
     """Typed CSV ingest: -type col=int64,col2=string like the reference's
     csv2parquet type hints (cmd/csv2parquet/main.go:367-435)."""
@@ -291,6 +321,7 @@ def main(argv=None):
     s = sub.add_parser("dedup-substrings"); s.add_argument("input"); s.add_argument("out"); s.add_argument("-k", type=int, default=50); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--mode", default="remove", choices=["remove", "flag"]); s.set_defaults(fn=cmd_dedup_substrings)
     s = sub.add_parser("sample"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--rates", required=True); s.add_argument("--key-col", default="source"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--salt", type=int, default=0); s.add_argument("--default-rate", type=float, default=1.0); s.set_defaults(fn=cmd_sample)
     s = sub.add_parser("pack"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--seq-len", type=int, default=2048); s.add_argument("--id-col", default="doc_id"); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--drop-last", action="store_true"); s.set_defaults(fn=cmd_pack)
+    s = sub.add_parser("bpe"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--vocab", required=True); s.add_argument("--merges", type=int, default=512); s.add_argument("--text-col", default="text"); s.add_argument("--min-count", type=int, default=1); s.set_defaults(fn=cmd_bpe)
 
     args = p.parse_args(argv)
     args.fn(args)

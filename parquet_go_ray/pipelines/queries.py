@@ -362,6 +362,54 @@ def q_column_stats_lineitem(sf_dir):
     )
 
 
+def q_footer_meta(sf_dir):
+    """Footer-metadata family in ONE driver slot (frees a checked-window slot
+    for bpe_tokenize_documents without dropping either hash check): the
+    orders rowcount (parquet-tool rowcount analogue — no value decode) and
+    the lineitem chunk-stats rollup (stats.go analogue), both read from
+    encode footers only."""
+    stats = q_column_stats_lineitem(sf_dir)
+    stats.insert(0, "n_orders", q_rowcount_orders(sf_dir)["n"].to_numpy())
+    return stats
+
+
+def q_bpe_tokenize_documents(sf_dir):
+    """Distributed byte-level BPE: train on the documents corpus (ONE
+    word-count shuffle + vectorized driver merge loop over the word-TYPE
+    table, ops/bpe.py), tokenize with an actor pool, and self-validate
+    in-query: decode(encode(x)) must equal whitespace-normalized x for EVERY
+    document (raises otherwise), and the merges must compress vs raw bytes.
+    No SQL oracle — BPE training is iterative; the driver records a
+    rows-only check and the roundtrip assert carries correctness."""
+    from ..ops.bpe import (apply_bpe, decode_bpe_column, train_bpe,
+                           whitespace_normalize)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_bpe(ds, num_merges=256)
+    out = apply_bpe(ds, model).materialize()
+
+    def check(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = decode_bpe_column(t, model=model)
+        norm = whitespace_normalize(t.column("text"))
+        if not pc.all(pc.equal(t.column("text_rt"), norm)).as_py():
+            raise AssertionError("BPE roundtrip mismatch")
+        n_bpe = np.asarray(t.column("n_bpe"), dtype=np.int64)
+        raw = np.asarray(pc.binary_length(norm.cast(pa.binary())),
+                         dtype=np.int64)
+        if not (n_bpe <= raw).all():
+            raise AssertionError("BPE produced more tokens than bytes")
+        return t.select(["doc_id", "n_bpe"])
+
+    checked = out.map_batches(check, batch_format="pyarrow")
+    return checked.map_batches(
+        lambda t: t.append_column(
+            "vocab_size", pa.array([model.vocab_size] * t.num_rows,
+                                   pa.int64())),
+        batch_format="pyarrow")
+
+
 def q_head_orders(sf_dir):
     """parquet-tool head analogue: first 10 rows by key — per-block top-k +
     tiny driver merge, no all-to-all sort (cmds/head.go reads n rows and
@@ -1294,9 +1342,8 @@ QUERIES = {
     "parquet_write_compat_customer": q_parquet_write_compat_customer,
     "parquet_write_nested_documents": q_parquet_write_nested_documents,
     "parquet_compat_nested_read": q_parquet_compat_nested_read,
-    # -- reader / CLI ops (7) ------------------------------------------------
-    "rowcount_orders": q_rowcount_orders,
-    "column_stats_lineitem": q_column_stats_lineitem,
+    # -- reader / CLI ops (6; rowcount+stats share the footer_meta slot) -----
+    "footer_meta": q_footer_meta,
     "head_orders": q_head_orders,
     "split_customer": q_split_customer,
     "projection_lineitem": q_projection_lineitem,
@@ -1308,6 +1355,7 @@ QUERIES = {
     "text_metrics_documents": q_text_metrics_documents,
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
+    "bpe_tokenize_documents": q_bpe_tokenize_documents,
     # -- dedup family (7) ------------------------------------------------------
     "dedup_exact_documents": q_dedup_exact_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -1415,9 +1463,9 @@ ORACLE_SQL = {
         "list_transform(string_split(text, ''), x -> unicode(x)) AS tokens, "
         "CAST(length(text) AS INTEGER) AS n_tok, source FROM documents"
     ),
-    "rowcount_orders": "SELECT count(*) AS n FROM orders",
-    "column_stats_lineitem": (
-        "SELECT min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "
+    "footer_meta": (
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders, "
+        "min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "
         "min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey, "
         "min(l_linenumber) AS min_linenumber, max(l_linenumber) AS max_linenumber FROM lineitem"
     ),

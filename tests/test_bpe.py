@@ -1,0 +1,87 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parquet_go_ray.ops import bpe
+
+
+def test_merge_pass_basic():
+    # "abab" under (a,b)->X : two merges
+    sym = np.array([1, 2, 1, 2], dtype=np.int32)
+    word = np.zeros(4, dtype=np.int32)
+    s, w = bpe._merge_pass(sym, word, 1, 2, 9)
+    assert s.tolist() == [9, 9]
+
+
+def test_merge_pass_overlap_left_to_right():
+    # "aaaa" under (a,a)->X must merge pairs left-to-right: XX, not XaX
+    sym = np.array([1, 1, 1, 1, 1], dtype=np.int32)  # "aaaaa" -> X X a
+    word = np.zeros(5, dtype=np.int32)
+    s, _ = bpe._merge_pass(sym, word, 1, 1, 9)
+    assert s.tolist() == [9, 9, 1]
+
+
+def test_merge_pass_respects_word_boundary():
+    sym = np.array([1, 2, 1, 2], dtype=np.int32)
+    word = np.array([0, 0, 1, 1], dtype=np.int32)
+    # pair spanning words 0|1 at index 1 must not merge
+    s, _ = bpe._merge_pass(sym, word, 2, 1, 9)
+    assert s.tolist() == [1, 2, 1, 2]
+
+
+def test_train_bpe_classic_corpus(ray_session):
+    # Sennrich's running example: most frequent pair merges first
+    texts = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    ds = rd.from_pandas(pd.DataFrame({"text": [" ".join(texts)]}))
+    model = bpe.train_bpe(ds, num_merges=10)
+    assert model.vocab_size == 256 + len(model.merges)
+    # "es" (from newest x6 + widest x3 = 9) is the top first-pair candidate
+    first = model.token_bytes[int(model.merges[0][2])]
+    assert first == b"es"
+    # "est" follows
+    assert b"est" in model.token_bytes
+
+
+def test_bpe_roundtrip_and_counts(ray_session):
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, rng.integers(3, 30))) for _ in range(200)]
+    texts.append("")  # empty doc
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    model = bpe.train_bpe(ds, num_merges=60)
+    out = bpe.apply_bpe(ds, model).materialize()
+    t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow",
+                                                      batch_size=None)])
+    t = bpe.decode_bpe_column(t, model=model)
+    orig = [" ".join(x.split()) for x in t.column("text").to_pylist()]
+    assert t.column("text_rt").to_pylist() == orig  # lossless
+    n_bpe = np.asarray(t.column("n_bpe"))
+    raw_len = np.array([len(x.encode()) for x in orig])
+    assert (n_bpe <= raw_len).all()
+    # merges compress: far fewer tokens than bytes on this tiny vocab corpus
+    assert n_bpe[raw_len > 0].mean() < 0.6 * raw_len[raw_len > 0].mean()
+    assert n_bpe[np.array([len(x) == 0 for x in orig])].tolist() == [0]
+
+
+def test_bpe_deterministic(ray_session):
+    texts = ["the quick brown fox jumps over the lazy dog"] * 20 + \
+            ["pack my box with five dozen liquor jugs"] * 10
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    m1 = bpe.train_bpe(ds, num_merges=40)
+    m2 = bpe.train_bpe(ds, num_merges=40)
+    assert np.array_equal(m1.merges, m2.merges)
+    assert m1.token_bytes == m2.token_bytes
+
+
+def test_bpe_unicode(ray_session):
+    texts = ["héllo wörld héllo", "héllo wörld", "naïve café naïve café"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    model = bpe.train_bpe(ds, num_merges=30)
+    out = bpe.apply_bpe(ds, model).materialize()
+    t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow",
+                                                      batch_size=None)])
+    t = bpe.decode_bpe_column(t, model=model)
+    assert t.column("text_rt").to_pylist() == texts

@@ -185,3 +185,39 @@ def test_cli_dedup_substrings(tmp_path, ray_session):
     info = json.loads(r.stdout.strip().splitlines()[-1])
     assert info["rows"] == 3
     assert info["tokens_removed"] == 20  # doc 1's copied span, first kept
+
+
+def test_cli_bpe(tmp_path, ray_session):
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet"]
+    texts = [" ".join(rng.choice(words, int(rng.integers(2, 20))))
+             for _ in range(80)]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+        "text": pa.array(texts)}), src)
+    out = tmp_path / "bpe_out"
+    vocab = tmp_path / "vocab.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray.cli", "bpe", str(src),
+         str(out), "--vocab", str(vocab), "--merges", "40"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-800:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["vocab_size"] == 256 + info["merges"]
+    v = pq.read_table(vocab)
+    assert v.num_rows == info["vocab_size"]
+    # decode via the sidecar vocab alone: token_bytes roundtrips doc 0
+    import pyarrow.dataset as pads
+    enc = pads.dataset(str(out)).to_table().sort_by("doc_id")
+    tb = v.column("token_bytes").to_pylist()
+    ids0 = enc.column("bpe_ids")[0].as_py()
+    assert b"".join(tb[i] for i in ids0).decode() == texts[0]

@@ -486,3 +486,102 @@ def cross_dedup(ds, ref_ds, *, threshold: float = 0.7, n: int = 3,
         return matches
     match_filter = _broadcast_id_filter(matches, [id_col], exact=True)
     return _semi_filter(ds, id_col, match_filter, invert=True)
+
+
+# ---------------------------------------------------------- semantic dedup
+def semantic_dedup(ds, *, tau: float = 0.95, k: int | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   keep: str = "far_from_centroid", sample_rows: int = 16384,
+                   target_cluster: int = 1024, kmeans_iters: int = 8,
+                   drop: bool = False):
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023 — public paper):
+    k-means-cluster the embedding space, then inside each cluster drop every
+    vector whose cosine to an earlier-priority member reaches ``tau``.
+
+    Scale design: centroids train on a driver-side sample (k-means is the
+    only non-distributed step; the matrix is ``sample_rows x dim``);
+    assignment is one broadcast-centroid ``map_batches`` over the corpus; the
+    quadratic similarity work happens ONLY within clusters — ``k`` defaults
+    to ``ceil(n / target_cluster)`` so per-group GEMMs stay ~``target_cluster``
+    square regardless of corpus size (that bound is the algorithm's point).
+    One shuffle total (the cluster groupby); the final keep-set pass is the
+    same broadcast anti-join streaming filter as ``dedup_near``.
+
+    ``keep``: "far_from_centroid" replicates the paper (within a duplicate
+    group the member FARTHEST from its centroid survives — priority order is
+    ascending similarity-to-centroid); "min_id" keeps the smallest id (fully
+    data-independent determinism). Both use the paper's released semantics:
+    drop j iff max over earlier-priority i of cos(i, j) >= tau (no
+    chain-re-instating).
+
+    ``drop=True`` returns the filtered corpus (kept rows); ``drop=False``
+    (default) returns the (id, cluster_id) drop table.
+    """
+    import ray
+
+    from .similarity import _kmeans, _normalize, _to_matrix
+
+    n_total = ds.count()
+    if k is None:
+        k = max(8, -(-n_total // target_cluster))
+    sample = ds.limit(sample_rows).to_pandas()
+    C = _kmeans(np.stack(sample[vec_col].to_numpy()), k,
+                iters=kmeans_iters).astype(np.float32)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        M = _normalize(_to_matrix(t, vec_col)).astype(np.float32)
+        cl = np.argmax(M @ Cm.T, axis=1)
+        cent_sim = (M * Cm[cl]).sum(axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            "__cl": pa.array(cl.astype(np.int64)),
+            "__cent_sim": pa.array(cent_sim.astype(np.float64)),
+            "__vec": pa.array(list(M), pa.list_(pa.float32())),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        m = len(ids)
+        if m < 2:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        vec = g.column("__vec").combine_chunks()
+        M = np.asarray(vec.flatten(), dtype=np.float32).reshape(m, -1)
+        if keep == "min_id":
+            order = np.argsort(ids, kind="stable")
+        else:  # far_from_centroid: lowest centroid-sim first (survivors)
+            cs = np.asarray(g.column("__cent_sim"))
+            order = np.lexsort((ids, cs))
+        M = M[order]
+        # drop j iff any earlier i has cos >= tau — tiled upper-triangle max
+        dropm = np.zeros(m, dtype=bool)
+        tile = 2048
+        for j0 in range(0, m, tile):
+            Bj = M[j0:j0 + tile]
+            best = np.full(len(Bj), -2.0, dtype=np.float32)
+            for i0 in range(0, j0 + len(Bj), tile):
+                Ai = M[i0:min(i0 + tile, j0 + len(Bj))]
+                sims = Ai @ Bj.T  # (|Ai|, |Bj|)
+                # mask: only rows strictly earlier than each column's index
+                gi = np.arange(i0, i0 + len(Ai))[:, None]
+                gj = np.arange(j0, j0 + len(Bj))[None, :]
+                sims = np.where(gi < gj, sims, -2.0)
+                best = np.maximum(best, sims.max(axis=0))
+            dropm[j0:j0 + len(Bj)] = best >= tau
+        cl = int(g.column("__cl")[0].as_py())
+        return pa.table({id_col: pa.array(ids[order][dropm]),
+                         "cluster_id": pa.array(
+                             np.full(int(dropm.sum()), cl, np.int64))})
+
+    drops = assigned.groupby("__cl").map_groups(dedup_cluster,
+                                                batch_format="pyarrow")
+    if not drop:
+        return drops
+    drop_filter = _broadcast_id_filter(drops, [id_col], exact=True)
+    return _semi_filter(ds, id_col, drop_filter, invert=True)

@@ -1160,6 +1160,52 @@ def q_embedding_neardup_lsh(sf_dir):
     return got[["vec_a", "vec_b"]]
 
 
+def q_semantic_dedup_embeddings(sf_dir):
+    """Self-validating SemDeDup (Abbas et al. 2023; ops/cluster.py:
+    semantic_dedup): k-means-partitioned in-cluster cosine pruning over the
+    embeddings table with 25 planted near-copies. Asserts (a) every planted
+    copy pair loses exactly one member and (b) — exhaustively, while the
+    corpus fits an exact matrix — no id is dropped without a true >= tau
+    neighbor. Raises on violation; driver records the rows check (k-means is
+    iterative, not SQL)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ..ops.cluster import semantic_dedup
+
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    M = np.stack(base["embedding"].to_numpy()).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    rng = np.random.default_rng(77)
+    planted = M[:25] + 1e-3 * rng.standard_normal((25, M.shape[1])).astype(np.float32)
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    vecs = np.concatenate([M, planted])
+    ids = np.concatenate([base["vec_id"].to_numpy(),
+                          base["vec_id"].to_numpy()[:25] + 1_000_000])
+    t = pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), M.shape[1]).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    tau = 0.999
+    drops = semantic_dedup(ds, tau=tau, keep="min_id",
+                           target_cluster=256).to_pandas()
+    dropped = set(drops.vec_id)
+    for orig, copy in zip(ids[:25], ids[len(M):]):
+        assert (int(orig) in dropped) != (int(copy) in dropped), (orig, copy)
+    if len(vecs) <= 20000:  # exhaustive no-false-drop check at oracle scale
+        V = vecs.astype(np.float64)
+        S = V @ V.T
+        np.fill_diagonal(S, -2)
+        has_nbr = dict(zip(ids.tolist(), (S >= tau - 1e-9).any(axis=1)))
+        for d in dropped:
+            assert has_nbr[int(d)], f"{d} dropped without a >= tau neighbor"
+    return drops.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_broadcast_join_orders_customer(sf_dir):
     """Map-side broadcast join: orders (probe, streamed) x customer (build,
     ray.put once) — the 100 TB dimension-join shape; no shuffle of the fact
@@ -1417,6 +1463,7 @@ QUERIES = {
     # the LSH variant self-validates (recall >= 0.95 vs exact, in-query) and
     # runs every session via tests/test_oracle.py
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
 }
 
 _CHECKED_WINDOW = 50

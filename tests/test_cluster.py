@@ -318,3 +318,81 @@ def test_asof_join_broadcast_keyed_and_unmatched(ray_session):
     assert out.val.tolist() == [None, 100, 200, None, 150, None] or \
         [None if pd.isna(v) else int(v) for v in out.val] == \
         [None, 100, 200, None, 150, None]
+
+
+# ----------------------------------------------------------- semantic dedup
+def _semdedup_corpus(seed=3, n_clusters=6, per=30, dim=32, n_dups=12):
+    """Well-separated cluster centers; planted near-identical dup pairs."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, ids = [], []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            v = c + 0.15 * rng.normal(size=dim)
+            vecs.append(v / np.linalg.norm(v)); ids.append(vid); vid += 1
+    dup_pairs = []
+    for i in range(n_dups):
+        src = rng.integers(0, len(vecs))
+        v = vecs[src] + 1e-4 * rng.normal(size=dim)
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(vid); dup_pairs.append((ids[src], vid)); vid += 1
+    t = pa.table({
+        "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    return t, dup_pairs
+
+
+def test_semantic_dedup_drops_planted_dups(ray_session):
+    from parquet_go_ray.ops.cluster import semantic_dedup
+
+    t, dup_pairs = _semdedup_corpus()
+    ds = rd.from_arrow(t)
+    drops = semantic_dedup(ds, tau=0.99, target_cluster=64,
+                           keep="min_id").to_pandas()
+    dropped = set(drops.vec_id)
+    # exactly one member of every planted near-identical pair is dropped
+    for a, b in dup_pairs:
+        assert (a in dropped) != (b in dropped), (a, b)
+    # min_id keep policy: the survivor is the smaller id
+    for a, b in dup_pairs:
+        assert min(a, b) not in dropped or (a, b) in [
+            p for p in dup_pairs if p[0] in dropped and p[1] in dropped]
+    # nothing else gets dropped at tau=0.99 with sigma=0.15 clusters
+    planted_victims = {max(a, b) for a, b in dup_pairs}
+    assert dropped == planted_victims
+
+
+def test_semantic_dedup_keep_farthest_and_filter(ray_session):
+    from parquet_go_ray.ops.cluster import semantic_dedup
+
+    t, dup_pairs = _semdedup_corpus(seed=11)
+    ds = rd.from_arrow(t)
+    kept = semantic_dedup(ds, tau=0.99, target_cluster=64,
+                          keep="far_from_centroid", drop=True).to_pandas()
+    assert len(kept) == t.num_rows - len(dup_pairs)
+    kept_ids = set(kept.vec_id)
+    for a, b in dup_pairs:
+        assert (a in kept_ids) != (b in kept_ids)
+
+
+def test_semantic_dedup_matches_exact_pairs(ray_session):
+    # every dropped id must actually have a >= tau neighbor (no false drops)
+    from parquet_go_ray.ops.cluster import semantic_dedup
+
+    t, _ = _semdedup_corpus(seed=5)
+    ds = rd.from_arrow(t)
+    tau = 0.995
+    drops = semantic_dedup(ds, tau=tau, target_cluster=64,
+                           keep="min_id").to_pandas()
+    M = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    np.fill_diagonal(S, -2)
+    has_nbr = (S >= tau - 1e-9).any(axis=1)
+    by_id = dict(zip(t.column("vec_id").to_pylist(), has_nbr))
+    for d in drops.vec_id:
+        assert by_id[d], f"{d} dropped without any >= tau neighbor"

@@ -282,6 +282,48 @@ def bench_ops(sf_dir: str) -> dict:
     removed = dedup_substrings(subtok, k=50).sum("n_removed")
     res["dedup_substrings_200k"] = time.perf_counter() - t0
     res["_meta"]["substring_tokens_removed"] = int(removed or 0)
+
+    # BPE tokenizer over the 100k-doc heavy corpus: train (one word-count
+    # shuffle + driver merge loop over word TYPES) then tokenize everything
+    # (actor pool, unique-word dictionary encode per batch).
+    from parquet_go_ray.ops.bpe import apply_bpe, train_bpe
+
+    t0 = time.perf_counter()
+    model = train_bpe(heavy, num_merges=512)
+    res["bpe_train_100k"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_bpe = apply_bpe(heavy, model).sum("n_bpe")
+    res["bpe_tokenize_100k"] = time.perf_counter() - t0
+    res["_meta"]["bpe_vocab"] = model.vocab_size
+    res["_meta"]["bpe_tokens"] = int(n_bpe or 0)
+
+    # SemDeDup over a 100k-vector near-copy corpus (20 jittered copies per
+    # embedding — same ~95%-duplication web profile as the heavy doc corpus).
+    from parquet_go_ray.ops.cluster import semantic_dedup
+
+    def replicate_vecs(t: pa.Table) -> pa.Table:
+        vecs = t.column("embedding").combine_chunks()
+        dim = len(vecs[0])
+        M = np.asarray(vecs.flatten(), dtype=np.float32).reshape(-1, dim)
+        ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+        parts = []
+        for i in range(20):
+            V = M + np.float32(1e-4 * (i + 1))  # deterministic jitter
+            parts.append(pa.table({
+                "vec_id": pa.array(ids * 32 + i),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.reshape(-1)), dim).cast(pa.list_(pa.float32())),
+            }))
+        return pa.concat_tables(parts)
+
+    heavy_vecs = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        replicate_vecs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    t0 = time.perf_counter()
+    n_drops = semantic_dedup(heavy_vecs, tau=0.999, keep="min_id",
+                             target_cluster=1024).count()
+    res["semantic_dedup_100k"] = time.perf_counter() - t0
+    res["_meta"]["semantic_vecs"] = heavy_vecs.count()
+    res["_meta"]["semantic_drops"] = n_drops
     return res
 
 

@@ -1117,6 +1117,11 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
     bucket collision probabilities make the geometry affordable) to
     ``embedding_neardup_lsh`` — the scale path with no O(B^2) fan-out — and
     keeps the exact all-pairs kernel for low tau; "exact" / "lsh" force.
+
+    Low-tau at 100 TB: when approximate-dedup semantics are acceptable,
+    ``ops.cluster.semantic_dedup`` (SemDeDup) bounds the quadratic work by
+    k-means cluster size at ANY tau — the production-scale alternative to
+    this exact join for thresholds where LSH degenerates.
     """
     import ray
 

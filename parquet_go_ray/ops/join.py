@@ -172,3 +172,37 @@ def range_join_broadcast(ds, dim: pa.Table, *, value_col: str, lo_col: str,
         return out
 
     return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(left, right, on: str, *, right_on: str | None = None,
+              how: str = "inner", num_partitions: int = 64,
+              broadcast_bytes_cap: int = 256 << 20, method: str = "auto"):
+    """General distributed equi-join of two Datasets.
+
+    Routing (``method="auto"``): a build side fitting
+    ``broadcast_bytes_cap`` gathers once and runs the zero-shuffle
+    ``broadcast_join`` — the dominant case in star-schema pipelines; a
+    genuinely large-large join falls through to Ray Data's native
+    hash-shuffle join (both sides partitioned on the key across
+    ``num_partitions`` aggregators). ``method="shuffle"`` /
+    ``method="broadcast"`` force a path.
+
+    ``how``: "inner" or "left" (left outer). The broadcast path requires
+    unique build keys (dimension semantics); the shuffle path supports
+    duplicate keys on both sides (full multiplicity).
+    """
+    right_on = right_on or on
+    if method not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown method {method!r}")
+    if isinstance(right, pa.Table):
+        return broadcast_join(left, right, on, right_on=right_on, how=how)
+    if method != "shuffle":
+        right = right.materialize()
+        if method == "broadcast" or right.size_bytes() <= broadcast_bytes_cap:
+            tbl = pa.concat_tables(
+                right.iter_batches(batch_format="pyarrow", batch_size=None))
+            return broadcast_join(left, tbl, on, right_on=right_on, how=how)
+    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on,))

@@ -1206,6 +1206,22 @@ def q_semantic_dedup_embeddings(sf_dir):
     return drops.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_hash_join_lineitem_orders(sf_dir):
+    """Large-large distributed equi-join via the hash-shuffle path (both
+    sides partitioned on the key — ops/join.py:hash_join, method="shuffle"
+    forces past the broadcast routing so the driver hashes the native
+    shuffle join's output)."""
+    from ..ops.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                      "o_orderstatus"])
+    out = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                    method="shuffle", num_partitions=16)
+    return out.select_columns(
+        ["l_orderkey", "l_quantity", "o_totalprice", "o_orderstatus"])
+
+
 def q_broadcast_join_orders_customer(sf_dir):
     """Map-side broadcast join: orders (probe, streamed) x customer (build,
     ray.put once) — the 100 TB dimension-join shape; no shuffle of the fact
@@ -1464,6 +1480,7 @@ QUERIES = {
     # runs every session via tests/test_oracle.py
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
 }
 
 _CHECKED_WINDOW = 50
@@ -1541,6 +1558,10 @@ ORACLE_SQL = {
     "dedup_exact_documents": (
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count "
         "FROM documents GROUP BY text"
+    ),
+    "hash_join_lineitem_orders": (
+        "SELECT l.l_orderkey, l.l_quantity, o.o_totalprice, o.o_orderstatus "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     ),
     "remap_rare_tokens": (
         "WITH tok AS (SELECT doc_id, list_transform(string_split(text, ''),"

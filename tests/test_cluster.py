@@ -396,3 +396,51 @@ def test_semantic_dedup_matches_exact_pairs(ray_session):
     by_id = dict(zip(t.column("vec_id").to_pylist(), has_nbr))
     for d in drops.vec_id:
         assert by_id[d], f"{d} dropped without any >= tau neighbor"
+
+
+# ------------------------------------------------------------- hash join
+def test_hash_join_paths_agree_and_multiplicity(ray_session):
+    from parquet_go_ray.ops.join import hash_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 400).astype(np.int64),
+        "lv": np.arange(400, dtype=np.int64)})
+    # duplicate build keys: key k appears 1 or 2 times
+    rk = np.concatenate([np.arange(40), np.arange(0, 40, 2)]).astype(np.int64)
+    right = pd.DataFrame({"rk": rk, "rv": np.arange(len(rk), dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+
+    shuf = hash_join(lds, rds, on="k", right_on="rk",
+                     method="shuffle", num_partitions=4).to_pandas()
+    # pandas merge is the ground truth incl. duplicate-key multiplicity
+    ref = left.merge(right, left_on="k", right_on="rk")
+    assert len(shuf) == len(ref)
+    assert (shuf.groupby("k").size().sort_index()
+            == ref.groupby("k").size().sort_index()).all()
+
+    # broadcast path (unique build keys) agrees with shuffle on a dim table
+    dim = right.drop_duplicates("rk", keep="first")
+    b = hash_join(lds, rd.from_pandas(dim), on="k", right_on="rk",
+                  method="broadcast").to_pandas()
+    s = hash_join(lds, rd.from_pandas(dim), on="k", right_on="rk",
+                  method="shuffle", num_partitions=4).to_pandas()
+    key = lambda df: sorted(zip(df.k, df.lv, df.rv))
+    assert key(b) == key(s)
+    assert len(b) > 0
+
+
+def test_hash_join_left_outer(ray_session):
+    from parquet_go_ray.ops.join import hash_join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4], dtype=np.int64),
+                         "lv": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({"k2": np.array([2, 4], dtype=np.int64),
+                          "rv": np.array([20, 40], dtype=np.int64)})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", right_on="k2", how="left",
+                    method="shuffle", num_partitions=2).to_pandas()
+    out = out.sort_values("k")
+    assert out.k.tolist() == [1, 2, 3, 4]
+    assert out.rv.fillna(-1).tolist() == [-1, 20, -1, 40]

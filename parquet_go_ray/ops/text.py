@@ -618,6 +618,36 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
     total = int(counted.sum("__n") or 0)
     n_seq = total // seq_len if drop_last else -(-total // seq_len)
 
+    def _assemble_core(sid, fstart, flat, starts, fl):
+        # Fully vectorized (VERDICT r3 #2 — no per-sequence Python loop):
+        # one lexsort orders every fragment by (seq_id, frag_start); one
+        # ragged gather concatenates them; one scatter places each
+        # fragment's tokens at seq_slot * seq_len + within-seq offset in a
+        # pad-prefilled output buffer (full sequences overwrite all
+        # seq_len slots, the single global tail keeps its padding).
+        from ..functions.segments import ragged_gather_indices
+
+        order = np.lexsort((fstart, sid))
+        fl_o = fl[order]
+        gathered = flat[ragged_gather_indices(starts[:-1][order], fl_o)]
+        usid, first, ndocs = np.unique(sid[order], return_index=True,
+                                       return_counts=True)
+        cum = np.zeros(len(fl_o) + 1, dtype=np.int64)
+        np.cumsum(fl_o, out=cum[1:])
+        j_of = np.repeat(np.arange(len(usid), dtype=np.int64), ndocs)
+        tgt_start = j_of * seq_len + (cum[:-1] - cum[first][j_of])
+        out_vals = np.full(len(usid) * seq_len, pad_id,
+                           dtype=flat.dtype if flat.size else np.int32)
+        out_vals[ragged_gather_indices(tgt_start, fl_o)] = gathered
+        offs = np.arange(len(usid) + 1, dtype=np.int64) * seq_len
+        return pa.table({
+            "seq_id": pa.array(usid),
+            "tokens": pa.LargeListArray.from_arrays(
+                pa.array(offs), pa.array(out_vals)).cast(
+                    pa.list_(pa.from_numpy_dtype(out_vals.dtype))),
+            "n_docs": pa.array(ndocs.astype(np.int64)),
+        })
+
     def fragments(t: pa.Table) -> pa.Table:
         col = t.column(tokens_col).combine_chunks()
         if isinstance(col, pa.ChunkedArray):
@@ -641,60 +671,77 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
         gend = np.minimum(tok_start[d_idx] + lens[d_idx], (seq + 1) * seq_len)
         fl = (gend - gstart).astype(np.int64)
         local = gstart - tok_start[d_idx] + doc_off[d_idx]
-        src = ragged_gather_indices(local, fl)
-        frag_offs = np.zeros(len(fl) + 1, dtype=np.int32)
-        np.cumsum(fl, out=frag_offs[1:])
-        frag_tokens = pa.ListArray.from_arrays(
-            pa.array(frag_offs), pa.array(flat[src]))
         keep = seq < n_seq  # drop_last trims trailing-partial fragments
-        out = pa.table({
-            "seq_id": pa.array(seq),
-            "frag_start": pa.array(gstart - seq * seq_len),
-            "frag": frag_tokens,
-            "__p": pa.array(seq % num_partitions),
+        seq, gstart, fl, local = seq[keep], gstart[keep], fl[keep], local[keep]
+
+        # Sequences whose FULL extent lies inside this batch's contiguous
+        # token range assemble right here — only fragments of block-BOUNDARY
+        # sequences enter the shuffle, so the exchange moves O(blocks *
+        # seq_len) tokens, not the corpus. (Pass-2 batches are whole pinned
+        # blocks = contiguous doc runs, so the batch token range is one
+        # interval.)
+        dtype = flat.dtype if flat.size else np.int32
+        list_t = pa.list_(pa.from_numpy_dtype(dtype))
+        if len(lens):
+            batch_lo = int(tok_start[0])
+            batch_hi = int(tok_start[-1] + lens[-1])
+        else:
+            batch_lo = batch_hi = 0
+        done_m = (seq * seq_len >= batch_lo) & ((seq + 1) * seq_len <= batch_hi)
+        src = ragged_gather_indices(local[done_m], fl[done_m])
+        starts_d = np.zeros(int(done_m.sum()) + 1, dtype=np.int64)
+        np.cumsum(fl[done_m], out=starts_d[1:])
+        local_tbl = _assemble_core(seq[done_m], gstart[done_m] - seq[done_m] * seq_len,
+                                   flat[src], starts_d, fl[done_m])
+        nb = int((~done_m).sum())
+        srcb = ragged_gather_indices(local[~done_m], fl[~done_m])
+        frag_offs = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(fl[~done_m], out=frag_offs[1:])
+        frag_tokens = pa.LargeListArray.from_arrays(
+            pa.array(frag_offs), pa.array(flat[srcb])).cast(list_t)
+        return pa.table({
+            "seq_id": pa.concat_arrays([local_tbl.column("seq_id").combine_chunks(),
+                                        pa.array(seq[~done_m])]),
+            "tokens": pa.concat_arrays([
+                local_tbl.column("tokens").combine_chunks().cast(list_t),
+                frag_tokens]),
+            "n_docs": pa.concat_arrays([local_tbl.column("n_docs").combine_chunks(),
+                                        pa.array(np.full(nb, -1, np.int64))]),
+            "frag_start": pa.concat_arrays([
+                pa.array(np.full(len(local_tbl), -1, np.int64)),
+                pa.array(gstart[~done_m] - seq[~done_m] * seq_len)]),
+            "__p": pa.concat_arrays([
+                pa.array(np.zeros(len(local_tbl), np.int64)),
+                pa.array(seq[~done_m] % num_partitions)]),
         })
-        return out.filter(pa.array(keep))
 
     def assemble(t: pa.Table) -> pa.Table:
-        # Fully vectorized (VERDICT r3 #2 — no per-sequence Python loop):
-        # one lexsort orders every fragment by (seq_id, frag_start); one
-        # ragged gather concatenates them; one scatter places each
-        # fragment's tokens at seq_slot * seq_len + within-seq offset in a
-        # pad-prefilled output buffer (full sequences overwrite all
-        # seq_len slots, the single global tail keeps its padding).
-        from ..functions.segments import ragged_gather_indices
-
         sid = np.asarray(t.column("seq_id"), dtype=np.int64)
         fstart = np.asarray(t.column("frag_start"), dtype=np.int64)
-        col = t.column("frag").combine_chunks()
+        col = t.column("tokens").combine_chunks()
         flat = np.asarray(col.flatten())
         fl = np.asarray(pc.list_value_length(col), dtype=np.int64)
         starts = np.zeros(len(fl) + 1, dtype=np.int64)
         np.cumsum(fl, out=starts[1:])  # flatten() output is gap-free
-        order = np.lexsort((fstart, sid))
-        fl_o = fl[order]
-        gathered = flat[ragged_gather_indices(starts[:-1][order], fl_o)]
-        usid, first, ndocs = np.unique(sid[order], return_index=True,
-                                       return_counts=True)
-        cum = np.zeros(len(fl_o) + 1, dtype=np.int64)
-        np.cumsum(fl_o, out=cum[1:])
-        j_of = np.repeat(np.arange(len(usid), dtype=np.int64), ndocs)
-        tgt_start = j_of * seq_len + (cum[:-1] - cum[first][j_of])
-        out_vals = np.full(len(usid) * seq_len, pad_id,
-                           dtype=flat.dtype if flat.size else np.int32)
-        out_vals[ragged_gather_indices(tgt_start, fl_o)] = gathered
-        offs = np.arange(len(usid) + 1, dtype=np.int64) * seq_len
-        return pa.table({
-            "seq_id": pa.array(usid),
-            "tokens": pa.LargeListArray.from_arrays(
-                pa.array(offs), pa.array(out_vals)).cast(
-                    pa.list_(pa.from_numpy_dtype(out_vals.dtype))),
-            "n_docs": pa.array(ndocs.astype(np.int64)),
-        })
+        return _assemble_core(sid, fstart, flat, starts, fl)
 
-    return (with_off.map_batches(fragments, batch_format="pyarrow",
-                                 batch_size=None, zero_copy_batch=True)
-            .groupby("__p").map_groups(assemble, batch_format="pyarrow"))
+    mixed = with_off.map_batches(fragments, batch_format="pyarrow",
+                                 batch_size=None,
+                                 zero_copy_batch=True).materialize()
+
+    def split(done: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("frag_start"), pa.scalar(-1, pa.int64()))
+            t = t.filter(m if done else pc.invert(m))
+            return t.select(["seq_id", "tokens", "n_docs"]) if done else t
+        return f
+
+    finished = mixed.map_batches(split(True), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    boundary = (mixed.map_batches(split(False), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .groupby("__p").map_groups(assemble, batch_format="pyarrow"))
+    return finished.union(boundary)
 
 
 def remap_rare_tokens(ds, *, min_count: int = 2, unk_id: int = -1,

@@ -185,3 +185,57 @@ def quantile_filter(ds, col: str, *, keep_above: float = 0.1, k: int = 512,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True), threshold
+
+
+def heavy_hitters(ds, col: str, *, k: int = 20, capacity: int | None = None):
+    """Approximate top-k frequent values (heavy hitters) in ONE streaming
+    pass: per-batch Misra-Gries summaries (Misra & Gries 1982; merge rule
+    from Agarwal et al., "Mergeable Summaries", PODS 2012) of ``capacity``
+    counters each, merged pairwise on the driver — only counter dicts ever
+    leave a task, never value streams.
+
+    Guarantee: any value with true frequency > N/capacity is present, and
+    every reported count is an UNDER-estimate by at most N/capacity (N =
+    total rows). ``capacity`` defaults to ``8*k``, making the top-k ordering
+    exact whenever the k-th item leads the (k+1)-th by more than N/(8k).
+
+    Returns a pandas DataFrame (value, count_lo) sorted by count descending,
+    truncated to k rows. For the exact equivalent use
+    ``ds.groupby(col).count()`` — a full shuffle; this is the no-shuffle
+    approximation for monitoring/mixture decisions at 100 TB.
+    """
+    import pandas as pd
+
+    cap = capacity or 8 * k
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        vc = arr.combine_chunks().value_counts()
+        vals = vc.field("values").to_pylist()
+        counts = np.asarray(vc.field("counts"), dtype=np.int64)
+        if len(counts) > cap:
+            # Misra-Gries reduction: keep top-cap, subtract the (cap+1)-th
+            # count from the survivors (the standard summary truncation)
+            order = np.argsort(-counts, kind="stable")
+            cut = counts[order[cap]]
+            keep = order[:cap]
+            vals = [vals[i] for i in keep]
+            counts = counts[keep] - cut
+            m = counts > 0
+            vals = [v for v, ok in zip(vals, m) if ok]
+            counts = counts[m]
+        return pa.table({"value": pa.array(vals),
+                         "count": pa.array(counts, pa.int64())})
+
+    merged: dict = {}
+    for b in ds.map_batches(summarize, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+        for v, c in zip(b.column("value").to_pylist(),
+                        b.column("count").to_pylist()):
+            merged[v] = merged.get(v, 0) + c
+        if len(merged) > cap:
+            cut = sorted(merged.values(), reverse=True)[cap]
+            merged = {v: c - cut for v, c in merged.items() if c - cut > 0}
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+    return pd.DataFrame(top, columns=["value", "count_lo"])

@@ -1206,6 +1206,19 @@ def q_semantic_dedup_embeddings(sf_dir):
     return drops.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_heavy_hitters_sources(sf_dir):
+    """Misra-Gries heavy hitters over documents.source (ops/sketch.py:
+    heavy_hitters — one streaming pass, only counter dicts move). With
+    capacity above the distinct-source count the summary never truncates,
+    so counts are exact and the SQL top-k oracle hash-matches; the
+    truncating regime is covered by the zipf test in tests/test_ops.py."""
+    from ..ops.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["source"])
+    out = heavy_hitters(ds, "source", k=5, capacity=4096)
+    return out
+
+
 def q_hash_join_lineitem_orders(sf_dir):
     """Large-large distributed equi-join via the hash-shuffle path (both
     sides partitioned on the key — ops/join.py:hash_join, method="shuffle"
@@ -1481,6 +1494,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
+    "heavy_hitters_sources": q_heavy_hitters_sources,
 }
 
 _CHECKED_WINDOW = 50
@@ -1562,6 +1576,10 @@ ORACLE_SQL = {
     "hash_join_lineitem_orders": (
         "SELECT l.l_orderkey, l.l_quantity, o.o_totalprice, o.o_orderstatus "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ),
+    "heavy_hitters_sources": (
+        "SELECT source AS value, CAST(count(*) AS BIGINT) AS count_lo "
+        "FROM documents GROUP BY source ORDER BY count_lo DESC, value LIMIT 5"
     ),
     "remap_rare_tokens": (
         "WITH tok AS (SELECT doc_id, list_transform(string_split(text, ''),"

@@ -627,3 +627,23 @@ def test_real_audio_decode_wav(ray_session):
         s = samples.astype(np.float64)
         assert abs(out.rms[i] - np.sqrt((s * s).mean())) < 1e-9
         assert out.n_samples[i] == samples.shape[0]
+
+
+def test_heavy_hitters_recovers_skewed_top(ray_session):
+    from parquet_go_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: value i appears ~ 40000/(i+1) times
+    vals = np.repeat(np.arange(200), (40000 / (np.arange(200) + 1)).astype(int))
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals.astype(np.int64)})).repartition(8)
+    out = heavy_hitters(ds, "v", k=10)
+    # exact ground truth
+    import collections
+    exact = collections.Counter(vals.tolist()).most_common(10)
+    assert out.value.tolist() == [v for v, _ in exact]
+    # counts are under-estimates within N/capacity
+    n = len(vals)
+    for (_, row), (ev, ec) in zip(out.iterrows(), exact):
+        assert row.count_lo <= ec
+        assert ec - row.count_lo <= n / 80 + 1e-9

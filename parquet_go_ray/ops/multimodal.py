@@ -424,3 +424,101 @@ def resize_images_real(ds, out_h: int, out_w: int, *, concurrency=None,
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
         concurrency=concurrency or _default_concurrency(),
     )
+
+
+# ----------------------------------------------------------- audio features
+def _mel_filterbank(n_mels: int, n_fft: int, sr: int,
+                    fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale, mel = 2595*log10(1+f/700))
+    mapping ``n_fft//2+1`` rfft power bins -> ``n_mels`` bands. Pure numpy;
+    the tiny loop is over mel bands, never samples."""
+    fmax = fmax or sr / 2.0
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    bins = np.floor((n_fft + 1) * mel_to_hz(mels) / sr).astype(np.int64)
+    bins = np.clip(bins, 0, n_fft // 2)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), dtype=np.float64)
+    for m in range(1, n_mels + 1):
+        l, c, r = bins[m - 1], bins[m], bins[m + 1]
+        c = max(c, l + 1)
+        r = max(r, c + 1)
+        fb[m - 1, l:c] = (np.arange(l, c) - l) / (c - l)
+        fb[m - 1, c:min(r, n_fft // 2 + 1)] = (
+            (r - np.arange(c, min(r, n_fft // 2 + 1))) / (r - c))
+    return fb
+
+
+class AudioFeaturizer:
+    """Actor stage: PCM-WAV payload -> time-averaged log-mel spectrogram
+    (the standard audio embedding input). DSP is pure numpy — Hann window +
+    strided framing + ``np.fft.rfft`` + mel filterbank — with the window and
+    per-sample-rate filterbanks built ONCE per actor (cached in
+    ``__init__``-owned state, never per batch). Per-clip loop is the
+    batched-decode shape; everything inside is vectorized."""
+
+    def __init__(self, n_fft: int = 256, hop: int = 128, n_mels: int = 24,
+                 payload_col: str = "payload", eps: float = 1e-10):
+        self.n_fft, self.hop, self.n_mels = n_fft, hop, n_mels
+        self.payload_col = payload_col
+        self.eps = eps
+        self.window = np.hanning(n_fft)
+        self._fb: dict[int, np.ndarray] = {}
+
+    def _bank(self, sr: int) -> np.ndarray:
+        if sr not in self._fb:
+            self._fb[sr] = _mel_filterbank(self.n_mels, self.n_fft, sr)
+        return self._fb[sr]
+
+    def logmel(self, samples: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        """(time-mean log-mel vector [n_mels], n_frames) for one mono clip."""
+        x = samples.astype(np.float64)
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        if len(x) < self.n_fft:
+            x = np.pad(x, (0, self.n_fft - len(x)))
+        frames = np.lib.stride_tricks.sliding_window_view(
+            x, self.n_fft)[:: self.hop]
+        spec = np.fft.rfft(frames * self.window, axis=1)
+        power = (spec.real ** 2 + spec.imag ** 2)
+        mel = power @ self._bank(sr).T  # (frames, n_mels)
+        return np.log(mel.mean(axis=0) + self.eps), len(frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import decode_wav
+
+        arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
+        n = len(arr)
+        feats = np.zeros((n, self.n_mels), dtype=np.float32)
+        nframes = np.zeros(n, dtype=np.int64)
+        rate = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            samples, sr = decode_wav(arr[i].as_buffer())
+            v, nf = self.logmel(samples, sr)
+            feats[i] = v.astype(np.float32)
+            nframes[i] = nf
+            rate[i] = sr
+        return pa.table({
+            "audio_id": batch.column("audio_id"),
+            "sample_rate": pa.array(rate),
+            "n_frames": pa.array(nframes),
+            "logmel": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.n_mels).cast(
+                    pa.list_(pa.float32())),
+        })
+
+
+def audio_features(ds, *, n_fft: int = 256, hop: int = 128, n_mels: int = 24,
+                   concurrency=None, batch_size: int = 128):
+    """Dataset-level log-mel featurization of WAV payloads (actor pool)."""
+    return ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"n_fft": n_fft, "hop": hop, "n_mels": n_mels},
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    )

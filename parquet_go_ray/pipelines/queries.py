@@ -626,6 +626,29 @@ def q_multimodal_real_decode(sf_dir):
             .to_pandas().sort_values("audio_id").reset_index(drop=True))
     assert (aout.sample_rate.to_numpy()
             == auds.column("sample_rate").to_numpy()).all()
+
+    # feature extraction: log-mel of pure tones must peak in the filterbank
+    # band the tone's fft bin maps to (pure-numpy STFT + mel, actor pool)
+    from ..functions.imagecodec import encode_wav
+    from ..ops.multimodal import _mel_filterbank, audio_features
+
+    sr, n_fft, n_mels = 16000, 256, 24
+    tt = np.arange(4096, dtype=np.float64) / sr
+    tones = [500.0, 2000.0, 6000.0]
+    tone_t = pa.table({
+        "audio_id": pa.array(np.arange(len(tones), dtype=np.int64)),
+        "payload": pa.array(
+            [encode_wav((9000 * np.sin(2 * np.pi * f * tt)).astype(
+                np.int16).reshape(-1, 1), sr) for f in tones], pa.binary()),
+    })
+    feats = (audio_features(rd.from_arrow(tone_t), n_fft=n_fft, n_mels=n_mels)
+             .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    fb = _mel_filterbank(n_mels, n_fft, sr)
+    for i, f in enumerate(tones):
+        expect = int(np.argmax(fb[:, int(round(f * n_fft / sr))]))
+        got = int(np.argmax(np.asarray(feats.logmel[i])))
+        assert abs(got - expect) <= 1, (f, got, expect)
+
     merged = out[["image_id", "width", "height", "mean_intensity"]].join(
         aout[["n_samples", "rms"]])
     return merged

@@ -131,3 +131,62 @@ def test_fuzz_parsers_raise_clean_valueerror():
                 dec[name](bytes(b))
             except ValueError:
                 pass  # the only acceptable failure mode
+
+
+# ----------------------------------------------------------- audio features
+def test_logmel_sine_peak_lands_in_expected_band():
+    from parquet_go_ray.ops.multimodal import AudioFeaturizer, _mel_filterbank
+
+    sr, n_fft, n_mels = 16000, 256, 24
+    f = AudioFeaturizer(n_fft=n_fft, hop=128, n_mels=n_mels)
+    for freq in (500.0, 2000.0, 6000.0):
+        t = np.arange(sr, dtype=np.float64) / sr  # 1 s
+        x = (10000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        v, nf = f.logmel(x, sr)
+        assert nf > 0 and v.shape == (n_mels,)
+        # expected band: the mel filter with max response at the tone's bin
+        fb = _mel_filterbank(n_mels, n_fft, sr)
+        bin_idx = int(round(freq * n_fft / sr))
+        expect = int(np.argmax(fb[:, bin_idx]))
+        assert abs(int(np.argmax(v)) - expect) <= 1, (freq, np.argmax(v), expect)
+
+
+def test_logmel_silence_floor_and_stereo_mono():
+    from parquet_go_ray.ops.multimodal import AudioFeaturizer
+
+    f = AudioFeaturizer(n_fft=128, hop=64, n_mels=8, eps=1e-10)
+    v, _ = f.logmel(np.zeros(1000, dtype=np.int16), 8000)
+    assert np.allclose(v, np.log(1e-10))
+    # stereo averages to mono: L = -R cancels to silence
+    st = np.stack([np.ones(512), -np.ones(512)], axis=1) * 3000
+    v2, _ = f.logmel(st.astype(np.int16), 8000)
+    assert np.allclose(v2, np.log(1e-10))
+
+
+def test_audio_features_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.functions.imagecodec import encode_wav
+    from parquet_go_ray.ops.multimodal import AudioFeaturizer, audio_features
+
+    sr = 8000
+    t = np.arange(2048, dtype=np.float64) / sr
+    payloads, ids = [], []
+    for i, freq in enumerate([400.0, 1200.0, 3000.0]):
+        x = (8000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        payloads.append(encode_wav(x.reshape(-1, 1), sr))
+        ids.append(i)
+    tab = pa.table({"audio_id": pa.array(np.array(ids, dtype=np.int64)),
+                    "payload": pa.array(payloads, pa.binary())})
+    out = audio_features(rd.from_arrow(tab), n_fft=256, hop=128,
+                         n_mels=24).to_pandas().sort_values("audio_id")
+    assert len(out) == 3
+    assert (out.sample_rate == sr).all()
+    # distributed result identical to the local kernel
+    local = AudioFeaturizer(n_fft=256, hop=128, n_mels=24)
+    for i, freq in enumerate([400.0, 1200.0, 3000.0]):
+        x = (8000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        v, _ = local.logmel(x.reshape(-1, 1), sr)
+        got = np.array(out.iloc[i].logmel, dtype=np.float32)
+        assert np.allclose(got, v.astype(np.float32))

@@ -419,32 +419,39 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
-                            text_col: str = "text", concurrency=None,
+def hamming_candidate_pairs(sigs, *, sig_col: str = "simhash",
+                            id_col: str = "doc_id", max_hamming: int = 3,
                             num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
-    """SimHash near-dup: bucket on 4x16-bit bands (any pair within Hamming<=3
-    of the full 64 bits shares at least one exact band), verify Hamming
-    in-bucket. Same hash-partitioned vectorized pairing as MinHash-LSH."""
-    conc = concurrency or _default_concurrency()
-    sigs = ds.map_batches(SimHasher,
-                          fn_constructor_kwargs={"id_col": id_col,
-                                                 "text_col": text_col},
-                          batch_format="pyarrow", zero_copy_batch=True, concurrency=conc)
+    """Generic 64-bit-signature near-dup by banded Hamming LSH: split every
+    signature into ``max_hamming + 1`` bit bands (pigeonhole: two codes
+    within Hamming ``max_hamming`` agree exactly on at least one band),
+    bucket on (band, band_bits), verify popcount in-bucket. The banding/
+    pairing machinery shared by SimHash text dedup and pHash image dedup.
+
+    ``sigs``: Dataset of (id_col, sig_col int64). Returns (doc_a, doc_b,
+    hamming) pairs with Hamming <= max_hamming."""
+    nb = max_hamming + 1
+    if not 1 <= nb <= 64:
+        raise ValueError(f"max_hamming {max_hamming} out of range")
+    bits = 64 // nb
+    shifts = [b * bits for b in range(nb)]
+    widths = [bits] * (nb - 1) + [64 - (nb - 1) * bits]
 
     def emit_bands(batch: pa.Table) -> pa.Table:
-        h = np.asarray(batch.column("simhash"), dtype=np.int64).view(np.uint64)
+        h = np.asarray(batch.column(sig_col), dtype=np.int64).view(np.uint64)
         n = len(h)
-        band = np.tile(np.arange(4, dtype=np.uint64), n)
-        chunk = np.empty(4 * n, dtype=np.uint64)
-        for b in range(4):
-            chunk[b::4] = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        band = np.tile(np.arange(nb, dtype=np.uint64), n)
+        chunk = np.empty(nb * n, dtype=np.uint64)
+        for b in range(nb):
+            mask = np.uint64((1 << widths[b]) - 1) if widths[b] < 64 else np.uint64(~0)
+            chunk[b::nb] = (h >> np.uint64(shifts[b])) & mask
         key = ((chunk * np.uint64(5) + band) * np.uint64(0x9E3779B97F4A7C15))
         return pa.table(
             {
                 "__key": pa.array(key.view(np.int64)),
                 "__p": pa.array((key % np.uint64(num_partitions)).view(np.int64)),
-                id_col: pa.array(np.repeat(np.asarray(batch.column(id_col)), 4)),
-                "simhash": pa.array(np.repeat(h.view(np.int64), 4)),
+                id_col: pa.array(np.repeat(np.asarray(batch.column(id_col)), nb)),
+                "simhash": pa.array(np.repeat(h.view(np.int64), nb)),
             }
         )
 
@@ -471,6 +478,22 @@ def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
         .map_groups(lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]), batch_format="pandas")
         .select_columns(["doc_a", "doc_b", "hamming"])
     )
+
+
+def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
+                            text_col: str = "text", concurrency=None,
+                            num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
+    """SimHash near-dup over text: 64-bit SimHash per doc, then the shared
+    banded-Hamming LSH (``hamming_candidate_pairs`` — with max_hamming=3
+    that is the classic 4x16-bit banding)."""
+    conc = concurrency or _default_concurrency()
+    sigs = ds.map_batches(SimHasher,
+                          fn_constructor_kwargs={"id_col": id_col,
+                                                 "text_col": text_col},
+                          batch_format="pyarrow", zero_copy_batch=True, concurrency=conc)
+    return hamming_candidate_pairs(sigs, sig_col="simhash", id_col=id_col,
+                                   max_hamming=max_hamming,
+                                   num_partitions=num_partitions)
 
 
 # --------------------------------------------- candidate semi-join prefilter

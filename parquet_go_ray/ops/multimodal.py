@@ -46,6 +46,23 @@ def make_fake_image_table(n: int, seed: int = 0) -> pa.Table:
     return pa.table({"image_id": pa.array(np.arange(n)), "payload": pa.array(payloads, type=pa.binary()), "meta": meta})
 
 
+def _decode_any_image(buf) -> np.ndarray:
+    """Decode a BMP/PNG/baseline-JPEG payload by magic into HxWxC uint8."""
+    from ..functions import imagecodec as ic
+
+    head = bytes(buf[:8])
+    if head[:2] == b"BM":
+        return ic.decode_bmp(buf)
+    if head == b"\x89PNG\r\n\x1a\n":
+        return ic.decode_png(buf)
+    if head[:2] == b"\xff\xd8":
+        from ..functions.jpegcodec import decode_jpeg
+
+        px = decode_jpeg(buf)
+        return px[:, :, np.newaxis] if px.ndim == 2 else px
+    raise ValueError(f"unrecognized image payload (head={head!r})")
+
+
 class DecodeImage:
     """Actor stage: binary payload -> (width, height, channels, mean_intensity).
 
@@ -68,8 +85,6 @@ class DecodeImage:
         return self._decode_fimg(batch)
 
     def _decode_real(self, batch: pa.Table) -> pa.Table:
-        from ..functions import imagecodec as ic
-
         arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
         n = len(arr)
         widths = np.zeros(n, dtype=np.int32)
@@ -77,20 +92,7 @@ class DecodeImage:
         channels = np.zeros(n, dtype=np.int32)
         means = np.zeros(n, dtype=np.float64)
         for i in range(n):
-            buf = arr[i].as_buffer()
-            head = bytes(buf[:8])
-            if head[:2] == b"BM":
-                px = ic.decode_bmp(buf)
-            elif head == b"\x89PNG\r\n\x1a\n":
-                px = ic.decode_png(buf)
-            elif head[:2] == b"\xff\xd8":
-                from ..functions.jpegcodec import decode_jpeg
-
-                px = decode_jpeg(buf)
-                if px.ndim == 2:
-                    px = px[:, :, np.newaxis]
-            else:
-                raise ValueError(f"unrecognized image payload (head={head!r})")
+            px = _decode_any_image(arr[i].as_buffer())
             heights[i], widths[i], channels[i] = px.shape
             means[i] = float(px.mean())
         return pa.table({
@@ -522,3 +524,73 @@ def audio_features(ds, *, n_fft: int = 256, hop: int = 128, n_mels: int = 24,
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
         concurrency=concurrency or _default_concurrency(),
     )
+
+
+# ------------------------------------------------------ image near-dup (pHash)
+class ImagePHash:
+    """Actor stage: image payload -> 64-bit perceptual hash (classic pHash:
+    downsample to ``resize`` x ``resize`` grayscale, 2-D DCT-II via ONE
+    precomputed basis matmul, keep the top-left ``hash_size`` x ``hash_size``
+    low-frequency block, threshold at its median). The DCT basis is built
+    once per actor. Near-identical pixels land within a few Hamming bits;
+    pair generation reuses the banded-Hamming LSH shared with SimHash."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "image_id",
+                 resize: int = 32, hash_size: int = 8):
+        self.payload_col, self.id_col = payload_col, id_col
+        self.resize, self.hash_size = resize, hash_size
+        n = np.arange(resize)
+        self.basis = np.cos(np.pi * (2 * n[None, :] + 1) * n[:, None]
+                            / (2 * resize))  # (freq, sample)
+        nbits = hash_size * hash_size - 1  # DC dropped
+        self.pows = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+
+    def phash(self, px: np.ndarray) -> int:
+        g = px.astype(np.float64)
+        if g.ndim == 3:
+            g = g.mean(axis=2)
+        h, w = g.shape
+        N = self.resize
+        small = g[(np.arange(N) * h) // N][:, (np.arange(N) * w) // N]
+        D = self.basis @ small @ self.basis.T
+        low = D[:self.hash_size, :self.hash_size].reshape(-1)[1:]  # drop DC
+        bits = (low > np.median(low)).astype(np.uint64)
+        return int((bits * self.pows).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
+        out = np.zeros(len(arr), dtype=np.uint64)
+        for i in range(len(arr)):
+            out[i] = self.phash(_decode_any_image(arr[i].as_buffer()))
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "phash": pa.array(out.view(np.int64))})
+
+
+def image_phash_signatures(ds, *, payload_col: str = "payload",
+                           id_col: str = "image_id", concurrency=None,
+                           batch_size: int = 128):
+    """Dataset-level pHash stage (actor pool; small batches — wide binary)."""
+    return ds.map_batches(
+        ImagePHash,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+    )
+
+
+def image_neardup_pairs(ds, *, max_hamming: int = 6,
+                        payload_col: str = "payload",
+                        id_col: str = "image_id", concurrency=None,
+                        num_partitions: int | None = None):
+    """Near-duplicate image pairs: pHash signatures + the generic banded
+    Hamming LSH (``ops/dedup.py:hamming_candidate_pairs`` — max_hamming+1
+    bands; a pair within ``max_hamming`` bits shares at least one band).
+    Returns (doc_a, doc_b, hamming) over image ids — feed to
+    ``ops/cluster.duplicate_clusters`` for keep-sets, exactly like text."""
+    from .dedup import DEFAULT_SHUFFLE_PARTITIONS, hamming_candidate_pairs
+
+    sigs = image_phash_signatures(ds, payload_col=payload_col, id_col=id_col,
+                                  concurrency=concurrency)
+    return hamming_candidate_pairs(
+        sigs, sig_col="phash", id_col=id_col, max_hamming=max_hamming,
+        num_partitions=num_partitions or DEFAULT_SHUFFLE_PARTITIONS)

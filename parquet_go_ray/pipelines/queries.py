@@ -1229,6 +1229,47 @@ def q_semantic_dedup_embeddings(sf_dir):
     return drops.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_image_neardup_phash(sf_dir):
+    """Self-validating image near-dup: deterministic low-frequency synthetic
+    images + planted noisy copies, pHash per image (actor pool, DCT basis
+    per actor), banded-Hamming LSH pairs (the SimHash machinery,
+    ops/dedup.py:hamming_candidate_pairs). Asserts every planted copy pairs
+    with its base and no cross-base pair appears — raises on miss; rows-only
+    driver check (pixels aren't SQL-representable)."""
+    import ray.data as rd
+
+    from ..functions.imagecodec import encode_png
+    from ..ops.multimodal import image_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    payloads, ids, planted = [], [], []
+    for s in range(24):
+        yy, xx = np.mgrid[0:48, 0:64]
+        img = np.zeros((48, 64), dtype=np.float64)
+        r2 = np.random.default_rng(1000 + s)
+        for _ in range(4):
+            fy, fx = r2.uniform(0.5, 3, 2)
+            img += r2.uniform(30, 80) * np.sin(
+                2 * np.pi * (fy * yy / 48 + fx * xx / 64) + r2.uniform(0, 6.28))
+        img = ((img - img.min()) / (img.ptp() + 1e-9) * 255)
+        base = np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+        payloads.append(encode_png(base)); ids.append(2 * s)
+        if s < 8:
+            noisy = np.clip(base.astype(np.int16)
+                            + rng.integers(-5, 6, base.shape), 0,
+                            255).astype(np.uint8)
+            payloads.append(encode_png(noisy)); ids.append(2 * s + 1)
+            planted.append((2 * s, 2 * s + 1))
+    t = pa.table({"image_id": pa.array(np.array(ids, dtype=np.int64)),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = image_neardup_pairs(rd.from_arrow(t), max_hamming=6).to_pandas()
+    found = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert set(planted) <= found, set(planted) - found
+    for a, b in found:
+        assert a // 2 == b // 2, (a, b)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_heavy_hitters_sources(sf_dir):
     """Misra-Gries heavy hitters over documents.source (ops/sketch.py:
     heavy_hitters — one streaming pass, only counter dicts move). With
@@ -1518,6 +1559,7 @@ QUERIES = {
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
     "heavy_hitters_sources": q_heavy_hitters_sources,
+    "image_neardup_phash": q_image_neardup_phash,
 }
 
 _CHECKED_WINDOW = 50

@@ -190,3 +190,65 @@ def test_audio_features_pipeline(ray_session):
         v, _ = local.logmel(x.reshape(-1, 1), sr)
         got = np.array(out.iloc[i].logmel, dtype=np.float32)
         assert np.allclose(got, v.astype(np.float32))
+
+
+# -------------------------------------------------------- image pHash dedup
+def _smooth_image(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    """Low-frequency synthetic image (pHash is a low-frequency signature)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w), dtype=np.float64)
+    for _ in range(4):
+        fy, fx = rng.uniform(0.5, 3, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        img += rng.uniform(30, 80) * np.sin(
+            2 * np.pi * (fy * yy / h + fx * xx / w) + ph)
+    img = (img - img.min()) / (img.ptp() + 1e-9) * 255
+    return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+
+def test_phash_near_dup_small_hamming_distinct_large():
+    from parquet_go_ray.ops.multimodal import ImagePHash
+
+    ph = ImagePHash()
+    rng = np.random.default_rng(0)
+    for seed in range(6):
+        base = _smooth_image(seed)
+        noisy = np.clip(base.astype(np.int16)
+                        + rng.integers(-6, 7, base.shape), 0, 255).astype(np.uint8)
+        ha, hb = ph.phash(base), ph.phash(noisy)
+        d = bin(ha ^ hb).count("1")
+        assert d <= 6, (seed, d)
+    # distinct smooth images are far apart
+    hs = [ph.phash(_smooth_image(s)) for s in range(6)]
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert bin(hs[i] ^ hs[j]).count("1") > 6, (i, j)
+
+
+def test_image_neardup_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet_go_ray.functions.imagecodec import encode_png
+    from parquet_go_ray.ops.multimodal import image_neardup_pairs
+
+    rng = np.random.default_rng(1)
+    payloads, ids = [], []
+    planted = []
+    for s in range(10):
+        base = _smooth_image(100 + s)
+        payloads.append(encode_png(base)); ids.append(2 * s)
+        if s < 4:
+            noisy = np.clip(base.astype(np.int16)
+                            + rng.integers(-5, 6, base.shape), 0, 255).astype(np.uint8)
+            payloads.append(encode_png(noisy)); ids.append(2 * s + 1)
+            planted.append((2 * s, 2 * s + 1))
+    t = pa.table({"image_id": pa.array(np.array(ids, dtype=np.int64)),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = image_neardup_pairs(rd.from_arrow(t), max_hamming=6).to_pandas()
+    found = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert set(planted) <= found, planted
+    # no cross-base false pairs
+    for a, b in found:
+        assert a // 2 == b // 2, (a, b)

@@ -517,10 +517,15 @@ def stratified_sample(ds, rates: dict[str, float], *, key_col: str = "source",
 
     The rate table is tiny and ships inside the closure; the filter is a
     stateless vectorized map_batches — no shuffle, no coordination."""
+    def _thresh(r) -> int:
+        # ints are exact out-of-10000 thresholds (mix_sources passes these —
+        # a float roundtrip like 3333/10000*10000 would floor to 3332)
+        return int(r) if isinstance(r, (int, np.integer)) else int(r * 10_000)
+
     items = sorted(rates.items())
     keys = pa.array([k for k, _ in items], type=pa.string())
-    thresholds = np.array([int(r * 10_000) for _, r in items], dtype=np.uint64)
-    default_thresh = np.uint64(int(default_rate * 10_000))
+    thresholds = np.array([_thresh(r) for _, r in items], dtype=np.uint64)
+    default_thresh = np.uint64(_thresh(default_rate))
 
     def keep(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col)).astype(np.uint64)
@@ -808,3 +813,42 @@ def remap_rare_tokens(ds, *, min_count: int = 2, unk_id: int = -1,
                             tokens_col, new)
 
     return ds.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mix_sources(ds, weights: dict[str, int], *, key_col: str = "source",
+                id_col: str = "doc_id", salt: int = 0):
+    """Target-mixture corpus construction: keep the LARGEST subcorpus whose
+    per-source proportions exactly match integer ``weights`` (the "30%
+    crawl / 30% books / 40% code" recipe step).
+
+    Feasibility: the binding source (smallest count/weight) is kept ~100%
+    and every other source downsamples to match. All arithmetic is INTEGER
+    (T = min_s floor(count_s * W / w_s); threshold_s = floor(T * w_s *
+    10000 / (W * count_s)) basis points), so the decision is bit-exact and
+    SQL-reproducible. Sources with no (or zero) weight are dropped.
+
+    One cheap counting pass (per-batch value_counts, driver merges the tiny
+    source->count dict) + the stateless ``stratified_sample`` hash filter —
+    no shuffle anywhere. Returns ``(filtered_ds, thresholds)`` where
+    thresholds maps source -> kept basis points (of 10000).
+    """
+    counts: dict[str, int] = {}
+    src_counts = ds.select_columns([key_col]).map_batches(
+        lambda t: pa.table({
+            key_col: t.column(key_col).combine_chunks().value_counts().field("values"),
+            "__c": t.column(key_col).combine_chunks().value_counts().field("counts").cast(pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    for b in src_counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for s, c in zip(b.column(key_col).to_pylist(), b.column("__c").to_pylist()):
+            counts[s] = counts.get(s, 0) + c
+    W = sum(w for w in weights.values() if w > 0)
+    present = {s: c for s, c in counts.items() if weights.get(s, 0) > 0}
+    if not present or W <= 0:
+        empty = ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        return empty, {}
+    T = min(c * W // weights[s] for s, c in present.items())
+    thresholds = {s: min(10_000, T * weights[s] * 10_000 // (W * c))
+                  for s, c in present.items()}
+    out = stratified_sample(ds, thresholds, key_col=key_col, id_col=id_col,
+                            salt=salt, default_rate=0)
+    return out, thresholds

@@ -1229,6 +1229,31 @@ def q_semantic_dedup_embeddings(sf_dir):
     return drops.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_mix_sources_documents(sf_dir):
+    """Target-mixture corpus construction (ops/text.py:mix_sources): largest
+    subcorpus at an exact 1:1:2 src0:src1:src2 mixture. Thresholds are
+    all-integer (T = min floor(count*W/w); basis points floor(T*w*10000 /
+    (W*count))) so the SQL oracle recomputes the identical kept set AND the
+    per-row threshold column — value-hash covers the learned mixture."""
+    from ..ops.text import mix_sources
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out, th = mix_sources(ds, {"src0": 1, "src1": 1, "src2": 2})
+    keys = pa.array(sorted(th), type=pa.string())
+    vals = np.array([th[k] for k in sorted(th)], dtype=np.int64)
+
+    def add_th(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(t.column("source"), value_set=keys)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        arr = vals[np.asarray(idx, dtype=np.int64)]
+        return t.append_column("threshold", pa.array(arr))
+
+    return out.map_batches(add_th, batch_format="pyarrow")
+
+
 def q_image_neardup_phash(sf_dir):
     """Self-validating image near-dup: deterministic low-frequency synthetic
     images + planted noisy copies, pHash per image (actor pool, DCT basis
@@ -1560,6 +1585,7 @@ QUERIES = {
     "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
     "heavy_hitters_sources": q_heavy_hitters_sources,
     "image_neardup_phash": q_image_neardup_phash,
+    "mix_sources_documents": q_mix_sources_documents,
 }
 
 _CHECKED_WINDOW = 50
@@ -1645,6 +1671,16 @@ ORACLE_SQL = {
     "heavy_hitters_sources": (
         "SELECT source AS value, CAST(count(*) AS BIGINT) AS count_lo "
         "FROM documents GROUP BY source ORDER BY count_lo DESC, value LIMIT 5"
+    ),
+    "mix_sources_documents": (
+        "WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source), "
+        "w(source, wt) AS (VALUES ('src0', 1), ('src1', 1), ('src2', 2)), "
+        "j AS (SELECT cnt.source AS source, c, wt FROM cnt JOIN w ON cnt.source = w.source), "
+        "t AS (SELECT min(c * 4 // wt) AS tt FROM j), "
+        "thr AS (SELECT source, LEAST(10000, tt * wt * 10000 // (4 * c)) AS threshold FROM j, t) "
+        "SELECT d.doc_id, d.source, CAST(thr.threshold AS BIGINT) AS threshold "
+        "FROM documents d JOIN thr ON d.source = thr.source "
+        "WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < thr.threshold"
     ),
     "remap_rare_tokens": (
         "WITH tok AS (SELECT doc_id, list_transform(string_split(text, ''),"

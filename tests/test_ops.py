@@ -647,3 +647,34 @@ def test_heavy_hitters_recovers_skewed_top(ray_session):
     for (_, row), (ev, ec) in zip(out.iterrows(), exact):
         assert row.count_lo <= ec
         assert ec - row.count_lo <= n / 80 + 1e-9
+
+
+def test_mix_sources_exact_mixture(ray_session):
+    from parquet_go_ray.ops.text import mix_sources
+
+    n = 30000
+    rng = np.random.default_rng(21)
+    src = rng.choice(["a", "b", "c", "drop_me"], n, p=[0.5, 0.3, 0.15, 0.05])
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64), "source": src}))
+    out, th = mix_sources(ds, {"a": 1, "b": 1, "c": 2})
+    df = out.to_pandas()
+    # weight-0 / unlisted sources are gone
+    assert (df.source != "drop_me").all()
+    # integer-exact thresholds match the formula
+    import collections
+    counts = collections.Counter(src.tolist())
+    W = 4
+    T = min(counts[s] * W // w for s, w in {"a": 1, "b": 1, "c": 2}.items())
+    for s, w in {"a": 1, "b": 1, "c": 2}.items():
+        assert th[s] == min(10_000, T * w * 10_000 // (W * counts[s])), s
+    # c is the binding source (0.15*n docs, weight 2): kept ~100%
+    assert th["c"] == 10_000
+    # realized mixture tracks 1:1:2 within hash noise
+    got = df.source.value_counts()
+    assert abs(got["a"] / got["c"] - 0.5) < 0.05
+    assert abs(got["b"] / got["c"] - 0.5) < 0.05
+    # deterministic
+    out2, th2 = mix_sources(ds, {"a": 1, "b": 1, "c": 2})
+    assert th2 == th
+    assert set(out2.to_pandas().doc_id) == set(df.doc_id)

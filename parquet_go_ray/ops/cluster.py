@@ -525,7 +525,19 @@ def semantic_dedup(ds, *, tau: float = 0.95, k: int | None = None,
     n_total = ds.count()
     if k is None:
         k = max(8, -(-n_total // target_cluster))
-    sample = ds.limit(sample_rows).to_pandas()
+    # the k-means sample must (a) exceed k — fewer rows would silently yield
+    # fewer centroids and break the ~target_cluster^2 per-group bound — and
+    # (b) be drawn ACROSS the corpus, not a prefix (a source-sorted corpus
+    # would train centroids on one source and funnel the rest into a few
+    # giant clusters)
+    n_sample = max(sample_rows, 2 * k)
+    if n_total > n_sample:
+        frac = min(1.0, 1.25 * n_sample / n_total)
+        sample = ds.random_sample(frac, seed=1234).limit(n_sample).to_pandas()
+        if len(sample) < k:  # pathological under-draw: fall back to prefix
+            sample = ds.limit(n_sample).to_pandas()
+    else:
+        sample = ds.limit(n_sample).to_pandas()
     C = _kmeans(np.stack(sample[vec_col].to_numpy()), k,
                 iters=kmeans_iters).astype(np.float32)
     c_ref = ray.put(C)

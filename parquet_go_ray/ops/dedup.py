@@ -443,7 +443,8 @@ def hamming_candidate_pairs(sigs, *, sig_col: str = "simhash",
         band = np.tile(np.arange(nb, dtype=np.uint64), n)
         chunk = np.empty(nb * n, dtype=np.uint64)
         for b in range(nb):
-            mask = np.uint64((1 << widths[b]) - 1) if widths[b] < 64 else np.uint64(~0)
+            mask = (np.uint64((1 << widths[b]) - 1) if widths[b] < 64
+                    else np.uint64(0xFFFFFFFFFFFFFFFF))
             chunk[b::nb] = (h >> np.uint64(shifts[b])) & mask
         key = ((chunk * np.uint64(5) + band) * np.uint64(0x9E3779B97F4A7C15))
         return pa.table(
@@ -765,12 +766,14 @@ def verify_ngram_jaccard(ds, cands, *, n: int = 3, threshold: float = 0.5,
         grams = pa.LargeListArray.from_arrays(ub, pa.array(uh, pa.uint64()))
         return pa.table({id_col: t.column(id_col), "__grams": grams})
 
-    grams = texts.map_batches(to_grams, batch_format="pyarrow")
-    if method != "shuffle":
-        grams = grams.materialize()
-        if method == "broadcast" or grams.size_bytes() <= broadcast_bytes_cap:
-            return _verify_ngram_broadcast(cands, grams, id_col=id_col,
-                                           threshold=threshold)
+    # materialized on EVERY path: the shuffle verify consumes grams in two
+    # attach joins — unmaterialized, the per-doc hashing lineage would
+    # re-execute per consumer, doubling exactly the work hashing-once saves
+    grams = texts.map_batches(to_grams, batch_format="pyarrow").materialize()
+    if method == "broadcast" or (method == "auto"
+                                 and grams.size_bytes() <= broadcast_bytes_cap):
+        return _verify_ngram_broadcast(cands, grams, id_col=id_col,
+                                       threshold=threshold)
     return _verify_ngram_shuffle(cands, grams, id_col=id_col,
                                  threshold=threshold,
                                  num_partitions=num_partitions)

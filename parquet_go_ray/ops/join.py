@@ -175,7 +175,7 @@ def range_join_broadcast(ds, dim: pa.Table, *, value_col: str, lo_col: str,
 
 
 def hash_join(left, right, on: str, *, right_on: str | None = None,
-              how: str = "inner", num_partitions: int = 64,
+              how: str = "inner", num_partitions: int | None = None,
               broadcast_bytes_cap: int = 256 << 20, method: str = "auto"):
     """General distributed equi-join of two Datasets.
 
@@ -188,20 +188,44 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
     ``method="broadcast"`` force a path.
 
     ``how``: "inner" or "left" (left outer). The broadcast path requires
-    unique build keys (dimension semantics); the shuffle path supports
-    duplicate keys on both sides (full multiplicity).
+    unique build keys (dimension semantics) — ``method="auto"`` checks the
+    gathered build side and falls through to the shuffle join when keys
+    repeat, so duplicate-key multiplicity is never silently dropped;
+    ``method="broadcast"`` forces first-match-per-key dimension semantics.
     """
+    import pyarrow.compute as pc
+    import ray
+
     right_on = right_on or on
     if method not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown method {method!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r} (inner or left)")
+    if num_partitions is None:
+        # Ray's hash-shuffle join schedules num_partitions aggregator
+        # actors; requesting more than the cluster's CPUs deadlocks a small
+        # cluster (reproduced at 64 partitions on 4 CPUs)
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(64, cpus))
     if isinstance(right, pa.Table):
         return broadcast_join(left, right, on, right_on=right_on, how=how)
     if method != "shuffle":
         right = right.materialize()
         if method == "broadcast" or right.size_bytes() <= broadcast_bytes_cap:
-            tbl = pa.concat_tables(
-                right.iter_batches(batch_format="pyarrow", batch_size=None))
-            return broadcast_join(left, tbl, on, right_on=right_on, how=how)
+            batches = list(right.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+            if batches:
+                tbl = pa.concat_tables(batches)
+            else:
+                sch = right.schema()
+                tbl = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+            unique_keys = (tbl.num_rows
+                           == pc.count_distinct(tbl.column(right_on)).as_py()
+                           if tbl.num_rows else True)
+            if method == "broadcast" or unique_keys:
+                return broadcast_join(left, tbl, on, right_on=right_on, how=how)
+            # duplicate build keys: only the shuffle join preserves
+            # multiplicity — fall through
     join_type = {"inner": "inner", "left": "left_outer"}[how]
     return left.join(right, join_type=join_type,
                      num_partitions=num_partitions,

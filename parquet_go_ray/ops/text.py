@@ -506,7 +506,7 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
 # --------------------------------------------------- data-mixture reweighting
 def stratified_sample(ds, rates: dict[str, float], *, key_col: str = "source",
                       id_col: str = "doc_id", salt: int = 0,
-                      default_rate: float = 1.0):
+                      default_rate: float = 1.0, basis_points: bool = False):
     """Deterministic per-stratum subsampling — the data-mixing / source-
     reweighting step of LLM corpus construction (keep 10% of crawl, 100% of
     books, ...). A document survives iff
@@ -518,9 +518,10 @@ def stratified_sample(ds, rates: dict[str, float], *, key_col: str = "source",
     The rate table is tiny and ships inside the closure; the filter is a
     stateless vectorized map_batches — no shuffle, no coordination."""
     def _thresh(r) -> int:
-        # ints are exact out-of-10000 thresholds (mix_sources passes these —
-        # a float roundtrip like 3333/10000*10000 would floor to 3332)
-        return int(r) if isinstance(r, (int, np.integer)) else int(r * 10_000)
+        # basis_points=True: values are exact out-of-10000 integers
+        # (mix_sources passes these — a float roundtrip like
+        # 3333/10000*10000 would floor to 3332). Default: fractional rates.
+        return int(r) if basis_points else int(r * 10_000)
 
     items = sorted(rates.items())
     keys = pa.array([k for k, _ in items], type=pa.string())
@@ -642,7 +643,7 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
         j_of = np.repeat(np.arange(len(usid), dtype=np.int64), ndocs)
         tgt_start = j_of * seq_len + (cum[:-1] - cum[first][j_of])
         out_vals = np.full(len(usid) * seq_len, pad_id,
-                           dtype=flat.dtype if flat.size else np.int32)
+                           dtype=flat.dtype)
         out_vals[ragged_gather_indices(tgt_start, fl_o)] = gathered
         offs = np.arange(len(usid) + 1, dtype=np.int64) * seq_len
         return pa.table({
@@ -685,8 +686,10 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
         # seq_len) tokens, not the corpus. (Pass-2 batches are whole pinned
         # blocks = contiguous doc runs, so the batch token range is one
         # interval.)
-        dtype = flat.dtype if flat.size else np.int32
-        list_t = pa.list_(pa.from_numpy_dtype(dtype))
+        # np.asarray of an empty arrow flatten() preserves the value dtype,
+        # so no int32 fallback: one all-empty-docs block must not type its
+        # tokens list<int32> while every other block says list<int64>
+        list_t = pa.list_(pa.from_numpy_dtype(flat.dtype))
         if len(lens):
             batch_lo = int(tok_start[0])
             batch_hi = int(tok_start[-1] + lens[-1])
@@ -832,23 +835,32 @@ def mix_sources(ds, weights: dict[str, int], *, key_col: str = "source",
     no shuffle anywhere. Returns ``(filtered_ds, thresholds)`` where
     thresholds maps source -> kept basis points (of 10000).
     """
+    def batch_counts(t: pa.Table) -> pa.Table:
+        vc = t.column(key_col).combine_chunks().value_counts()
+        return pa.table({key_col: vc.field("values"),
+                         "__c": vc.field("counts").cast(pa.int64())})
+
     counts: dict[str, int] = {}
     src_counts = ds.select_columns([key_col]).map_batches(
-        lambda t: pa.table({
-            key_col: t.column(key_col).combine_chunks().value_counts().field("values"),
-            "__c": t.column(key_col).combine_chunks().value_counts().field("counts").cast(pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
+        batch_counts, batch_format="pyarrow", zero_copy_batch=True)
     for b in src_counts.iter_batches(batch_format="pyarrow", batch_size=None):
         for s, c in zip(b.column(key_col).to_pylist(), b.column("__c").to_pylist()):
             counts[s] = counts.get(s, 0) + c
     W = sum(w for w in weights.values() if w > 0)
-    present = {s: c for s, c in counts.items() if weights.get(s, 0) > 0}
-    if not present or W <= 0:
+    if W <= 0:
         empty = ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
         return empty, {}
+    missing = [s for s, w in weights.items() if w > 0 and counts.get(s, 0) == 0]
+    if missing:
+        # a positively-weighted source with no rows makes the requested
+        # mixture infeasible — keeping the others at full rate would
+        # SILENTLY violate the exact-weights contract
+        raise ValueError(f"mix_sources: weighted sources absent from the "
+                         f"corpus: {sorted(missing)}")
+    present = {s: counts[s] for s, w in weights.items() if w > 0}
     T = min(c * W // weights[s] for s, c in present.items())
     thresholds = {s: min(10_000, T * weights[s] * 10_000 // (W * c))
                   for s, c in present.items()}
     out = stratified_sample(ds, thresholds, key_col=key_col, id_col=id_col,
-                            salt=salt, default_rate=0)
+                            salt=salt, default_rate=0, basis_points=True)
     return out, thresholds

@@ -444,3 +444,48 @@ def test_hash_join_left_outer(ray_session):
     out = out.sort_values("k")
     assert out.k.tolist() == [1, 2, 3, 4]
     assert out.rv.fillna(-1).tolist() == [-1, 20, -1, 40]
+
+
+def test_hash_join_auto_duplicate_keys_keeps_multiplicity(ray_session):
+    """A small-but-duplicate-keyed build side must NOT silently lose rows to
+    the broadcast first-match path (review r4): auto falls to shuffle."""
+    from parquet_go_ray.ops.join import hash_join
+
+    left = pd.DataFrame({"k": np.array([1, 1, 2], dtype=np.int64),
+                         "lv": np.arange(3, dtype=np.int64)})
+    right = pd.DataFrame({"k2": np.array([1, 1, 2], dtype=np.int64),
+                          "rv": np.array([10, 11, 20], dtype=np.int64)})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", right_on="k2").to_pandas()
+    assert len(out) == 5  # k=1: 2x2, k=2: 1x1
+    assert sorted(out[out.k == 1].rv.tolist()) == [10, 10, 11, 11]
+
+
+def test_hash_join_empty_right_and_bad_how(ray_session):
+    from parquet_go_ray.ops.join import hash_join
+
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "lv": np.array([5, 6], dtype=np.int64)})
+    empty = rd.from_pandas(pd.DataFrame(
+        {"k2": pd.Series(dtype="int64"), "rv": pd.Series(dtype="int64")}))
+    out = hash_join(rd.from_pandas(left), empty, on="k",
+                    right_on="k2").to_pandas()
+    assert len(out) == 0
+    lo = hash_join(rd.from_pandas(left), empty, on="k", right_on="k2",
+                   how="left").to_pandas()
+    assert sorted(lo.k.tolist()) == [1, 2] and lo.rv.isna().all()
+    with pytest.raises(ValueError, match="unknown how"):
+        hash_join(rd.from_pandas(left), empty, on="k", how="right")
+
+
+def test_mix_sources_infeasible_and_int_rate_semantics(ray_session):
+    from parquet_go_ray.ops.text import mix_sources, stratified_sample
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "source": np.repeat(["a", "b"], 50)}))
+    with pytest.raises(ValueError, match="absent from the corpus"):
+        mix_sources(ds, {"a": 1, "nope": 1})
+    # int rate 1 without basis_points still means keep-all (pre-r4 contract)
+    out = stratified_sample(ds, {"a": 1}, default_rate=1).to_pandas()
+    assert len(out) == 100

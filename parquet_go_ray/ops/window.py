@@ -51,47 +51,82 @@ def tumbling_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: 
     return out
 
 
-def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_us: int = 600_000_000):
+def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_us: int = 600_000_000,
+                    num_buckets: int | None = None):
     """Sessionization: per key, events sorted by time split where the gap to
     the previous event exceeds ``gap_us``. Returns one row per session:
     (key, session_id, n_events, start_us, end_us) with session_id = the
     0-based session index per key.
 
-    Shuffle pattern: one groupby on ``key``; the per-group body is vectorized
-    pandas (sort + diff + cumsum), the streaming-shaped map_groups idiom from
-    the Ray guide. Session ids are deterministic (time order within key).
-    """
+    Shuffle pattern: ONE groupby on a hash BUCKET of the key (not the key
+    itself), so the per-group body runs once per bucket — a few per CPU —
+    never once per key. Inside a bucket everything is vectorized across all
+    its keys at once: one (key, ts) sort, one diff for gap breaks, one
+    cumsum chain for per-key session numbering, one flatnonzero gather for
+    the per-session aggregates. At web scale (hundreds of millions of keys)
+    a per-key ``map_groups`` pays a Python call + pandas frame per key; the
+    bucket shape pays B ≈ 4×CPU calls total at the identical shuffle cost.
+    A bucket must fit in a task's heap (rows/B × ~16 B); scale
+    ``num_buckets`` with the event count, not the key count. Skew bound:
+    one bucket holds every event of its keys — same bound as any
+    key-partitioned sessionizer; a single pathological key dominates its
+    bucket either way. Session ids are deterministic (time order within
+    key; ties in ts don't affect session aggregates)."""
     import pandas as pd
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("__us", kind="stable")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "__us"], kind="stable")
+        k = g[key].to_numpy()
         us = g["__us"].to_numpy()
-        new_session = np.zeros(len(g), dtype=np.int64)
-        if len(us) > 1:
-            new_session[1:] = (np.diff(us) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_session)
-        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "__us": us})
-        agg = out.groupby("session_id", sort=True).agg(
-            n_events=("__us", "size"), start_us=("__us", "min"), end_us=("__us", "max")
-        ).reset_index()
-        agg[key] = g[key].iloc[0]
-        return agg[[key, "session_id", "n_events", "start_us", "end_us"]]
+        n = len(g)
+        if n == 0:  # schema-inference probe blocks
+            return pd.DataFrame({key: k, "session_id": us, "n_events": us,
+                                 "start_us": us, "end_us": us})
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = k[1:] != k[:-1]
+        new_sess = key_change.copy()
+        new_sess[1:] |= (us[1:] - us[:-1]) > gap_us
+        sess_idx = np.cumsum(new_sess) - 1          # session ordinal within bucket
+        key_ord = np.cumsum(key_change) - 1         # key ordinal within bucket
+        session_id = sess_idx - sess_idx[key_change][key_ord]  # 0-based per key
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], n]
+        return pd.DataFrame({
+            key: k[starts],
+            "session_id": session_id[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "start_us": us[starts],
+            "end_us": us[ends - 1],
+        })
 
     def add_us(batch: pa.Table) -> pa.Table:
+        from ..pipelines.encode import _stable_hash
+
         ts = batch.column(ts_col)
         if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
             ts = ts.cast(pa.timestamp("us"))
+        bucket = _stable_hash(batch.column(key)) % np.int64(nb)
         return pa.table(
             {
                 key: batch.column(key),
                 "__us": pc.cast(ts, pa.int64()),
+                "__bucket": pa.array(bucket),
             }
         )
 
+    if num_buckets is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        nb = max(32, 4 * ncpu)
+    else:
+        nb = max(1, int(num_buckets))
+
     return (
         ds.map_batches(add_us, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 

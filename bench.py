@@ -122,9 +122,16 @@ def bench_parquet_baseline(rows: int) -> dict:
     src_dir = _token_cache_dir(rows)
     table = pads.dataset(src_dir).to_table()
     path = os.path.join(CACHE, f"baseline-{rows}.parquet")
-    t0 = time.perf_counter()
-    pq.write_table(table, path, compression="snappy", use_dictionary=True)
-    sec = time.perf_counter() - t0
+    # min-of-N, same protocol as the headline encode (which takes min across
+    # two windows) — numerator and denominator of the speedup ratio must
+    # share the measurement protocol, else warm-cache asymmetry biases it
+    sec = None
+    for _ in range(int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))):
+        t0 = time.perf_counter()
+        pq.write_table(table, path, compression="snappy",
+                       use_dictionary=True)
+        run = time.perf_counter() - t0
+        sec = run if sec is None else min(sec, run)
     size = os.path.getsize(path)
     return {"sec": sec, "bytes": size, "nbytes_in": table.nbytes}
 
@@ -349,13 +356,15 @@ def bench_ops(sf_dir: str) -> dict:
 
     # Multi-table LSH near-dup pairs on the same near-copy vector corpus:
     # canonical-band emission (each pair surfaces exactly once, from its
-    # first colliding table) — one shuffle, no driver-side dedup.
+    # first colliding table) — one shuffle, no driver-side dedup. Consumed
+    # with .count(): the pairs Dataset streams; driver RSS stays flat
+    # regardless of pair count (the r4 terminal .to_pandas() is gone).
     from parquet_go_ray.ops.dedup import embedding_neardup_lsh
 
     t0 = time.perf_counter()
-    lsh_pairs = embedding_neardup_lsh(heavy_vecs, tau=0.99)
+    n_lsh_pairs = embedding_neardup_lsh(heavy_vecs, tau=0.99).count()
     res["embedding_lsh_40k"] = time.perf_counter() - t0
-    res["_meta"]["lsh_pairs"] = len(lsh_pairs)
+    res["_meta"]["lsh_pairs"] = n_lsh_pairs
     return res
 
 
@@ -393,6 +402,11 @@ def run_bench() -> dict:
                                        queries["encode_tokens_window2"])
         queries["decode_tokens"] = round(min(
             queries["decode_tokens"], bench_decode_tokens(enc2["out_dir"])), 3)
+        # baseline gets the identical second-window treatment (min across
+        # both placements) so the speedup ratio is window-symmetric
+        base2 = bench_parquet_baseline(rows)
+        base["sec"] = min(base["sec"], base2["sec"])
+        queries["baseline_parquet_write"] = round(base["sec"], 3)
 
     gb_in = enc["bytes_in"] / 1e9
     result = {

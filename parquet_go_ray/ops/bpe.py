@@ -181,7 +181,10 @@ class BpeEncoder:
 
         from ..functions.segments import ragged_gather_indices, segment_positions
 
-        col = t.column(self.text_col).combine_chunks()
+        # explicit null contract: null text == empty text (zero tokens);
+        # without the fill the alignment below rests on utf8_split_whitespace
+        # happening to emit zero-extent offsets for null slots
+        col = pc.fill_null(t.column(self.text_col).combine_chunks(), "")
         split = pc.utf8_split_whitespace(col)
         if isinstance(split, pa.ChunkedArray):
             split = split.combine_chunks()
@@ -263,6 +266,7 @@ def whitespace_normalize(col) -> pa.Array:
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    col = pc.fill_null(col, "")  # null text normalizes to "" (zero tokens)
     split = pc.utf8_split_whitespace(col)
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()

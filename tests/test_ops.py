@@ -335,7 +335,7 @@ def test_embedding_neardup_lsh_emits_each_pair_once(ray_session):
             pa.array(vecs.reshape(-1)), d).cast(pa.list_(pa.float32())),
     })
     got = embedding_neardup_lsh(rd.from_arrow(tbl).repartition(4),
-                                tau=0.99, bits=6, tables=8)
+                                tau=0.99, bits=6, tables=8).to_pandas()
     assert not got.duplicated(["vec_a", "vec_b"]).any()
     found = set(map(tuple, got[["vec_a", "vec_b"]].to_numpy()))
     assert {(i, n + i) for i in range(30)} <= found
@@ -557,7 +557,7 @@ def test_embedding_neardup_lsh_recall(ray_session):
     ds = rd.from_arrow(tbl).repartition(5)
     tau = 0.9
     exact = embedding_neardup_pairs(ds, tau=tau, method="exact")
-    got = embedding_neardup_lsh(ds, tau=tau)
+    got = embedding_neardup_lsh(ds, tau=tau).to_pandas()
     exact_set = set(map(tuple, exact[["vec_a", "vec_b"]].to_numpy()))
     got_set = set(map(tuple, got[["vec_a", "vec_b"]].to_numpy()))
     assert len(exact_set) >= 50, "test fixture should plant enough true pairs"

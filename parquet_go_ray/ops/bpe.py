@@ -39,10 +39,20 @@ _SPACE_ID = 32
 class BpeModel:
     """A trained byte-level BPE tokenizer: 256 byte symbols + one new symbol
     per merge. ``merges[k] = (left, right, new_id=256+k)`` in rank order;
-    ``token_bytes[i]`` is symbol i's byte string."""
+    ``token_bytes[i]`` is symbol i's byte string.
+
+    ``cache_*`` (optional) is the trained word-type table's final
+    tokenization, exported for free by the incremental trainer: encode
+    becomes an exact-match lookup for every word seen in training (the Zipf
+    bulk of any corpus) and runs the merge loop only for OOV words. The
+    cache is an EXACT word match (pyarrow ``index_in``), never a hash —
+    a hash collision would silently tokenize the wrong word."""
 
     merges: np.ndarray  # (M, 3) int32
     token_bytes: list[bytes] = field(repr=False)
+    cache_words: pa.Array | None = field(default=None, repr=False)
+    cache_ids: np.ndarray | None = field(default=None, repr=False)  # flat i32
+    cache_offs: np.ndarray | None = field(default=None, repr=False)  # i64 n+1
 
     @property
     def vocab_size(self) -> int:
@@ -95,11 +105,198 @@ def _words_to_symbols(words: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return sym, word
 
 
+def _merge_loop_rescan(sym: np.ndarray, word: np.ndarray, wcount: np.ndarray,
+                       num_merges: int) -> np.ndarray:
+    """The O(stream) per-merge reference loop (full pair recount + full
+    merge sweep each iteration). Kept as the SEMANTICS REFERENCE: the
+    incremental trainer below must produce identical merges — pinned in
+    tests/test_bpe.py. Use only for small vocabularies."""
+    merges = np.empty((num_merges, 3), dtype=np.int32)
+    n_done = 0
+    for _ in range(num_merges):
+        if len(sym) < 2:
+            break
+        adj = word[:-1] == word[1:]
+        keys = (sym[:-1].astype(np.int64) << 32) | sym[1:].astype(np.int64)
+        keys = keys[adj]
+        if not len(keys):
+            break
+        w = wcount[word[:-1][adj]]
+        uk, inv = np.unique(keys, return_inverse=True)
+        totals = np.bincount(inv, weights=w.astype(np.float64))
+        best = int(np.argmax(totals))  # ties: first occurrence = smallest key
+        if totals[best] < 2:
+            break  # nothing repeats; further merges are noise
+        left = int(uk[best] >> 32)
+        right = int(uk[best] & 0xFFFFFFFF)
+        new_id = 256 + n_done
+        merges[n_done] = (left, right, new_id)
+        sym, word = _merge_pass(sym, word, left, right, new_id)
+        n_done += 1
+    return merges[:n_done]
+
+
+def _agg_deltas(keys: np.ndarray, weights: np.ndarray):
+    """Group (key, weight) deltas by key: (unique keys, summed weights)."""
+    o = np.argsort(keys, kind="stable")
+    k, w = keys[o], weights[o]
+    b = np.empty(len(k), dtype=bool)
+    b[0] = True
+    np.not_equal(k[1:], k[:-1], out=b[1:])
+    firsts = np.flatnonzero(b)
+    return k[firsts], np.add.reduceat(w, firsts)
+
+
+def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
+                            wcount: np.ndarray, num_merges: int):
+    """Incremental BPE trainer: O(stream + merge events), not
+    O(merges x stream) like the rescan reference.
+
+    The symbol stream is a doubly-linked list over a fixed cell array
+    (``nxt``/``prv``; -1 marks word boundaries, so merges can never cross
+    words and no word-equality check is needed after init). Exact weighted
+    pair counts live in a dict updated by vectorized deltas around each
+    merge site; the best pair comes from a lazy max-heap keyed
+    ``(-count, pair)`` — identical tie-breaking to the reference's argmax
+    over sorted unique keys (smallest pair key wins among equal counts),
+    and counts stay exact integers so the orders agree everywhere. A
+    pair -> candidate-positions index is validated lazily at selection
+    time (a cell's pair key can never repeat — new pairs always contain a
+    strictly newer symbol id — so stale entries are simply skipped).
+
+    Returns (merges (M,3) int32, final flat symbol stream int32, per-word
+    token lengths int64) — the final stream IS every trained word type's
+    tokenization, exported as the encode cache."""
+    import heapq
+
+    n = len(sym)
+    merges = np.empty((num_merges, 3), dtype=np.int32)
+    if n == 0 or num_merges == 0:
+        lens = np.bincount(word, minlength=wcount.shape[0]).astype(np.int64) \
+            if n else np.zeros(wcount.shape[0], dtype=np.int64)
+        return merges[:0], sym.astype(np.int32), lens
+    sym = sym.astype(np.int64).copy()
+    nxt = np.arange(1, n + 1, dtype=np.int64)
+    nxt[-1] = -1
+    prv = np.arange(-1, n - 1, dtype=np.int64)
+    brk = word[1:] != word[:-1]
+    nxt[:-1][brk] = -1
+    prv[1:][brk] = -1
+    alive = np.ones(n, dtype=bool)
+    wpos = wcount[word].astype(np.int64)  # pair weight = weight of its word
+
+    p0 = np.flatnonzero(nxt != -1)
+    k0 = (sym[p0] << 32) | sym[p0 + 1]
+    uk, tot = _agg_deltas(k0, wpos[p0])
+    counts: dict[int, int] = dict(zip(uk.tolist(), tot.tolist()))
+    # index: pair key -> list of candidate position arrays (lazily validated)
+    o = np.argsort(k0, kind="stable")
+    ks, ps = k0[o], p0[o]
+    bounds = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    splits = np.split(ps, bounds[1:])
+    index: dict[int, list] = {int(k): [arr] for k, arr in
+                              zip(ks[bounds], splits)}
+    heap = [(-c, k) for k, c in counts.items()]
+    heapq.heapify(heap)
+
+    n_done = 0
+    while n_done < num_merges and heap:
+        negc, key = heapq.heappop(heap)
+        c = counts.get(key, 0)
+        if c != -negc:
+            continue  # stale entry; the fresh one is elsewhere in the heap
+        if c < 2:
+            break  # nothing repeats; further merges are noise
+        left, right = key >> 32, key & 0xFFFFFFFF
+        plist = index.pop(key, None)
+        P = np.unique(np.concatenate(plist)) if plist else \
+            np.empty(0, np.int64)
+        # validate candidates against the CURRENT stream
+        P = P[alive[P] & (sym[P] == left)]
+        r = nxt[P]
+        m = r != -1
+        P, r = P[m], r[m]
+        m = sym[r] == right
+        P, r = P[m], r[m]
+        if not len(P):  # can't happen while counts are exact; hard guard
+            counts.pop(key, None)
+            continue
+        if left == right and len(P) > 1:
+            # overlapping runs ('aaaa'): keep alternate sites left-to-right,
+            # same parity rule as _merge_pass
+            Pset = set(P.tolist())
+            skip, sel = set(), []
+            for p in P.tolist():  # P is sorted (np.unique)
+                if p in skip:
+                    continue
+                sel.append(p)
+                q = int(nxt[p])
+                if q in Pset:
+                    skip.add(q)
+            P = np.asarray(sel, dtype=np.int64)
+            r = nxt[P]
+        # --- deltas for neighbor pairs destroyed by this merge (pre-mutate)
+        l = prv[P]
+        lm = l != -1
+        r2 = nxt[r]
+        r2m = r2 != -1
+        rm_pos = np.unique(np.concatenate((l[lm], r[r2m])))
+        rm_keys = (sym[rm_pos] << 32) | sym[nxt[rm_pos]]
+        keep = rm_keys != key  # the merged pair itself is zeroed wholesale
+        rm_pos, rm_keys = rm_pos[keep], rm_keys[keep]
+        new_id = 256 + n_done
+        merges[n_done] = (left, right, new_id)
+        n_done += 1
+        counts.pop(key, None)  # every valid occurrence is consumed
+        if len(rm_pos):
+            dk, dw = _agg_deltas(rm_keys, wpos[rm_pos])
+            for kk, ww in zip(dk.tolist(), dw.tolist()):
+                cc = counts.get(kk, 0) - ww
+                if cc <= 0:
+                    counts.pop(kk, None)
+                else:
+                    counts[kk] = cc
+                    heapq.heappush(heap, (-cc, kk))
+        # --- mutate: left cell becomes new_id, right cell dies, relink
+        sym[P] = new_id
+        alive[r] = False
+        nxt[P] = r2
+        tgt = r2[r2m]
+        prv[tgt] = P[r2m]
+        # --- deltas for pairs created around the merged cells (post-mutate)
+        add_pos = np.concatenate((l[lm], P[nxt[P] != -1]))
+        add_pos = np.unique(add_pos)
+        add_pos = add_pos[alive[add_pos]]  # chain middles died above
+        if len(add_pos):
+            ak = (sym[add_pos] << 32) | sym[nxt[add_pos]]
+            dk, dw = _agg_deltas(ak, wpos[add_pos])
+            for kk, ww in zip(dk.tolist(), dw.tolist()):
+                cc = counts.get(kk, 0) + ww
+                counts[kk] = cc
+                heapq.heappush(heap, (-cc, kk))
+            o = np.argsort(ak, kind="stable")
+            aks, aps = ak[o], add_pos[o]
+            b = np.flatnonzero(np.concatenate(([True], aks[1:] != aks[:-1])))
+            for kk, arr in zip(aks[b].tolist(), np.split(aps, b[1:])):
+                index.setdefault(kk, []).append(arr)
+
+    final = sym[alive].astype(np.int32)
+    lens = np.bincount(word[alive], minlength=wcount.shape[0]).astype(np.int64)
+    return merges[:n_done], final, lens
+
+
 def train_bpe(ds, *, num_merges: int = 200, text_col: str = "text",
-              min_count: int = 1, max_word_types: int = 1_000_000) -> BpeModel:
+              min_count: int = 1, max_word_types: int = 1_000_000,
+              cache_words: bool = True) -> BpeModel:
     """Train byte-level BPE on a Dataset's ``text_col``. One distributed
     word-count shuffle; the merge loop is driver-side over the word-TYPE
-    table (each unique word weighted by its corpus count)."""
+    table (each unique word weighted by its corpus count), incremental —
+    O(stream + merge events), so 32k-merge vocabularies train in seconds
+    where the per-merge rescan loop would take hours.
+
+    ``cache_words=True`` (default) attaches the trained types' final
+    tokenization to the model: ``apply_bpe`` then encodes known words by
+    exact lookup and runs merges only for OOV words."""
     from .text import build_vocab
 
     vocab = build_vocab(ds, text_col, min_count=min_count)
@@ -120,47 +317,98 @@ def train_bpe(ds, *, num_merges: int = 200, text_col: str = "text",
         cnt = cnt[order]
     words = words_arr.to_pylist()
     sym, word = _words_to_symbols(words)
-    wcount = cnt  # weight of each word type
 
-    merges = np.empty((num_merges, 3), dtype=np.int32)
+    merges, final_sym, final_lens = _merge_loop_incremental(
+        sym, word, cnt, num_merges)
     token_bytes = [bytes([i]) for i in range(256)]
-    n_done = 0
-    for k in range(num_merges):
-        if len(sym) < 2:
-            break
+    for left, right, _ in merges:
+        token_bytes.append(token_bytes[int(left)] + token_bytes[int(right)])
+    model = BpeModel(merges=merges, token_bytes=token_bytes)
+    if cache_words and len(words):
+        offs = np.zeros(len(words) + 1, dtype=np.int64)
+        np.cumsum(final_lens, out=offs[1:])
+        model.cache_words = words_arr
+        model.cache_ids = final_sym
+        model.cache_offs = offs
+    return model
+
+
+def _merge_passes_rank_driven(sym: np.ndarray, word: np.ndarray,
+                              merges: np.ndarray
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """Apply merges to a symbol stream by repeatedly finding the LOWEST
+    applicable rank and applying it exhaustively. Equivalent to one pass per
+    rank in rank order (a merge only ever creates pairs containing its new,
+    strictly-higher id, so no lower-rank pair can appear later), but skips
+    the ranks absent from the stream — iterations are bounded by the number
+    of DISTINCT ranks actually used, not the vocabulary size."""
+    if not len(merges) or len(sym) < 2:
+        return sym, word
+    mkeys = (merges[:, 0].astype(np.int64) << 32) | merges[:, 1].astype(np.int64)
+    korder = np.argsort(mkeys, kind="stable")
+    mk_sorted = mkeys[korder]
+    while len(sym) >= 2:
         adj = word[:-1] == word[1:]
-        keys = (sym[:-1].astype(np.int64) << 32) | sym[1:].astype(np.int64)
-        keys = keys[adj]
+        keys = ((sym[:-1].astype(np.int64) << 32) | sym[1:].astype(np.int64))[adj]
         if not len(keys):
             break
-        w = wcount[word[:-1][adj]]
-        uk, inv = np.unique(keys, return_inverse=True)
-        totals = np.bincount(inv, weights=w.astype(np.float64))
-        best = int(np.argmax(totals))  # ties: first occurrence = smallest key
-        if totals[best] < 2:
-            break  # nothing repeats; further merges are noise
-        left = int(uk[best] >> 32)
-        right = int(uk[best] & 0xFFFFFFFF)
-        new_id = 256 + n_done
-        merges[n_done] = (left, right, new_id)
-        token_bytes.append(token_bytes[left] + token_bytes[right])
+        uk = np.unique(keys)
+        pos = np.searchsorted(mk_sorted, uk)
+        pos_c = np.minimum(pos, len(mk_sorted) - 1)
+        hit = mk_sorted[pos_c] == uk
+        if not hit.any():
+            break
+        rank = int(korder[pos_c[hit]].min())
+        left, right, new_id = (int(x) for x in merges[rank])
         sym, word = _merge_pass(sym, word, left, right, new_id)
-        n_done += 1
-    return BpeModel(merges=merges[:n_done], token_bytes=token_bytes)
+    return sym, word
 
 
-def _encode_unique_words(words: list[bytes], merges: np.ndarray
+def _encode_unique_words(words: list[bytes], model: BpeModel
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Encode a unique-word list: returns (flat ids int32, per-word lengths
-    int64). One vectorized merge pass per merge rank over the whole flat
-    stream — applying merges exhaustively in rank order is the original
-    Sennrich encode."""
-    sym, word = _words_to_symbols(words)
-    for left, right, new_id in merges:
-        sym, word = _merge_pass(sym, word, int(left), int(right), int(new_id))
-    lens = np.bincount(word, minlength=len(words)).astype(np.int64) \
-        if len(word) else np.zeros(len(words), dtype=np.int64)
-    return sym, lens
+    int64). Words present in the model's training cache (the common case —
+    the Zipf bulk of any same-distribution corpus) are an exact-match
+    lookup; only OOV words run the rank-driven merge loop."""
+    import pyarrow.compute as pc
+
+    n = len(words)
+    if model.cache_words is not None and n:
+        warr = pa.array(words, pa.binary())
+        idx = pc.index_in(warr, value_set=model.cache_words)
+        idx_np = np.asarray(idx.fill_null(-1), dtype=np.int64)
+        known = idx_np >= 0
+        lens = np.zeros(n, dtype=np.int64)
+        ki = idx_np[known]
+        co, ci = model.cache_offs, model.cache_ids
+        lens[known] = co[ki + 1] - co[ki]
+        oov_words = [w for w, k in zip(words, known) if not k] \
+            if not known.all() else []
+        if oov_words:
+            osym, oword = _merge_passes_rank_driven(
+                *_words_to_symbols(oov_words), model.merges)
+            olens = np.bincount(oword, minlength=len(oov_words)) \
+                .astype(np.int64) if len(oword) else \
+                np.zeros(len(oov_words), dtype=np.int64)
+            lens[~known] = olens
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        out = np.empty(int(offs[-1]), dtype=np.int32)
+        from ..functions.segments import ragged_gather_indices
+        if known.any():
+            out[ragged_gather_indices(offs[:-1][known], lens[known])] = \
+                ci[ragged_gather_indices(co[ki], lens[known])]
+        if oov_words:
+            ooffs = np.zeros(len(oov_words) + 1, dtype=np.int64)
+            np.cumsum(olens, out=ooffs[1:])
+            out[ragged_gather_indices(offs[:-1][~known], lens[~known])] = \
+                osym[ragged_gather_indices(ooffs[:-1], olens)]
+        return out, lens
+    sym, word = _merge_passes_rank_driven(*_words_to_symbols(words),
+                                          model.merges)
+    lens = np.bincount(word, minlength=n).astype(np.int64) \
+        if len(word) else np.zeros(n, dtype=np.int64)
+    return sym.astype(np.int32), lens
 
 
 class BpeEncoder:
@@ -204,7 +452,7 @@ class BpeEncoder:
         uniq = dic.dictionary.to_pylist()
         codes = np.asarray(dic.indices, dtype=np.int64) if len(words) else \
             np.empty(0, np.int64)
-        usym, ulens = _encode_unique_words(uniq, self.model.merges)
+        usym, ulens = _encode_unique_words(uniq, self.model)
         uoffs = np.zeros(len(uniq) + 1, dtype=np.int64)
         np.cumsum(ulens, out=uoffs[1:])
         # gather each occurrence's ids; +1 slot per word for the joining

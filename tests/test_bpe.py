@@ -85,3 +85,68 @@ def test_bpe_unicode(ray_session):
                                                       batch_size=None)])
     t = bpe.decode_bpe_column(t, model=model)
     assert t.column("text_rt").to_pylist() == texts
+
+
+def test_incremental_trainer_matches_rescan_reference():
+    """The incremental (linked-list + delta-count + lazy-heap) merge loop
+    must produce IDENTICAL merges to the O(merges x stream) rescan
+    reference, including tie-breaks and the <2 stop rule — over corpora
+    with repeated-symbol runs, skewed weights, and many word types."""
+    rng = np.random.default_rng(42)
+    cases = []
+    # random word corpora over a small byte alphabet (forces heavy merging)
+    for trial in range(4):
+        n_types = int(rng.integers(50, 400))
+        words = [bytes(rng.integers(97, 97 + int(rng.integers(2, 7)),
+                                    size=int(rng.integers(1, 14))).tolist())
+                 for _ in range(n_types)]
+        counts = rng.integers(1, 50, size=n_types).astype(np.int64)
+        cases.append((words, counts, int(rng.integers(20, 300))))
+    # pathological runs: overlap parity + left==right merges all the way up
+    cases.append(([b"aaaa", b"aaa", b"aaaaaaa", b"ab", b"ba"],
+                  np.array([5, 3, 2, 9, 9], dtype=np.int64), 12))
+    # empty / single-byte words
+    cases.append(([b"x", b"y", b"xy", b"yx"],
+                  np.array([4, 4, 3, 3], dtype=np.int64), 10))
+    for words, counts, n_merges in cases:
+        sym, word = bpe._words_to_symbols(words)
+        ref = bpe._merge_loop_rescan(sym.copy(), word.copy(), counts,
+                                     n_merges)
+        got, final, lens = bpe._merge_loop_incremental(
+            sym.copy(), word.copy(), counts, n_merges)
+        np.testing.assert_array_equal(got, ref)
+        # the exported final stream must equal re-encoding every word with
+        # the merges (the cache contract)
+        esym, eword = bpe._merge_passes_rank_driven(sym.copy(), word.copy(),
+                                                    got)
+        np.testing.assert_array_equal(final, esym.astype(np.int32))
+        np.testing.assert_array_equal(
+            lens, np.bincount(eword, minlength=len(words)))
+
+
+def test_encode_cache_and_oov_agree():
+    """Cached-word lookup and the OOV merge loop must tokenize identically;
+    OOV words (absent from training) must still roundtrip."""
+    words = [b"low", b"lower", b"newest", b"widest", b"aaaa"]
+    counts = np.array([5, 2, 6, 3, 4], dtype=np.int64)
+    sym, word = bpe._words_to_symbols(words)
+    merges, final, lens = bpe._merge_loop_incremental(sym, word, counts, 30)
+    token_bytes = [bytes([i]) for i in range(256)]
+    for l, r, _ in merges:
+        token_bytes.append(token_bytes[int(l)] + token_bytes[int(r)])
+    offs = np.zeros(len(words) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    cached = bpe.BpeModel(merges=merges, token_bytes=token_bytes,
+                          cache_words=pa.array(words, pa.binary()),
+                          cache_ids=final, cache_offs=offs)
+    plain = bpe.BpeModel(merges=merges, token_bytes=token_bytes)
+    queries = [b"lowest", b"low", b"aaaa", b"aaaaaa", b"zzz", b"newest"]
+    s1, l1 = bpe._encode_unique_words(queries, cached)
+    s2, l2 = bpe._encode_unique_words(queries, plain)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(l1, l2)
+    # every encoding decodes back to the original bytes
+    o = np.zeros(len(queries) + 1, dtype=np.int64)
+    np.cumsum(l1, out=o[1:])
+    for i, q in enumerate(queries):
+        assert cached.decode(s1[o[i]:o[i + 1]]) == q

@@ -138,6 +138,8 @@ def _merge_loop_rescan(sym: np.ndarray, word: np.ndarray, wcount: np.ndarray,
 
 def _agg_deltas(keys: np.ndarray, weights: np.ndarray):
     """Group (key, weight) deltas by key: (unique keys, summed weights)."""
+    if not len(keys):
+        return keys, weights.astype(np.int64)
     o = np.argsort(keys, kind="stable")
     k, w = keys[o], weights[o]
     b = np.empty(len(k), dtype=bool)
@@ -186,6 +188,9 @@ def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
     wpos = wcount[word].astype(np.int64)  # pair weight = weight of its word
 
     p0 = np.flatnonzero(nxt != -1)
+    if not len(p0):  # no adjacent pair anywhere (all words single-symbol)
+        return (merges[:0], sym.astype(np.int32),
+                np.bincount(word, minlength=wcount.shape[0]).astype(np.int64))
     k0 = (sym[p0] << 32) | sym[p0 + 1]
     uk, tot = _agg_deltas(k0, wpos[p0])
     counts: dict[int, int] = dict(zip(uk.tolist(), tot.tolist()))

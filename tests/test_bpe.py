@@ -108,6 +108,10 @@ def test_incremental_trainer_matches_rescan_reference():
     # empty / single-byte words
     cases.append(([b"x", b"y", b"xy", b"yx"],
                   np.array([4, 4, 3, 3], dtype=np.int64), 10))
+    # ONLY single-byte words: zero adjacent pairs anywhere (the empty-deltas
+    # path that crashed _agg_deltas on an all-1-byte vocabulary)
+    cases.append(([b"a", b"b", b"c"],
+                  np.array([7, 5, 2], dtype=np.int64), 5))
     for words, counts, n_merges in cases:
         sym, word = bpe._words_to_symbols(words)
         ref = bpe._merge_loop_rescan(sym.copy(), word.copy(), counts,

@@ -137,6 +137,7 @@ def bench_parquet_baseline(rows: int) -> dict:
 
 
 def bench_ops(sf_dir: str) -> dict:
+    import ray
     import ray.data as rd
 
     from parquet_go_ray.ops.dedup import minhash_candidate_pairs
@@ -325,6 +326,49 @@ def bench_ops(sf_dir: str) -> dict:
     res["bpe_tokenize_100k"] = time.perf_counter() - t0
     res["_meta"]["bpe_vocab"] = model.vocab_size
     res["_meta"]["bpe_tokens"] = int(n_bpe or 0)
+
+    # BPE at a REAL vocabulary (VERDICT r4 #5): 32k merges with the word-TYPE
+    # table at the 1M cap. The doc corpus above has ~360 word types (merges
+    # exhaust at vocab 372), so synthesize a Zipf-rich corpus: 100k docs x
+    # 150 words drawn from a 2M-rank Zipf(1.05) via a splitmix64 hash of
+    # (doc_id, position) — deterministic and block-independent. ~1M distinct
+    # word types survive min_count, which is exactly the trainer's cap.
+    N_DOCS, WPD, ZVOCAB, ZS = 100_000, 150, 2_000_000, 1.05
+    zranks = np.arange(1, ZVOCAB + 1, dtype=np.float64)
+    zcdf = np.cumsum(zranks ** -ZS)
+    zcdf /= zcdf[-1]
+    zcdf_ref = ray.put(zcdf)
+
+    def gen_rich(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc3
+        ids = np.asarray(t.column("id"), dtype=np.uint64)
+        j = np.arange(WPD, dtype=np.uint64)
+        x = (ids[:, None] * np.uint64(0x9E3779B97F4A7C15)
+             + (j[None, :] + np.uint64(1)) * np.uint64(0xBF58476D1CE4E5B9)).copy()
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        u = x.astype(np.float64) / 2.0 ** 64
+        wid = np.searchsorted(np.asarray(ray.get(zcdf_ref)), u.ravel()) + 1
+        flat = pc3.binary_join_element_wise(
+            pa.array(["w"] * len(wid)),
+            pc3.cast(pa.array(wid.astype(np.int64)), pa.string()), "")
+        offs = pa.array(np.arange(0, len(wid) + 1, WPD, dtype=np.int32))
+        text = pc3.binary_join(pa.ListArray.from_arrays(offs, flat), " ")
+        return pa.table({"doc_id": t.column("id"), "text": text})
+
+    rich = rd.range(N_DOCS).map_batches(
+        gen_rich, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    t0 = time.perf_counter()
+    model32k = train_bpe(rich, num_merges=32768)
+    res["bpe_train_32k"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_bpe32 = apply_bpe(rich, model32k).sum("n_bpe")
+    res["bpe_tokenize_32k"] = time.perf_counter() - t0
+    res["_meta"]["bpe32k_vocab"] = model32k.vocab_size
+    res["_meta"]["bpe32k_word_types"] = (
+        0 if model32k.cache_words is None else len(model32k.cache_words))
+    res["_meta"]["bpe32k_tokens"] = int(n_bpe32 or 0)
 
     # SemDeDup over a 20x near-copy vector corpus (20 jittered copies per
     # embedding — same ~95%-duplication web profile as the heavy doc corpus).

@@ -198,9 +198,11 @@ def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
     o = np.argsort(k0, kind="stable")
     ks, ps = k0[o], p0[o]
     bounds = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
-    splits = np.split(ps, bounds[1:])
-    index: dict[int, list] = {int(k): [arr] for k, arr in
-                              zip(ks[bounds], splits)}
+    # manual slices, not np.split: array_split's per-segment overhead
+    # (swapaxes + wrapper calls) dominates the merge loop at 32k merges
+    bb = bounds.tolist() + [len(ps)]
+    index: dict[int, list] = {int(k): [ps[bb[i]:bb[i + 1]]] for i, k in
+                              enumerate(ks[bounds].tolist())}
     heap = [(-c, k) for k, c in counts.items()]
     heapq.heapify(heap)
 
@@ -282,8 +284,9 @@ def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
             o = np.argsort(ak, kind="stable")
             aks, aps = ak[o], add_pos[o]
             b = np.flatnonzero(np.concatenate(([True], aks[1:] != aks[:-1])))
-            for kk, arr in zip(aks[b].tolist(), np.split(aps, b[1:])):
-                index.setdefault(kk, []).append(arr)
+            bb2 = b.tolist() + [len(aps)]
+            for i, kk in enumerate(aks[b].tolist()):
+                index.setdefault(kk, []).append(aps[bb2[i]:bb2[i + 1]])
 
     final = sym[alive].astype(np.int32)
     lens = np.bincount(word[alive], minlength=wcount.shape[0]).astype(np.int64)

@@ -128,6 +128,37 @@ def test_incremental_trainer_matches_rescan_reference():
             lens, np.bincount(eword, minlength=len(words)))
 
 
+def test_incremental_trainer_rich_vocab():
+    """Digit-composed Zipf word types (the bpe_train_32k bench profile):
+    thousands of types, hundreds of merges, none exhausted — pins the
+    manual-slice index build against the rescan reference at a scale where
+    the per-merge index updates actually run many segments per merge."""
+    n_types = 5000
+    words = [("w" + str(r)).encode() for r in range(1, n_types + 1)]
+    counts = np.maximum((1e6 / np.arange(1, n_types + 1) ** 1.05), 1
+                        ).astype(np.int64)
+    sym, word = bpe._words_to_symbols(words)
+    ref = bpe._merge_loop_rescan(sym.copy(), word.copy(), counts, 500)
+    got, final, lens = bpe._merge_loop_incremental(
+        sym.copy(), word.copy(), counts, 500)
+    np.testing.assert_array_equal(got, ref)
+    assert len(got) == 500  # rich vocab: merges must not exhaust early
+    # cache contract: exported stream == rank-driven re-encode of every word
+    esym, eword = bpe._merge_passes_rank_driven(sym.copy(), word.copy(), got)
+    np.testing.assert_array_equal(final, esym.astype(np.int32))
+    np.testing.assert_array_equal(lens, np.bincount(eword,
+                                                    minlength=n_types))
+    # every word decodes back through the token byte table
+    token_bytes = [bytes([i]) for i in range(256)]
+    for l, r, _ in got:
+        token_bytes.append(token_bytes[int(l)] + token_bytes[int(r)])
+    offs = np.zeros(n_types + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    for i in (0, 1, 17, 4999):
+        assert b"".join(token_bytes[s] for s in
+                        final[offs[i]:offs[i + 1]]) == words[i]
+
+
 def test_encode_cache_and_oov_agree():
     """Cached-word lookup and the OOV merge loop must tokenize identically;
     OOV words (absent from training) must still roundtrip."""

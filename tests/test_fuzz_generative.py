@@ -1,0 +1,198 @@
+"""Generative (hypothesis) fuzzing over the decode parsers — the role of
+the reference's continuous go-fuzz loops (reader_fuzz.go:12,
+hybrid_fuzz.go:12, deltabp_fuzz.go:10, types_fuzz.go:10-170), on top of the
+frozen deterministic corpus in tests/test_fuzz.py.
+
+Two input families per parser:
+  * raw byte soup (hypothesis ``binary``), and
+  * MUTATED VALID encodings — truncate / bit-flip / splice / duplicate a
+    slice of a real encoding, which reaches far deeper parser states than
+    uniform noise ever does.
+
+The contract under fuzz is the same as the frozen corpus: a clean parse
+error (ValueError & friends) or a well-formed-but-wrong value is fine;
+MemoryError, SystemError, segfaults, hangs and unbounded allocation are the
+bugs being hunted. Budgeted to stay well under a minute of CI time.
+
+Any crasher hypothesis finds gets FROZEN as a deterministic regression in
+tests/test_fuzz.py (none outstanding).
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from parquet_go_ray.functions import (bitpack, bytearray as ba, delta, forr,
+                                      fsst, hybrid, plain)
+from parquet_go_ray.sources.thrift_compact import CompactReader
+
+CLEAN = (ValueError, KeyError, IndexError, NotImplementedError, OSError,
+         OverflowError, TypeError, pa.ArrowInvalid)
+
+FUZZ = dict(max_examples=200, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow,
+                                   HealthCheck.data_too_large])
+
+
+def _expect_clean(fn):
+    try:
+        fn()
+    except CLEAN:
+        pass
+
+
+# ---------------------------------------------------------------- mutations
+
+def _mutate(valid: bytes, draw_kind: int, pos: int, payload: bytes) -> bytes:
+    """Deterministic structural mutation of a valid encoding."""
+    if not valid:
+        return payload
+    pos %= (len(valid) + 1)
+    kind = draw_kind % 4
+    if kind == 0:  # truncate
+        return valid[:pos]
+    if kind == 1:  # bit flip
+        i = pos % len(valid)
+        return valid[:i] + bytes([valid[i] ^ (1 << (draw_kind % 8))]) \
+            + valid[i + 1:]
+    if kind == 2:  # splice random bytes in
+        return valid[:pos] + payload + valid[pos:]
+    # duplicate a slice (confuses length-prefixed chains)
+    return valid[:pos] + valid[pos // 2:pos] + valid[pos:]
+
+
+mutation = st.tuples(st.integers(0, 2**31), st.integers(0, 2**31),
+                     st.binary(max_size=24))
+
+
+# valid-encoding pools (built once; mutation picks among them)
+_HYBRID_POOL = [
+    (hybrid.encode(np.arange(100, dtype=np.uint64) % 7, 3), 3, 100),
+    (hybrid.encode(np.zeros(400, dtype=np.uint64), 1), 1, 400),
+    (hybrid.encode(np.arange(50, dtype=np.uint64), 20), 20, 50),
+]
+_DELTA_POOL = [
+    (delta.encode(np.arange(300, dtype=np.int64) * 7 - 150, 64), 64),
+    (delta.encode(np.asarray([0, -1, 2**30, -(2**30)] * 40, np.int32), 32),
+     32),
+]
+_rng = np.random.default_rng(0xFA22)
+_STRS = [f"fuzz-{i % 23}-{'x' * (i % 11)}".encode() for i in range(120)]
+_LENS = np.array([len(s) for s in _STRS], dtype=np.int64)
+_OFFS = np.zeros(len(_STRS) + 1, dtype=np.int64)
+np.cumsum(_LENS, out=_OFFS[1:])
+_DATA = np.frombuffer(b"".join(_STRS), dtype=np.uint8)
+_DBA_POOL = [ba.encode_delta_byte_array(_OFFS, _DATA)]
+_DLB_POOL = [ba.encode_delta_length(_OFFS, _DATA)]
+_FSST_POOL = [fsst.encode(_DATA, fsst.train(_DATA))]
+_FOR_POOL = [forr.encode(_rng.integers(-500, 9000, 256), 64, forr.MODE_FOR),
+             forr.encode(np.cumsum(_rng.integers(0, 50, 256)), 64,
+                         forr.MODE_FOR_DELTA)]
+
+
+# ---------------------------------------------------------------- thrift
+
+@settings(**FUZZ)
+@given(st.binary(max_size=400))
+def test_thrift_soup(blob):
+    _expect_clean(lambda: CompactReader(blob).read_struct())
+
+
+@settings(**FUZZ)
+@given(st.binary(max_size=40), mutation)
+def test_thrift_structured(prefix, mut):
+    # struct-ish skeleton: field headers with list/bool/i64 type nibbles
+    skeleton = bytes([0x15, 0x04, 0x19, 0x28, 0x02, 0x01, 0x16, 0x80, 0x01,
+                      0x00])
+    blob = _mutate(skeleton, mut[0], mut[1], mut[2]) + prefix
+    _expect_clean(lambda: CompactReader(blob).read_struct())
+
+
+# ---------------------------------------------------------------- hybrid
+
+@settings(**FUZZ)
+@given(st.binary(max_size=300), st.integers(0, 64), st.integers(0, 5000))
+def test_hybrid_soup(blob, width, count):
+    _expect_clean(lambda: hybrid.decode(blob, width, count))
+
+
+@settings(**FUZZ)
+@given(st.integers(0, 2), mutation)
+def test_hybrid_mutated(idx, mut):
+    valid, width, count = _HYBRID_POOL[idx]
+    blob = _mutate(bytes(valid), mut[0], mut[1], mut[2])
+    _expect_clean(lambda: hybrid.decode(blob, width, count))
+
+
+# ---------------------------------------------------------------- delta
+
+@settings(**FUZZ)
+@given(st.binary(max_size=300), st.sampled_from([32, 64]))
+def test_delta_soup(blob, nbits):
+    _expect_clean(lambda: delta.decode(blob, nbits))
+
+
+@settings(**FUZZ)
+@given(st.integers(0, 1), mutation)
+def test_delta_mutated(idx, mut):
+    valid, nbits = _DELTA_POOL[idx]
+    blob = _mutate(bytes(valid), mut[0], mut[1], mut[2])
+    _expect_clean(lambda: delta.decode(blob, nbits))
+
+
+# ---------------------------------------------------------------- plain
+
+@settings(**FUZZ)
+@given(st.binary(max_size=200), st.integers(0, 10000))
+def test_plain_byte_array_soup(blob, count):
+    _expect_clean(lambda: plain.decode_byte_array(blob, count))
+
+
+@settings(**FUZZ)
+@given(st.binary(max_size=200),
+       st.sampled_from(["int32", "int64", "float32", "float64"]),
+       st.integers(0, 10000))
+def test_plain_fixed_soup(blob, dtype, count):
+    _expect_clean(lambda: plain.decode_fixed(blob, dtype, count))
+    _expect_clean(lambda: plain.decode_bool(blob, count))
+    _expect_clean(lambda: plain.decode_fixed_len_byte_array(blob, 5, count))
+
+
+# ------------------------------------------------------- delta byte arrays
+
+@settings(**FUZZ)
+@given(mutation, st.integers(0, 300))
+def test_delta_byte_array_mutated(mut, count):
+    blob = _mutate(bytes(_DBA_POOL[0]), mut[0], mut[1], mut[2])
+    _expect_clean(lambda: ba.decode_delta_byte_array(blob, count))
+
+
+@settings(**FUZZ)
+@given(mutation, st.integers(0, 300))
+def test_delta_length_mutated(mut, count):
+    blob = _mutate(bytes(_DLB_POOL[0]), mut[0], mut[1], mut[2])
+    _expect_clean(lambda: ba.decode_delta_length(blob, count))
+
+
+# ------------------------------------------------------------- fsst / forr
+
+@settings(**FUZZ)
+@given(mutation)
+def test_fsst_mutated(mut):
+    blob = _mutate(bytes(_FSST_POOL[0]), mut[0], mut[1], mut[2])
+    _expect_clean(lambda: fsst.decode(blob))
+
+
+@settings(**FUZZ)
+@given(st.integers(0, 1), mutation)
+def test_for_mutated(idx, mut):
+    blob = _mutate(bytes(_FOR_POOL[idx]), mut[0], mut[1], mut[2])
+    _expect_clean(lambda: forr.decode(blob))
+
+
+# --------------------------------------------------------------- bitpack
+
+@settings(**FUZZ)
+@given(st.binary(max_size=120), st.integers(0, 64), st.integers(0, 4000))
+def test_bitpack_soup(blob, width, count):
+    _expect_clean(lambda: bitpack.unpack(blob, width, count))

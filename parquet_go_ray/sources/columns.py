@@ -115,7 +115,8 @@ def _bss_split(v: np.ndarray) -> np.ndarray:
     return np.ravel(np.ascontiguousarray(v).view(np.uint8).reshape(len(v), k).T, order="C")
 
 
-def _bss_trial(v: np.ndarray, config: EncodeConfig) -> str | None:
+def _bss_trial(v: np.ndarray, config: EncodeConfig,
+               baseline_encode=None) -> str | None:
     """Sampled BYTE_STREAM_SPLIT trial (extended mode; unimplemented in the
     reference, README.md:44-51): does transposing value bytes into planes make
     the page compressor strictly better? Tried jointly with the plane codec —
@@ -123,7 +124,15 @@ def _bss_trial(v: np.ndarray, config: EncodeConfig) -> str | None:
     smaller there, so the trial picks the best of {configured codec, zstd} on
     the sample and the winner is recorded per stream in the footer (decode
     honors per-stream ``compression``). Returns the winning plane codec, or
-    None when plain + configured codec stays within 5%.
+    None when the incumbent stays within 5%.
+
+    ``baseline_encode`` encodes the sample with the codec the size model
+    chose (FOR / delta / ...); default is PLAIN. Challenging the non-PLAIN
+    winners matters on key-pure layouts: a single-source token chunk has a
+    narrow value range, so FOR beats PLAIN in the pre-compression size model
+    — but the model can't see that the page compressor recovers far more
+    from BSS planes than from bit-packed FOR frames (measured 452 vs 292 MB
+    on the 2M-row fixture's keyed layout, round 5).
 
     The sample is four CONTIGUOUS chunks spread across the stream: contiguity
     keeps run structure visible to the compressor (a strided sample destroys
@@ -137,9 +146,10 @@ def _bss_trial(v: np.ndarray, config: EncodeConfig) -> str | None:
         sample = np.concatenate([v[i * step : i * step + 2048] for i in range(4)])
     else:
         sample = np.ascontiguousarray(v)
-    plain_c = len(_compress(_buf(sample), config.compression))
+    base = _buf(sample) if baseline_encode is None else _buf(baseline_encode(sample))
+    base_c = len(_compress(base, config.compression))
     bss = _bss_split(sample)
-    best_codec, best = None, plain_c * 0.95
+    best_codec, best = None, base_c * 0.95
     for cand in dict.fromkeys((config.compression, "zstd")):
         sz = len(_compress(bss, cand))
         if sz < best:
@@ -245,13 +255,25 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                  "max": int(st.max) if st.num_values else None,
                  "distinct": st.distinct}
         codec = forced or sel.choose_int_codec(st, config.mode).codec
-        if codec == "PLAIN" and not forced and config.mode == sel.MODE_EXTENDED:
-            # Mixed-source token chunks land here (full-range min/max kills
-            # FOR/delta, cardinality past the dict cutoff kills DICT) yet
-            # carry ~8 bits/value of entropy — the BSS planes expose it.
-            pc = _bss_trial(v, config)
-            if pc:
-                codec, stream_comp = "BSS", pc
+        if not forced and config.mode == sel.MODE_EXTENDED:
+            # Mixed-source token chunks land on PLAIN (full-range min/max
+            # kills FOR/delta, cardinality past the dict cutoff kills DICT)
+            # yet carry ~8 bits/value of entropy — the BSS planes expose it.
+            # Key-PURE chunks land on FOR/delta instead (narrow per-source
+            # range), so those winners are challenged too, with the sample
+            # encoded under the incumbent codec as the baseline. DICT is not
+            # challenged: its cost amortizes the dictionary page over the
+            # whole chunk, which a sampled trial systematically overstates.
+            baseline = {
+                "PLAIN": None,
+                "FOR": lambda s: forr.encode(s, nbits, forr.MODE_FOR),
+                "FOR_DELTA": lambda s: forr.encode(s, nbits, forr.MODE_FOR_DELTA),
+                "DELTA_BP": lambda s: delta.encode(s, nbits),
+            }
+            if codec in baseline:
+                pc = _bss_trial(v, config, baseline_encode=baseline[codec])
+                if pc:
+                    codec, stream_comp = "BSS", pc
         if codec == "DICT":
             if st.uniques is not None:
                 uniq = st.uniques

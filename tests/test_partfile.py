@@ -377,6 +377,38 @@ def test_byte_stream_split_int64_and_forced():
     np.testing.assert_array_equal(np.asarray(decode_table(body).column("x")), vals)
 
 
+def test_bss_challenges_for_on_key_pure_chunks():
+    """Round-5 selector fix: a key-PURE token chunk has a narrow per-source
+    value range, so FOR beats PLAIN in the pre-compression size model — but
+    when the values are plane-structured (low-entropy high bytes), BSS+zstd
+    compresses far smaller than snappy over bit-packed FOR frames. The trial
+    must challenge the FOR/delta winners with the incumbent as baseline
+    (measured 452 -> 292 MB on the 2M-row fixture's keyed layout)."""
+    rng = np.random.default_rng(17)
+    # narrow range (FOR model-wins vs PLAIN) + structured planes: value =
+    # smooth walk, so byte-0 is low-entropy under zstd while FOR's packed
+    # bits interleave the structure away
+    walk = np.cumsum(rng.integers(-3, 4, 400_000, dtype=np.int32)) + 100_000
+    t = pa.table({"tok": pa.array(walk)})
+    body, lin = encode_table(t)
+    assert lin["codecs"]["tok"] == "BSS"
+    body_for, _ = encode_table(t, EncodeConfig(column_codecs={"tok": "FOR"}))
+    assert len(body) < 0.9 * len(body_for)
+    np.testing.assert_array_equal(
+        np.asarray(decode_table(body).column("tok")), walk)
+
+
+def test_bss_declines_vs_for_on_incompressible_planes():
+    # uniform random in a narrow range: FOR's bit-pack is near the entropy
+    # bound and BSS planes are incompressible — the challenge must keep FOR
+    rng = np.random.default_rng(19)
+    vals = rng.integers(500_000, 500_000 + (1 << 22), 400_000, dtype=np.int32)
+    t = pa.table({"tok": pa.array(vals)})
+    _, lin = encode_table(t)
+    assert lin["codecs"]["tok"] in ("FOR", "PLAIN", "DELTA_BP")
+    assert lin["codecs"]["tok"] != "BSS"
+
+
 def test_bss_trial_declines_when_plain_wins():
     # sorted data picks FOR_DELTA/DELTA (not PLAIN) so the trial never runs;
     # adjacent-repeat data compresses BETTER interleaved than as planes

@@ -113,6 +113,34 @@ def bench_decode_tokens(out_dir: str) -> float:
     return best
 
 
+def bench_encode_keyed(rows: int) -> dict:
+    """The keyed-layout flagship: shuffle-free batch-local split by source +
+    background compaction to 64 MB groups (the 100 TB layout; see
+    BENCH/BASELINE.md round-5 strategy table). Single-shot walls — the two
+    phases are measured separately so regressions localize."""
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.compact import compact_partitions
+    from parquet_go_ray.pipelines.encode import encode_partitioned
+    from parquet_go_ray.state import manifest as mf
+
+    src_dir = _token_cache_dir(rows)
+    out = f"/tmp/pgr_bench_out/keyed-{NCPU}"
+    shutil.rmtree(out, ignore_errors=True)
+    nblocks = max(NCPU, 8, rows // 65536)
+    t0 = time.perf_counter()
+    encode_partitioned(
+        rd.read_parquet(src_dir, override_num_blocks=nblocks), out,
+        key="source", batch_rows=None).materialize()
+    split_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compact_partitions(out, target_bytes=64 << 20)
+    compact_sec = time.perf_counter() - t0
+    totals = mf.finalize(out)
+    return {"split_sec": split_sec, "compact_sec": compact_sec,
+            "bytes_out": totals["bytes_out"]}
+
+
 def bench_parquet_baseline(rows: int) -> dict:
     """parquet-go-equivalent single-threaded baseline: pyarrow.parquet with
     dictionary (32767-ish fallback built in) + snappy on the same table."""
@@ -431,6 +459,9 @@ def run_bench() -> dict:
     if not headline_only:
         base = bench_parquet_baseline(rows)
         queries["baseline_parquet_write"] = round(base["sec"], 3)
+        keyed = bench_encode_keyed(rows)
+        queries["encode_keyed_split"] = round(keyed["split_sec"], 3)
+        queries["encode_keyed_compact"] = round(keyed["compact_sec"], 3)
         op_res = bench_ops(SF_DIR)
         op_meta = op_res.pop("_meta", {})
         queries.update({k: round(v, 3) for k, v in op_res.items()})
@@ -468,6 +499,8 @@ def run_bench() -> dict:
     if not headline_only:
         result.update(op_meta)
         result["compression_ratio_vs_parquet"] = round(enc["bytes_out"] / base["bytes"], 4)
+        result["keyed_bytes_out"] = keyed["bytes_out"]
+        result["keyed_ratio_vs_parquet"] = round(keyed["bytes_out"] / base["bytes"], 4)
         result["speedup_vs_singlethread_baseline"] = round(
             base["sec"] / queries["encode_tokens"], 2)
     ray.shutdown()

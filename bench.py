@@ -154,7 +154,7 @@ def bench_parquet_baseline(rows: int) -> dict:
     # two windows) — numerator and denominator of the speedup ratio must
     # share the measurement protocol, else warm-cache asymmetry biases it
     sec = None
-    for _ in range(int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))):
+    for _ in range(max(int(os.environ.get("GRAFT_BENCH_REPEATS", "3")), 1)):
         t0 = time.perf_counter()
         pq.write_table(table, path, compression="snappy",
                        use_dictionary=True)

@@ -149,6 +149,21 @@ def _agg_deltas(keys: np.ndarray, weights: np.ndarray):
     return k[firsts], np.add.reduceat(w, firsts)
 
 
+def _index_append(index: dict[int, list], keys: np.ndarray,
+                  pos: np.ndarray) -> None:
+    """Group ``pos`` by pair ``keys`` and append one candidate-position array
+    per key to ``index`` — the one sort->boundaries->manual-slices idiom both
+    the initial build and the per-merge add share. Manual slices, not
+    np.split: array_split's per-segment overhead (swapaxes + wrapper calls)
+    dominated the merge loop at 32k merges."""
+    o = np.argsort(keys, kind="stable")
+    ks, ps = keys[o], pos[o]
+    bounds = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    bb = bounds.tolist() + [len(ps)]
+    for i, kk in enumerate(ks[bounds].tolist()):
+        index.setdefault(int(kk), []).append(ps[bb[i]:bb[i + 1]])
+
+
 def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
                             wcount: np.ndarray, num_merges: int):
     """Incremental BPE trainer: O(stream + merge events), not
@@ -195,14 +210,8 @@ def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
     uk, tot = _agg_deltas(k0, wpos[p0])
     counts: dict[int, int] = dict(zip(uk.tolist(), tot.tolist()))
     # index: pair key -> list of candidate position arrays (lazily validated)
-    o = np.argsort(k0, kind="stable")
-    ks, ps = k0[o], p0[o]
-    bounds = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
-    # manual slices, not np.split: array_split's per-segment overhead
-    # (swapaxes + wrapper calls) dominates the merge loop at 32k merges
-    bb = bounds.tolist() + [len(ps)]
-    index: dict[int, list] = {int(k): [ps[bb[i]:bb[i + 1]]] for i, k in
-                              enumerate(ks[bounds].tolist())}
+    index: dict[int, list] = {}
+    _index_append(index, k0, p0)
     heap = [(-c, k) for k, c in counts.items()]
     heapq.heapify(heap)
 
@@ -281,12 +290,7 @@ def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
                 cc = counts.get(kk, 0) + ww
                 counts[kk] = cc
                 heapq.heappush(heap, (-cc, kk))
-            o = np.argsort(ak, kind="stable")
-            aks, aps = ak[o], add_pos[o]
-            b = np.flatnonzero(np.concatenate(([True], aks[1:] != aks[:-1])))
-            bb2 = b.tolist() + [len(aps)]
-            for i, kk in enumerate(aks[b].tolist()):
-                index.setdefault(kk, []).append(aps[bb2[i]:bb2[i + 1]])
+            _index_append(index, ak, add_pos)
 
     final = sym[alive].astype(np.int32)
     lens = np.bincount(word[alive], minlength=wcount.shape[0]).astype(np.int64)
@@ -372,26 +376,106 @@ def _merge_passes_rank_driven(sym: np.ndarray, word: np.ndarray,
     return sym, word
 
 
-def _encode_unique_words(words: list[bytes], model: BpeModel
+def _binary_offsets_data(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(absolute offsets int64, data uint8) views of a binary/string array."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                         count=len(arr) + 1,
+                         offset=arr.offset * 4).astype(np.int64)
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
+        else np.empty(0, np.uint8)
+    return offs, data
+
+
+class _CacheLookup:
+    """Per-actor exact-match index over the model's trained-word cache.
+
+    ``pc.index_in`` rebuilds a hash table of the whole value_set on EVERY
+    call — with the 1M-word cache (the ``max_word_types`` cap, which the
+    32k-merge bench hits exactly) that build dwarfed the actual probes on
+    every 1024-row batch. Built once per actor instead: a sorted array of
+    64-bit content hashes (16 MB per 1M words) probed by searchsorted, with
+    every hash hit VERIFIED by byte equality — a collision (or a duplicate
+    cache hash shadowing a true match at the next slot) degrades to the OOV
+    merge loop, never to a wrong encoding."""
+
+    def __init__(self, model: BpeModel):
+        from ..pipelines.encode import _stable_hash
+
+        cw = model.cache_words
+        cw = cw.combine_chunks() if isinstance(cw, pa.ChunkedArray) else cw
+        self.offs, self.data = _binary_offsets_data(cw)
+        h = _stable_hash(cw)
+        self.order = np.argsort(h, kind="stable").astype(np.int64)
+        self.h_sorted = h[self.order]
+
+    def lookup(self, warr: pa.Array) -> np.ndarray:
+        """Cache index per word (int64), -1 for misses."""
+        from ..functions.segments import ragged_gather_indices
+        from ..pipelines.encode import _stable_hash
+
+        n = len(warr)
+        out = np.full(n, -1, dtype=np.int64)
+        if n == 0 or not len(self.h_sorted):
+            return out
+        hw = _stable_hash(warr)
+        pos = np.searchsorted(self.h_sorted, hw)
+        pos_c = np.minimum(pos, len(self.h_sorted) - 1)
+        cand = self.h_sorted[pos_c] == hw
+        ci = self.order[pos_c[cand]]
+        wi = np.flatnonzero(cand)
+        woffs, wdata = _binary_offsets_data(warr)
+        wl = woffs[wi + 1] - woffs[wi]
+        lm = wl == (self.offs[ci + 1] - self.offs[ci])
+        ci, wi, wl = ci[lm], wi[lm], wl[lm]
+        if len(wi):
+            gw = wdata[ragged_gather_indices(woffs[wi], wl)]
+            gc = self.data[ragged_gather_indices(self.offs[ci], wl)]
+            starts = np.zeros(len(wi), dtype=np.int64)
+            np.cumsum(wl[:-1], out=starts[1:])  # wl >= 1: no empty words
+            bad = np.add.reduceat(gw != gc, starts) > 0
+            out[wi[~bad]] = ci[~bad]
+        return out
+
+
+def _encode_unique_words(words, model: BpeModel,
+                         lookup: _CacheLookup | None = None
                          ) -> tuple[np.ndarray, np.ndarray]:
-    """Encode a unique-word list: returns (flat ids int32, per-word lengths
-    int64). Words present in the model's training cache (the common case —
-    the Zipf bulk of any same-distribution corpus) are an exact-match
-    lookup; only OOV words run the rank-driven merge loop."""
+    """Encode a unique-word list (``list[bytes]`` or a binary/string
+    ``pa.Array``): returns (flat ids int32, per-word lengths int64). Words
+    present in the model's training cache (the common case — the Zipf bulk
+    of any same-distribution corpus) are an exact-match lookup; only OOV
+    words run the rank-driven merge loop. Pass a per-actor ``lookup`` to
+    avoid index_in's per-call value_set hash rebuild (see _CacheLookup)."""
     import pyarrow.compute as pc
 
-    n = len(words)
+    is_arrow = isinstance(words, (pa.Array, pa.ChunkedArray))
+    if is_arrow:
+        warr = words.combine_chunks() if isinstance(words, pa.ChunkedArray) \
+            else words
+        warr = warr.cast(pa.binary())
+        n = len(warr)
+        words = None  # materialized lazily, only for the OOV subset
+    else:
+        n = len(words)
+        warr = pa.array(words, pa.binary()) if n else None
     if model.cache_words is not None and n:
-        warr = pa.array(words, pa.binary())
-        idx = pc.index_in(warr, value_set=model.cache_words)
-        idx_np = np.asarray(idx.fill_null(-1), dtype=np.int64)
+        if lookup is not None:
+            idx_np = lookup.lookup(warr)
+        else:
+            idx = pc.index_in(warr, value_set=model.cache_words)
+            idx_np = np.asarray(idx.fill_null(-1), dtype=np.int64)
         known = idx_np >= 0
         lens = np.zeros(n, dtype=np.int64)
         ki = idx_np[known]
         co, ci = model.cache_offs, model.cache_ids
         lens[known] = co[ki + 1] - co[ki]
-        oov_words = [w for w, k in zip(words, known) if not k] \
-            if not known.all() else []
+        if known.all():
+            oov_words = []
+        elif is_arrow:
+            oov_words = warr.filter(pa.array(~known)).to_pylist()
+        else:
+            oov_words = [w for w, k in zip(words, known) if not k]
         if oov_words:
             osym, oword = _merge_passes_rank_driven(
                 *_words_to_symbols(oov_words), model.merges)
@@ -412,6 +496,8 @@ def _encode_unique_words(words: list[bytes], model: BpeModel
             out[ragged_gather_indices(offs[:-1][~known], lens[~known])] = \
                 osym[ragged_gather_indices(ooffs[:-1], olens)]
         return out, lens
+    if is_arrow:
+        words = warr.to_pylist() if n else []
     sym, word = _merge_passes_rank_driven(*_words_to_symbols(words),
                                           model.merges)
     lens = np.bincount(word, minlength=n).astype(np.int64) \
@@ -431,6 +517,9 @@ class BpeEncoder:
 
         self.model: BpeModel = ray.get(model_ref)
         self.text_col, self.out_col, self.count_col = text_col, out_col, count_col
+        # once per actor, never per batch (see _CacheLookup)
+        self.lookup = (_CacheLookup(self.model)
+                       if self.model.cache_words is not None else None)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -455,12 +544,14 @@ class BpeEncoder:
         per_doc = csum[woffs[1:] - woffs[0]] - csum[woffs[:-1] - woffs[0]]
         words = flat.filter(nonempty).cast(pa.binary())
 
-        # dictionary-encode: BPE only the unique words of the batch
+        # dictionary-encode: BPE only the unique words of the batch (the
+        # dictionary array goes straight to the encoder — no to_pylist)
         dic = words.dictionary_encode()
-        uniq = dic.dictionary.to_pylist()
+        uniq = dic.dictionary
         codes = np.asarray(dic.indices, dtype=np.int64) if len(words) else \
             np.empty(0, np.int64)
-        usym, ulens = _encode_unique_words(uniq, self.model)
+        usym, ulens = _encode_unique_words(uniq, self.model,
+                                           lookup=self.lookup)
         uoffs = np.zeros(len(uniq) + 1, dtype=np.int64)
         np.cumsum(ulens, out=uoffs[1:])
         # gather each occurrence's ids; +1 slot per word for the joining

@@ -94,6 +94,10 @@ class CompactReader:
             size = self.uvarint()
             if size == 0:
                 return {}
+            # same malformed guard as T_LIST: bool/bool entries consume zero
+            # bytes each, so an absurd declared size would spin unbounded
+            if size > len(self.buf) - self.pos + 1:
+                raise ValueError(f"thrift compact: map size {size} exceeds buffer")
             kv = self.buf[self.pos]
             self.pos += 1
             kt, vt = kv >> 4, kv & 0x0F

@@ -126,6 +126,16 @@ def test_thrift_huge_bool_list_rejected():
         CompactReader(blob).read_struct()
 
 
+def test_thrift_huge_bool_map_rejected():
+    # map header claiming 2^24 bool/bool entries (zero bytes each) must be
+    # rejected like the list path, not spun through — found by review of the
+    # generative fuzz harness's target surface (a 2^56 size extrapolates to
+    # centuries of spin from a ~10-byte input)
+    blob = bytes([0x1B]) + b"\x80\x80\x80\x08" + bytes([0x11]) + b"\x00"
+    with pytest.raises(CLEAN):
+        CompactReader(blob).read_struct()
+
+
 def test_hybrid_decode_fuzz():
     for ln in [0, 1, 3, 9, 33, 200]:
         for _ in range(40):

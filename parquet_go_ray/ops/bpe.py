@@ -164,6 +164,37 @@ def _index_append(index: dict[int, list], keys: np.ndarray,
         index.setdefault(int(kk), []).append(ps[bb[i]:bb[i + 1]])
 
 
+def _init_chain(sym: np.ndarray, word: np.ndarray):
+    """Doubly-linked list over the symbol cells (-1 marks word boundaries,
+    so merges can never cross words) — shared by the incremental trainer
+    and the incremental rank-driven apply."""
+    n = len(sym)
+    sym = sym.astype(np.int64).copy()
+    nxt = np.arange(1, n + 1, dtype=np.int64)
+    nxt[-1] = -1
+    prv = np.arange(-1, n - 1, dtype=np.int64)
+    brk = word[1:] != word[:-1]
+    nxt[:-1][brk] = -1
+    prv[1:][brk] = -1
+    return sym, nxt, prv
+
+
+def _alternate_sites(P: np.ndarray, nxt: np.ndarray) -> np.ndarray:
+    """Overlapping same-symbol runs ('aaaa'): keep alternate sites
+    left-to-right — the same parity rule as _merge_pass, so the incremental
+    loops stay equivalent to the rescan reference. ``P`` must be sorted."""
+    Pset = set(P.tolist())
+    skip, sel = set(), []
+    for p in P.tolist():
+        if p in skip:
+            continue
+        sel.append(p)
+        q = int(nxt[p])
+        if q in Pset:
+            skip.add(q)
+    return np.asarray(sel, dtype=np.int64)
+
+
 def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
                             wcount: np.ndarray, num_merges: int):
     """Incremental BPE trainer: O(stream + merge events), not
@@ -192,13 +223,7 @@ def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
         lens = np.bincount(word, minlength=wcount.shape[0]).astype(np.int64) \
             if n else np.zeros(wcount.shape[0], dtype=np.int64)
         return merges[:0], sym.astype(np.int32), lens
-    sym = sym.astype(np.int64).copy()
-    nxt = np.arange(1, n + 1, dtype=np.int64)
-    nxt[-1] = -1
-    prv = np.arange(-1, n - 1, dtype=np.int64)
-    brk = word[1:] != word[:-1]
-    nxt[:-1][brk] = -1
-    prv[1:][brk] = -1
+    sym, nxt, prv = _init_chain(sym, word)
     alive = np.ones(n, dtype=bool)
     wpos = wcount[word].astype(np.int64)  # pair weight = weight of its word
 
@@ -238,18 +263,7 @@ def _merge_loop_incremental(sym: np.ndarray, word: np.ndarray,
             counts.pop(key, None)
             continue
         if left == right and len(P) > 1:
-            # overlapping runs ('aaaa'): keep alternate sites left-to-right,
-            # same parity rule as _merge_pass
-            Pset = set(P.tolist())
-            skip, sel = set(), []
-            for p in P.tolist():  # P is sorted (np.unique)
-                if p in skip:
-                    continue
-                sel.append(p)
-                q = int(nxt[p])
-                if q in Pset:
-                    skip.add(q)
-            P = np.asarray(sel, dtype=np.int64)
+            P = _alternate_sites(P, nxt)  # P is sorted (np.unique)
             r = nxt[P]
         # --- deltas for neighbor pairs destroyed by this merge (pre-mutate)
         l = prv[P]
@@ -376,6 +390,94 @@ def _merge_passes_rank_driven(sym: np.ndarray, word: np.ndarray,
     return sym, word
 
 
+def _merge_passes_rank_incremental(sym: np.ndarray, word: np.ndarray,
+                                   merges: np.ndarray
+                                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Incremental rank-driven apply — the encode-side analogue of
+    _merge_loop_incremental: O(stream + merge events) instead of the rescan
+    loop's O(stream) PER APPLIED RANK (which dominated OOV-heavy batches:
+    a capped vocabulary leaves every Zipf-tail word OOV at apply time).
+
+    Equivalent to _merge_passes_rank_driven, pinned by test: the heap pops
+    the lowest applicable rank and exhausts it; a merge only creates pairs
+    containing its strictly-newer id, and such a pair's own merge (if any)
+    was necessarily trained AFTER that id existed, so every newly created
+    mergeable pair has a strictly higher rank and ascending-heap order IS
+    rank order. Overlap parity comes from the shared _alternate_sites."""
+    import heapq
+
+    n = len(sym)
+    if not len(merges) or n < 2:
+        return sym.astype(np.int32), word
+    mkeys = (merges[:, 0].astype(np.int64) << 32) | \
+        merges[:, 1].astype(np.int64)
+    korder = np.argsort(mkeys, kind="stable")
+    mk_sorted = mkeys[korder]
+
+    def ranks_of(keys: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(mk_sorted, keys)
+        pos_c = np.minimum(pos, len(mk_sorted) - 1)
+        return np.where(mk_sorted[pos_c] == keys, korder[pos_c], -1)
+
+    sym, nxt, prv = _init_chain(sym, word)
+    alive = np.ones(n, dtype=bool)
+    p0 = np.flatnonzero(nxt != -1)
+    if not len(p0):
+        return sym.astype(np.int32), word
+    k0 = (sym[p0] << 32) | sym[p0 + 1]
+    r0 = ranks_of(k0)
+    m0 = r0 >= 0
+    index: dict[int, list] = {}
+    _index_append(index, k0[m0], p0[m0])
+    heap = sorted(set(r0[m0].tolist()))  # ascending list IS a valid heap
+    in_heap = set(heap)
+    while heap:
+        rank = heapq.heappop(heap)
+        in_heap.discard(rank)
+        left, right, new_id = (int(x) for x in merges[rank])
+        plist = index.pop((left << 32) | right, None)
+        if not plist:
+            continue
+        P = np.unique(np.concatenate(plist))
+        # validate candidates against the CURRENT stream
+        P = P[alive[P] & (sym[P] == left)]
+        r = nxt[P]
+        m = r != -1
+        P, r = P[m], r[m]
+        m = sym[r] == right
+        P, r = P[m], r[m]
+        if not len(P):
+            continue
+        if left == right and len(P) > 1:
+            P = _alternate_sites(P, nxt)  # P is sorted (np.unique)
+            r = nxt[P]
+        l = prv[P]
+        lm = l != -1
+        r2 = nxt[r]
+        r2m = r2 != -1
+        # mutate: left cell becomes new_id, right cell dies, relink
+        sym[P] = new_id
+        alive[r] = False
+        nxt[P] = r2
+        tgt = r2[r2m]
+        prv[tgt] = P[r2m]
+        # pairs created around the merged cells: index + heap only the
+        # mergeable ones
+        add_pos = np.unique(np.concatenate((l[lm], P[nxt[P] != -1])))
+        add_pos = add_pos[alive[add_pos]]  # chain middles died above
+        if len(add_pos):
+            ak = (sym[add_pos] << 32) | sym[nxt[add_pos]]
+            ar = ranks_of(ak)
+            am = ar >= 0
+            if am.any():
+                _index_append(index, ak[am], add_pos[am])
+                for rr in set(ar[am].tolist()):
+                    if rr not in in_heap:
+                        heapq.heappush(heap, rr)
+                        in_heap.add(rr)
+    return sym[alive].astype(np.int32), word[alive]
+
+
 def _binary_offsets_data(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(absolute offsets int64, data uint8) views of a binary/string array."""
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
@@ -477,7 +579,7 @@ def _encode_unique_words(words, model: BpeModel,
         else:
             oov_words = [w for w, k in zip(words, known) if not k]
         if oov_words:
-            osym, oword = _merge_passes_rank_driven(
+            osym, oword = _merge_passes_rank_incremental(
                 *_words_to_symbols(oov_words), model.merges)
             olens = np.bincount(oword, minlength=len(oov_words)) \
                 .astype(np.int64) if len(oword) else \
@@ -498,8 +600,8 @@ def _encode_unique_words(words, model: BpeModel,
         return out, lens
     if is_arrow:
         words = warr.to_pylist() if n else []
-    sym, word = _merge_passes_rank_driven(*_words_to_symbols(words),
-                                          model.merges)
+    sym, word = _merge_passes_rank_incremental(*_words_to_symbols(words),
+                                               model.merges)
     lens = np.bincount(word, minlength=n).astype(np.int64) \
         if len(word) else np.zeros(n, dtype=np.int64)
     return sym.astype(np.int32), lens

@@ -185,3 +185,32 @@ def test_encode_cache_and_oov_agree():
     np.cumsum(l1, out=o[1:])
     for i, q in enumerate(queries):
         assert cached.decode(s1[o[i]:o[i + 1]]) == q
+
+
+def test_rank_incremental_apply_matches_rescan():
+    """The incremental rank-driven apply (linked list + ascending rank heap)
+    must produce IDENTICAL tokenizations to the O(ranks x stream) rescan
+    reference — over random vocabularies, OOV words the model never saw,
+    and pathological same-symbol runs (the _alternate_sites parity path)."""
+    rng = np.random.default_rng(23)
+    for trial in range(12):
+        n_types = int(rng.integers(5, 600))
+        train_words = [bytes(rng.integers(97, 97 + int(rng.integers(2, 7)),
+                                          size=int(rng.integers(1, 14))).tolist())
+                       for _ in range(n_types)]
+        counts = rng.integers(1, 50, size=n_types).astype(np.int64)
+        sym, word = bpe._words_to_symbols(train_words)
+        merges, _, _ = bpe._merge_loop_incremental(
+            sym.copy(), word.copy(), counts, int(rng.integers(10, 200)))
+        # apply to FRESH words (OOV mix) + run-heavy pathologicals
+        apply_words = [bytes(rng.integers(97, 105,
+                                          size=int(rng.integers(1, 20))).tolist())
+                       for _ in range(200)] + \
+            [b"aaaaaaaa", b"aaa", b"abababab", b"a", b""[:0] or b"z"]
+        asym, aword = bpe._words_to_symbols(apply_words)
+        rsym, rword = bpe._merge_passes_rank_driven(asym.copy(), aword.copy(),
+                                                    merges)
+        isym, iword = bpe._merge_passes_rank_incremental(
+            asym.copy(), aword.copy(), merges)
+        np.testing.assert_array_equal(isym, rsym.astype(np.int32))
+        np.testing.assert_array_equal(iword, rword)

@@ -45,8 +45,9 @@ class BpeModel:
     tokenization, exported for free by the incremental trainer: encode
     becomes an exact-match lookup for every word seen in training (the Zipf
     bulk of any corpus) and runs the merge loop only for OOV words. The
-    cache is an EXACT word match (pyarrow ``index_in``), never a hash —
-    a hash collision would silently tokenize the wrong word."""
+    cache match is EXACT: the per-actor hash index (_CacheLookup) verifies
+    every hash hit by byte equality, so a collision degrades to the OOV
+    merge loop — it can never tokenize the wrong word."""
 
     merges: np.ndarray  # (M, 3) int32
     token_bytes: list[bytes] = field(repr=False)

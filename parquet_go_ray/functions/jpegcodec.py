@@ -13,8 +13,18 @@ Scope and honesty notes:
   test/fixture grade (~1 MPix/s); the Ray-side plumbing in ops/multimodal.py
   (actor pools, schema, batch sizing) is the production-shaped part, as with
   the PNG/BMP/WAV codecs in functions/imagecodec.py.
-- Progressive, arithmetic-coded, and 12-bit JPEG are rejected with clear
-  errors; only the baseline process (SOF0) is implemented.
+- Progressive DCT (SOF2) is implemented in full on the decode side (DC
+  first/refine, AC first with EOB-run semantics, AC refinement with
+  correction bits, spectral selection, interleaved DC + non-interleaved AC
+  scans) and on the encode side as a standard scan script (DC Al=1 ->
+  per-component AC first Al=1 -> AC refine -> DC refine, optional spectral
+  band splits). The encoder caps EOB runs at one block so the Annex-K
+  sequential Huffman tables remain valid (they lack EOBn>0 symbols); the
+  decoder handles arbitrary EOB runs. Equivalence is pinned hard: a
+  progressive stream carries the IDENTICAL quantized coefficients as the
+  baseline stream of the same image, so the two decodes must be bit-equal.
+- Arithmetic-coded, hierarchical, lossless, and 12-bit JPEG are rejected
+  with clear errors.
 
 Format knowledge is from the public T.81 spec (the quantization and Huffman
 tables below are the spec's Annex K examples, also used by libjpeg).
@@ -208,11 +218,18 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
 
 def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
                 subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encode of HxW (grayscale) or HxWx3 (RGB) uint8.
+                restart_interval: int = 0,
+                progressive: bool = False,
+                spectral_bands: tuple = ((1, 63),)) -> bytes:
+    """JFIF encode of HxW (grayscale) or HxWx3 (RGB) uint8.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that-many MCUs (DC predictors reset), exercising the decoder's
-    resynchronization path."""
+    resynchronization path. ``progressive=True`` emits SOF2 with the scan
+    script DC(Al=1) -> per-component AC first(Al=1) per ``spectral_bands``
+    -> AC refine(Al=0) -> DC refine; the quantized coefficients are
+    identical to the baseline stream's, so both decodes are bit-equal."""
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval not supported")
     px = np.asarray(pixels)
     if px.dtype != np.uint8 or px.ndim not in (2, 3):
         raise ValueError("encode_jpeg needs uint8 HxW or HxWx3")
@@ -244,6 +261,8 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
     mcus_x = -(-w // mcu_w)
     mcus_y = -(-h // mcu_h)
     coefs = []
+    grid_dims = []  # (bw_full, bh_full, nbw, nbh) per component
+    inv_order = []  # row-major block index -> MCU-scan position
     for ci, plane in enumerate(comps):
         chs, cvs = samp[ci]
         want_h = mcus_y * 8 * cvs
@@ -261,11 +280,27 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
         ))
         # lexsort keys: last is primary -> (mcu_row, mcu_col, v, h)
         coefs.append(qz[order].reshape(-1, 64)[:, ZIGZAG])
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        inv_order.append(inv)
+        # non-interleaved scans cover the component's OWN extent, not the
+        # MCU-padded grid (T.81 A.2.2)
+        cw = -(-w * chs // hmax)
+        ch_ = -(-h * cvs // vmax)
+        grid_dims.append((bw, want_h // 8, -(-cw // 8), -(-ch_ // 8)))
 
     dc_specs = [DC_LUMA_SPEC, DC_CHROMA_SPEC]
     ac_specs = [AC_LUMA_SPEC, AC_CHROMA_SPEC]
     dc_codes = [_canonical_codes(*s) for s in dc_specs]
     ac_codes = [_canonical_codes(*s) for s in ac_specs]
+
+    if progressive:
+        scans = _encode_progressive_scans(
+            coefs, inv_order, grid_dims, samp, qsel, dc_codes, ac_codes,
+            mcus_x * mcus_y, spectral_bands)
+        return _assemble_container(
+            h, w, comps, samp, qsel, qt, dc_specs, ac_specs, 0,
+            scans, sof_marker=0xC2)
 
     bw_ = _BitWriter()
     pred = [0] * len(comps)
@@ -309,8 +344,19 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
                     code, ln = ac_codes[tsel][0x00]  # EOB
                     bw_.put(code, ln)
     bw_.flush()
+    sos = bytes([len(comps)]) + b"".join(
+        bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+        for ci in range(len(comps))) + bytes([0, 63, 0])
+    return _assemble_container(h, w, comps, samp, qsel, qt, dc_specs,
+                               ac_specs, restart_interval,
+                               [(sos, bytes(bw_.out))], sof_marker=0xC0)
 
-    # ---- container
+
+def _assemble_container(h, w, comps, samp, qsel, qt, dc_specs, ac_specs,
+                        restart_interval, scans, *, sof_marker) -> bytes:
+    """SOI + JFIF + DQT + SOF + DHT [+ DRI] + one (SOS, entropy data) pair
+    per scan + EOI. Shared by the baseline (one scan) and progressive
+    (scan script) writers."""
     out = bytearray(b"\xFF\xD8")  # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
@@ -318,7 +364,8 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
         out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([ti]) \
             + bytes(qt[ti][ZIGZAG].astype(np.uint8))
     nc = len(comps)
-    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += bytes([0xFF, sof_marker]) \
+        + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
         out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
     for cls, specs in ((0, dc_specs), (1, ac_specs)):
@@ -328,13 +375,142 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
                 + bytes([(cls << 4) | ti]) + bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for ci in range(nc):
-        out += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
-    out += b"\x00\x3F\x00"
-    out += bw_.out
+    for sos_payload, data in scans:
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos_payload)) \
+            + sos_payload
+        out += data
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
+
+
+def _encode_progressive_scans(coefs, inv_order, grid_dims, samp, qsel,
+                              dc_codes, ac_codes, n_mcus, spectral_bands):
+    """The progressive scan script: DC first (interleaved, Al=1) ->
+    per-component AC first (Al=1) per spectral band -> per-component AC
+    refine (Ah=1, Al=0) -> DC refine (Ah=1, Al=0). Returns a list of
+    (sos_payload, entropy_bytes).
+
+    EOB runs are capped at ONE block (each band tail emits its own EOB
+    symbol 0x00) so the Annex-K sequential Huffman tables stay valid — they
+    carry no EOBn>0 symbols. The decoder handles arbitrary EOB runs."""
+    ncomp = len(coefs)
+    per_mcu = [samp[ci][0] * samp[ci][1] for ci in range(ncomp)]
+
+    def dc_scan(refine: bool):
+        bw_ = _BitWriter()
+        pred = [0] * ncomp
+        pos = [0] * ncomp
+        for _m in range(n_mcus):
+            for ci in range(ncomp):
+                for _b in range(per_mcu[ci]):
+                    v = int(coefs[ci][pos[ci]][0])
+                    pos[ci] += 1
+                    if refine:
+                        bw_.put(v & 1, 1)  # Al=0 bit of the full DC
+                    else:
+                        pv = v >> 1  # DC point transform: arithmetic shift
+                        diff = pv - pred[ci]
+                        pred[ci] = pv
+                        cat, extra = _magnitude(diff)
+                        code, ln = dc_codes[qsel[ci]][cat]
+                        bw_.put(code, ln)
+                        if cat:
+                            bw_.put(extra, cat)
+        bw_.flush()
+        hdr = bytes([ncomp]) + b"".join(
+            bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+            for ci in range(ncomp))
+        ahal = (1 << 4) | 0 if refine else 1
+        return hdr + bytes([0, 0, ahal]), bytes(bw_.out)
+
+    def ac_first(ci: int, ss: int, se: int, al: int):
+        bw_ = _BitWriter()
+        tsel = qsel[ci]
+        bwf, _bhf, nbw, nbh = grid_dims[ci]
+        inv, C = inv_order[ci], coefs[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = C[inv[by * bwf + bx]]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = abs(v) >> al  # AC point transform: magnitude shift
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_codes[tsel][0xF0]  # ZRL
+                        bw_.put(code, ln)
+                        r -= 16
+                    cat, extra = _magnitude(-t if v < 0 else t)
+                    code, ln = ac_codes[tsel][(r << 4) | cat]
+                    bw_.put(code, ln)
+                    bw_.put(extra, cat)
+                    r = 0
+                if r > 0:
+                    code, ln = ac_codes[tsel][0x00]  # EOB (run capped at 1)
+                    bw_.put(code, ln)
+        bw_.flush()
+        return (bytes([1, ci + 1, (tsel << 4) | tsel, ss, se, al]),
+                bytes(bw_.out))
+
+    def ac_refine(ci: int, ss: int, se: int):
+        # T.81 G.1.2.3 with Ah=1, Al=0: corrections for already-nonzero
+        # coefficients ride as buffered bits after the next emitted symbol
+        bw_ = _BitWriter()
+        tsel = qsel[ci]
+        bwf, _bhf, nbw, nbh = grid_dims[ci]
+        inv, C = inv_order[ci], coefs[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = C[inv[by * bwf + bx]]
+                absv = [abs(int(blk[k])) for k in range(ss, se + 1)]
+                eob = ss - 1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = ss + i
+                r = 0
+                pending: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        code, ln = ac_codes[tsel][0xF0]
+                        bw_.put(code, ln)
+                        r -= 16
+                        for bit in pending:
+                            bw_.put(bit, 1)
+                        pending = []
+                    if t > 1:
+                        pending.append(t & 1)  # correction bit
+                        continue
+                    code, ln = ac_codes[tsel][(r << 4) | 1]
+                    bw_.put(code, ln)
+                    bw_.put(1 if int(blk[k]) > 0 else 0, 1)
+                    for bit in pending:
+                        bw_.put(bit, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    code, ln = ac_codes[tsel][0x00]
+                    bw_.put(code, ln)
+                    for bit in pending:
+                        bw_.put(bit, 1)
+        bw_.flush()
+        return (bytes([1, ci + 1, (tsel << 4) | tsel, ss, se, (1 << 4) | 0]),
+                bytes(bw_.out))
+
+    scans = [dc_scan(refine=False)]
+    for ci in range(ncomp):
+        for ss, se in spectral_bands:
+            scans.append(ac_first(ci, ss, se, 1))
+    for ci in range(ncomp):
+        for ss, se in spectral_bands:
+            scans.append(ac_refine(ci, ss, se))
+    scans.append(dc_scan(refine=True))
+    return scans
 
 
 class _BitReader:
@@ -409,6 +585,7 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
     huff: dict[tuple[int, int], tuple] = {}
     frame = None
     restart = 0
+    pstores = None  # progressive: per-component (bh, bw, 64) coefficients
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -436,7 +613,7 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
                 vals = list(seg[s + 17:s + 17 + n])
                 huff[(cls, ti)] = _decode_tables(bits, vals)
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
@@ -445,12 +622,13 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
             for ci in range(nc):
                 cid, sf, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg: only the baseline sequential process (SOF0) is "
-                f"supported, got SOF marker 0x{marker:02X}")
+                "jpeg: only the baseline (SOF0) and progressive (SOF2) "
+                f"processes are supported, got SOF marker 0x{marker:02X}")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
@@ -458,12 +636,27 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             sel = {}
+            scomps = []
             for ci in range(ns):
                 cid, tsel = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 sel[cid] = (tsel >> 4, tsel & 0xF)
-            scan_start = pos + 2 + seg_len
-            return _decode_scan(d, scan_start, frame, sel, qt, huff, restart)
+                scomps.append(cid)
+            if not frame["prog"]:
+                scan_start = pos + 2 + seg_len
+                return _decode_scan(d, scan_start, frame, sel, qt, huff,
+                                    restart)
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("jpeg: truncated progressive SOS header")
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if pstores is None:
+                pstores = _alloc_prog_stores(frame)
+            pos = _decode_prog_scan(
+                d, pos + 2 + seg_len, frame, scomps, sel, huff, restart,
+                pstores, ss, se, ahal >> 4, ahal & 0xF)
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("prog") and pstores is not None:
+        return _finish_progressive(frame, qt, pstores)
     raise ValueError("jpeg: no scan found")
 
 
@@ -530,6 +723,194 @@ def _decode_scan(d, pos, frame, sel, qt, huff, restart):
                         plane[y0:y0 + 8, x0:x0 + 8] = p[idx]
                         idx += 1
         # upsample to full grid and crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"jpeg: {len(planes)}-component images unsupported")
+    return _ycbcr_to_rgb(*planes)
+
+# ------------------------------------------------------- progressive decode
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_prog_stores(frame):
+    """Per-component coefficient grids at the MCU-padded size; the
+    non-interleaved scans write only the component's own nbw x nbh corner
+    (T.81 A.2.2), the rest stays zero and is cropped after upsampling."""
+    _hmax, _vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    return [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+            for c in frame["comps"]]
+
+
+def _decode_prog_scan(d, pos, frame, scomps, sel, huff, restart, pstores,
+                      ss, se, ah, al) -> int:
+    """Decode one progressive scan into ``pstores``; returns the absolute
+    byte position of the next marker after the scan's entropy data.
+
+    Implements T.81 G.1.2: DC first (diff-coded point-transformed values),
+    DC refinement (one raw bit per block), AC first (run/size with EOB-run
+    coding), AC refinement (newly-significant +-1<<Al plus correction bits
+    for already-nonzero coefficients, EOB runs carrying corrections)."""
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    br = _BitReader(d[pos:])
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(blk, k):
+        if br.read(1) and not (int(blk[k]) & p1):
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    if ss == 0:  # DC scan (may be interleaved)
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        pred = {cid: 0 for cid in scomps}
+        units = []  # (grid, by, bx, cid) in scan order
+        if len(scomps) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid in scomps:
+                        ci, c = by_id[cid]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                units.append((pstores[ci],
+                                              my * c["v"] + byy,
+                                              mx * c["h"] + bxx, cid))
+        else:
+            cid = scomps[0]
+            ci, c = by_id[cid]
+            nbw = -(--(-frame["w"] * c["h"] // hmax) // 8)
+            nbh = -(--(-frame["h"] * c["v"] // vmax) // 8)
+            for byy in range(nbh):
+                for bxx in range(nbw):
+                    units.append((pstores[ci], byy, bxx, cid))
+        # restart counts MCUs (interleaved) / blocks (single component)
+        per_rst = restart * (1 if len(scomps) == 1 else
+                             sum(by_id[c][1]["h"] * by_id[c][1]["v"]
+                                 for c in scomps))
+        for i, (grid, byy, bxx, cid) in enumerate(units):
+            if per_rst and i and i % per_rst == 0:
+                br.align_to_marker()
+                pred = {c2: 0 for c2 in scomps}
+            blk = grid[byy, bxx]
+            if ah == 0:
+                cat = _huff_decode(br, huff[(0, sel[cid][0])])
+                pred[cid] += _extend(br.read(cat), cat)
+                blk[0] = pred[cid] << al
+            else:
+                blk[0] = int(blk[0]) | (br.read(1) << al)
+    else:  # AC scan: always one component (T.81 B.2.3)
+        if len(scomps) != 1:
+            raise ValueError("jpeg: interleaved AC scan is invalid")
+        cid = scomps[0]
+        ci, c = by_id[cid]
+        ac_tab = huff[(1, sel[cid][1])]
+        nbw = -(--(-frame["w"] * c["h"] // hmax) // 8)
+        nbh = -(--(-frame["h"] * c["v"] // vmax) // 8)
+        grid = pstores[ci]
+        eobrun = 0
+        nblk = 0
+        for byy in range(nbh):
+            for bxx in range(nbw):
+                if restart and nblk and nblk % restart == 0:
+                    br.align_to_marker()
+                    eobrun = 0
+                nblk += 1
+                blk = grid[byy, bxx]
+                if ah == 0:  # G.1.2.2: first scan of this band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(br, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC run past band end")
+                        blk[k] = _extend(br.read(s), s) << al
+                        k += 1
+                else:  # G.1.2.3: refinement of this band
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_decode(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read(r)
+                                    break
+                                val = 0  # ZRL: skip 16 zero-history slots
+                            elif s == 1:
+                                val = p1 if br.read(1) else m1
+                            else:
+                                raise ValueError(
+                                    "jpeg: AC refinement size > 1")
+                            while k <= se:
+                                if blk[k] != 0:
+                                    refine_nonzero(blk, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if blk[k] != 0:
+                                refine_nonzero(blk, k)
+                            k += 1
+                        eobrun -= 1
+    # find the next true marker after the entropy data (skip stuffed 0xFF00
+    # and RSTn) -- independent of the bit reader's lookahead state
+    i = pos
+    dd = d
+    while i + 1 < len(dd):
+        if dd[i] == 0xFF and dd[i + 1] != 0x00 \
+                and not (0xD0 <= dd[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(dd)
+
+
+def _finish_progressive(frame, qt, pstores):
+    """All scans read: dequantize + IDCT each component grid (already in
+    plane block order), upsample, crop — same tail math as the baseline."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        grid = pstores[ci]
+        bh, bw = grid.shape[:2]
+        z = grid.reshape(-1, 64)[:, UNZIGZAG] * qt[c["tq"]][np.newaxis, :]
+        b = z.reshape(-1, 8, 8).astype(np.float64)
+        p = np.einsum("ji,njk,kl->nil", _T, b, _T) + 128.0
+        plane = (p.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])

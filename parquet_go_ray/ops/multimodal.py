@@ -4,12 +4,12 @@ Image/audio/video payloads are opaque ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample stages are actor-pool
 ``map_batches`` classes. Formats the container can represent decode FOR REAL
 with pure numpy/stdlib kernels: BMP, PNG (zlib inflate + unfilter) and PCM
-WAV (``functions/imagecodec.py``), plus baseline JPEG — full T.81 sequential
-process with 4:4:4/4:2:2/4:2:0 subsampling and restart markers
-(``functions/jpegcodec.py``) — including a real pixel resize
-(``ResizeImageReal``). Formats that require external codec libraries
-(MP3/FLAC, video codecs, progressive JPEG) raise ``NotImplementedError`` —
-an honest capability gate, exercised in tests. ``fake=True`` keeps the
+WAV (``functions/imagecodec.py``), plus baseline AND progressive JPEG —
+full T.81 sequential + progressive (SOF2) processes with 4:4:4/4:2:2/4:2:0
+subsampling and restart markers (``functions/jpegcodec.py``) — including a
+real pixel resize (``ResizeImageReal``). Formats that require external
+codec libraries (MP3/FLAC, video codecs, arithmetic-coded JPEG) raise
+``NotImplementedError`` — an honest capability gate, exercised in tests. ``fake=True`` keeps the
 deterministic synthetic FIMG/FAUD parsers for plumbing-scale tests.
 
 Synthetic payload layout (``make_fake_image_payload``):
@@ -356,7 +356,10 @@ def make_real_image_table(n: int, seed: int = 0, fmt: str = "png") -> pa.Table:
 
             payloads.append(encode_jpeg(
                 px[:, :, 0] if ch == 1 else px, quality=92,
-                subsampling=str(rng.choice(["4:4:4", "4:2:2", "4:2:0"]))))
+                subsampling=str(rng.choice(["4:4:4", "4:2:2", "4:2:0"])),
+                # half the fixtures are progressive (SOF2): the decode stage
+                # must handle both processes transparently
+                progressive=bool(rng.integers(0, 2))))
         else:
             payloads.append(ic.encode_png(
                 px, filter_type=int(rng.integers(0, 3))))

@@ -689,6 +689,23 @@ def q_multimodal_real_decode(sf_dir):
         got = int(np.argmax(np.asarray(feats.logmel[i])))
         assert abs(got - expect) <= 1, (f, got, expect)
 
+    # REAL MP4 demux: mux raw-RGB24 tracks (+ opaque mp4a tracks), sample
+    # every 2nd frame through the actor stage, assert counts and exact
+    # per-frame pixel means against direct numpy decode of the fixtures
+    from ..ops.multimodal import demux_video_frames, make_real_video_table
+
+    vids = make_real_video_table(12, seed=17)
+    vout = (demux_video_frames(rd.from_arrow(vids), every=2)
+            .to_pandas().sort_values(["video_id", "frame_index"])
+            .reset_index(drop=True))
+    nf = np.asarray(vids.column("n_frames"))
+    assert (vout.groupby("video_id").size().to_numpy()
+            == (nf + 1) // 2).all(), "frame sampling count mismatch"
+    assert (vout.codec == "raw ").all()
+    for _, row in vout.iloc[[0, len(vout) // 2, len(vout) - 1]].iterrows():
+        px = np.frombuffer(row.frame, dtype=np.uint8)
+        assert abs(row.mean_intensity - px.mean()) < 1e-9
+
     merged = out[["image_id", "width", "height", "mean_intensity"]].join(
         aout[["n_samples", "rms"]])
     return merged

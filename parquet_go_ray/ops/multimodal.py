@@ -4,11 +4,14 @@ Image/audio/video payloads are opaque ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample stages are actor-pool
 ``map_batches`` classes. Formats the container can represent decode FOR REAL
 with pure numpy/stdlib kernels: BMP, PNG (zlib inflate + unfilter) and PCM
-WAV (``functions/imagecodec.py``), plus baseline AND progressive JPEG —
-full T.81 sequential + progressive (SOF2) processes with 4:4:4/4:2:2/4:2:0
-subsampling and restart markers (``functions/jpegcodec.py``) — including a
-real pixel resize (``ResizeImageReal``). Formats that require external
-codec libraries (MP3/FLAC, video codecs, arithmetic-coded JPEG) raise
+WAV (``functions/imagecodec.py``), lossless FLAC — fixed-predictor + Rice
+encode, full decode incl. LPC and all stereo decorrelation modes
+(``functions/flaccodec.py``), baseline AND progressive JPEG — full T.81
+sequential + progressive (SOF2) processes with 4:4:4/4:2:2/4:2:0
+subsampling and restart markers (``functions/jpegcodec.py``) — a real
+ISO-BMFF/MP4 container demux (``functions/mp4box.py``), and a real pixel
+resize (``ResizeImageReal``). Formats that require external codec
+libraries (MP3, video frame codecs, arithmetic-coded JPEG) raise
 ``NotImplementedError`` — an honest capability gate, exercised in tests. ``fake=True`` keeps the
 deterministic synthetic FIMG/FAUD parsers for plumbing-scale tests.
 
@@ -390,10 +393,20 @@ class DecodeAudio:
                 if samples.size:
                     s = samples.astype(np.float64)
                     rms[i] = float(np.sqrt((s * s).mean()))
+            elif head == b"fLaC":
+                from ..functions.flaccodec import decode_flac
+
+                samples, sr, _bps = decode_flac(buf)
+                rate[i] = sr
+                nsamp[i] = samples.shape[0]
+                if samples.size:
+                    s = samples.astype(np.float64)
+                    rms[i] = float(np.sqrt((s * s).mean()))
             elif head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3"):
                 raise NotImplementedError(
                     "MP3 decode requires an external codec library "
-                    "(not in this container); PCM WAV decodes for real")
+                    "(not in this container); PCM WAV and FLAC decode "
+                    "for real")
             else:
                 raise ValueError(f"unrecognized audio payload (head={head!r})")
         return pa.table({"audio_id": batch.column("audio_id"),
@@ -471,17 +484,25 @@ def make_real_image_table(n: int, seed: int = 0, fmt: str = "png") -> pa.Table:
 
 
 def make_real_audio_table(n: int, seed: int = 0) -> pa.Table:
-    """(audio_id, payload, sample_rate) with REAL PCM WAV payloads."""
+    """(audio_id, payload, sample_rate) with REAL audio payloads — a mix of
+    PCM WAV and lossless FLAC (every third row), so the decode stage
+    exercises both real paths."""
+    from ..functions.flaccodec import encode_flac
     from ..functions.imagecodec import encode_wav
 
     rng = np.random.default_rng(seed)
     payloads, rates = [], []
-    for _ in range(n):
+    for i in range(n):
         sr = int(rng.choice([8000, 16000, 44100]))
         cnt = int(rng.integers(64, 512))
         ch = int(rng.choice([1, 2]))
         pcm = rng.integers(-32768, 32767, (cnt, ch)).astype(np.int16)
-        payloads.append(encode_wav(pcm, sr))
+        if i % 3 == 2:
+            payloads.append(encode_flac(
+                pcm.astype(np.int64), sr,
+                stereo="mid_side" if ch == 2 and i % 2 else "independent"))
+        else:
+            payloads.append(encode_wav(pcm, sr))
         rates.append(sr)
     return pa.table({"audio_id": pa.array(np.arange(n)),
                      "payload": pa.array(payloads, type=pa.binary()),

@@ -674,8 +674,14 @@ def test_real_audio_decode_wav(ray_session):
            .to_pandas().sort_values("audio_id").reset_index(drop=True))
     assert (out.sample_rate.to_numpy()
             == t.column("sample_rate").to_numpy()).all()
-    for i in (0, 11, 24):
-        samples, sr = decode_wav(t.column("payload")[i].as_py())
+    from parquet_go_ray.functions.flaccodec import decode_flac
+
+    for i in (0, 11, 24):  # fixture mixes WAV and FLAC; check both kernels
+        payload = t.column("payload")[i].as_py()
+        if payload[:4] == b"fLaC":
+            samples, sr, _bps = decode_flac(payload)
+        else:
+            samples, sr = decode_wav(payload)
         s = samples.astype(np.float64)
         assert abs(out.rms[i] - np.sqrt((s * s).mean())) < 1e-9
         assert out.n_samples[i] == samples.shape[0]

@@ -134,22 +134,20 @@ class _BR:
 
 
 def _utf8_coded(n: int) -> bytes:
-    """FLAC's UTF-8-style coded number (frame index)."""
+    """FLAC's UTF-8-style coded number (frame index): ``nbytes`` leading
+    ones then a zero in the lead byte, 6-bit ``10xxxxxx`` continuations —
+    capacity ``7 - nbytes + 6*(nbytes-1)`` bits (11 at 2 bytes ... 36 at
+    7)."""
     if n < 0x80:
         return bytes([n])
-    out = []
-    bits = n.bit_length()
-    nbytes = 2
-    while bits > 5 * nbytes + (7 - nbytes) - 1 and nbytes < 7:
-        nbytes += 1
-    # simpler: find smallest nbytes with capacity
     for nbytes in range(2, 8):
-        if n < (1 << (6 - nbytes + 5 * nbytes)):
+        if n < (1 << (7 - nbytes + 6 * (nbytes - 1))):
             break
-    lead = (0xFF << (8 - nbytes - 1)) & 0xFF
+    else:
+        raise ValueError(f"flac: coded number {n} exceeds 36 bits")
     shift = 6 * (nbytes - 1)
-    out.append(lead | (n >> shift))
-    for i in range(nbytes - 1):
+    out = [((0xFF << (8 - nbytes)) & 0xFF) | (n >> shift)]
+    for _ in range(nbytes - 1):
         shift -= 6
         out.append(0x80 | ((n >> shift) & 0x3F))
     return bytes(out)
@@ -249,6 +247,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int, *, bps: int = 16,
         raise ValueError("flac supports at most 8 channels")
     if stereo == "mid_side" and nch != 2:
         raise ValueError("mid_side needs exactly 2 channels")
+    if not 16 <= block_size <= 65535:
+        raise ValueError("flac: block_size must be in [16, 65535]")
     lim = 1 << (bps - 1)
     s = s.astype(np.int64)
     if s.min() < -lim or s.max() >= lim:
@@ -320,8 +320,8 @@ def _read_residual(br: _BR, n: int, order: int) -> np.ndarray:
     escape = (1 << pbits) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    if n % nparts or (n >> porder) <= order and porder == 0 and False:
-        pass
+    if (n >> porder) << porder != n:
+        raise ValueError("flac: block size not divisible by partitions")
     res = np.empty(n - order, dtype=np.int64)
     idx = 0
     for part in range(nparts):

@@ -280,14 +280,15 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
         ))
         # lexsort keys: last is primary -> (mcu_row, mcu_col, v, h)
         coefs.append(qz[order].reshape(-1, 64)[:, ZIGZAG])
-        inv = np.empty(len(order), dtype=np.int64)
-        inv[order] = np.arange(len(order))
-        inv_order.append(inv)
-        # non-interleaved scans cover the component's OWN extent, not the
-        # MCU-padded grid (T.81 A.2.2)
-        cw = -(-w * chs // hmax)
-        ch_ = -(-h * cvs // vmax)
-        grid_dims.append((bw, want_h // 8, -(-cw // 8), -(-ch_ // 8)))
+        if progressive:  # only the progressive scan script consumes these
+            inv = np.empty(len(order), dtype=np.int64)
+            inv[order] = np.arange(len(order))
+            inv_order.append(inv)
+            # non-interleaved scans cover the component's OWN extent, not
+            # the MCU-padded grid (T.81 A.2.2)
+            cw = -(-w * chs // hmax)
+            ch_ = -(-h * cvs // vmax)
+            grid_dims.append((bw, want_h // 8, -(-cw // 8), -(-ch_ // 8)))
 
     dc_specs = [DC_LUMA_SPEC, DC_CHROMA_SPEC]
     ac_specs = [AC_LUMA_SPEC, AC_CHROMA_SPEC]

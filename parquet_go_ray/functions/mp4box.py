@@ -62,8 +62,10 @@ def mux_mp4(tracks: list[dict]) -> bytes:
     movie_dur = 0
     for ti, t in enumerate(tracks):
         n = len(t["samples"])
-        dur = n * t["delta"]
-        movie_dur = max(movie_dur, dur)
+        dur = n * t["delta"]  # in the track's OWN timescale (mdhd)
+        # mvhd/tkhd durations are in the MOVIE timescale (1000)
+        dur_movie = dur * 1000 // t["timescale"]
+        movie_dur = max(movie_dur, dur_movie)
         codec = t["codec"].encode("ascii")
         if len(codec) != 4:
             raise ValueError(f"codec fourcc must be 4 chars, got {t['codec']!r}")
@@ -109,7 +111,7 @@ def mux_mp4(tracks: list[dict]) -> bytes:
         wh = (struct.pack(">II", (t.get("width", 0)) << 16,
                           (t.get("height", 0)) << 16))
         tkhd = _full(b"tkhd", 0, 7, struct.pack(
-            ">IIIII", 0, 0, ti + 1, 0, dur) + b"\x00" * 8
+            ">IIIII", 0, 0, ti + 1, 0, dur_movie) + b"\x00" * 8
             + struct.pack(">hhhh", 0, 0, 0 if is_video else 0x0100, 0)
             + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                           0x40000000) + wh)
@@ -193,6 +195,8 @@ def _demux_mp4(data) -> list[dict]:
             timescale, duration = _u32(buf, mb + 16), _u64(buf, mb + 20)
         else:
             timescale, duration = _u32(buf, mb + 8), _u32(buf, mb + 12)
+        hdlr = _find(buf, *mdia, b"hdlr")
+        handler = bytes(buf[hdlr[0] + 8:hdlr[0] + 12]) if hdlr else b""
         minf = _find(buf, *mdia, b"minf")
         stbl = minf and _find(buf, *minf, b"stbl")
         if not stbl:
@@ -212,8 +216,12 @@ def _demux_mp4(data) -> list[dict]:
         if entry is None:
             raise ValueError("mp4: stsd without sample entry")
         codec = entry[0].decode("ascii", "replace")
+        # width/height live at sample-entry offset 24 only for VIDEO tracks
+        # (an AudioSampleEntry has samplerate<<16 there) — dispatch on the
+        # hdlr handler type, never on entry length
         width = height = 0
-        if entry[2] - entry[1] >= 28:
+        is_video = handler == b"vide"
+        if is_video and entry[2] - entry[1] >= 28:
             width = struct.unpack_from(">H", buf, entry[1] + 24)[0]
             height = struct.unpack_from(">H", buf, entry[1] + 26)[0]
 
@@ -221,6 +229,11 @@ def _demux_mp4(data) -> list[dict]:
         _v, zb, ze = _full_payload(buf, *boxes[b"stsz"])
         fixed, count = _u32(buf, zb), _u32(buf, zb + 4)
         if fixed:
+            # validate BEFORE allocating count-sized structures: a crafted
+            # 32-bit count would otherwise exhaust memory from a tiny file
+            if fixed * count > n:
+                raise ValueError(
+                    f"mp4: stsz claims {count} x {fixed} B > file size")
             sizes = [fixed] * count
         else:
             if ze - zb - 8 < 4 * count:
@@ -261,6 +274,9 @@ def _demux_mp4(data) -> list[dict]:
             raise ValueError("mp4: stsc shorter than entry count")
         runs = [(_u32(buf, scb + 4 + 12 * i), _u32(buf, scb + 8 + 12 * i))
                 for i in range(n_runs)]  # (first_chunk 1-based, per_chunk)
+        for ri, (first, _per) in enumerate(runs):
+            if first < 1 or (ri and first <= runs[ri - 1][0]):
+                raise ValueError("mp4: stsc first_chunk not increasing")
         samples = []
         si = 0
         for ri, (first, per) in enumerate(runs):
@@ -281,7 +297,8 @@ def _demux_mp4(data) -> list[dict]:
         if si != count:
             raise ValueError(
                 f"mp4: sample tables cover {si} of {count} samples")
-        tracks.append({"codec": codec, "timescale": timescale,
+        tracks.append({"codec": codec, "handler": handler.decode("ascii", "replace"),
+                       "timescale": timescale,
                        "duration": duration, "width": width,
                        "height": height, "samples": samples,
                        "deltas": deltas})

@@ -99,3 +99,31 @@ def test_decode_audio_stage_mixes_wav_and_flac(ray_session):
     assert (out.sample_rate.to_numpy()
             == np.asarray(auds.column("sample_rate"))).all()
     assert (out.n_samples.to_numpy() > 0).all()
+
+
+def test_long_stream_frame_numbers_roundtrip():
+    """Review finding: the UTF-8-style coded frame number was spec-invalid
+    for indices >= 128, so any stream past 128 frames failed its own decode
+    (~12 s of 44.1 kHz audio at the default block size). Pin a 130-frame
+    stream plus the raw coded-number helper across the capacity ladder."""
+    from parquet_go_ray.functions.flaccodec import (_BR, _read_utf8_coded,
+                                                    _utf8_coded)
+
+    sig = (np.arange(256 * 130)[:, None] % 1000).astype(np.int64)
+    out, _, _ = decode_flac(encode_flac(sig, 8000, block_size=256))
+    np.testing.assert_array_equal(out, sig)
+    for n in (0, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 36) - 1):
+        assert _read_utf8_coded(_BR(_utf8_coded(n))) == n
+    with pytest.raises(ValueError, match="36 bits"):
+        _utf8_coded(1 << 36)
+
+
+def test_block_size_contract():
+    sig = np.zeros((100, 1), dtype=np.int64)
+    for bad in (8, 65536, 70000):
+        with pytest.raises(ValueError, match="block_size"):
+            encode_flac(sig, 8000, block_size=bad)
+    out, _, _ = decode_flac(encode_flac(
+        np.arange(65535 * 2)[:, None].astype(np.int64) % 500, 8000,
+        block_size=65535))
+    assert out.shape[0] == 65535 * 2

@@ -101,3 +101,61 @@ def test_demux_video_frames_stage(ray_session):
         "video_id": pa.array([0]), "payload": pa.array([unk], pa.binary())}))
     assert got.column("frame").to_pylist() == [b"zz"]
     assert np.isnan(got.column("mean_intensity").to_pylist()[0])
+
+
+def test_audio_only_file_is_not_classified_video():
+    """Review finding: AudioSampleEntry bytes 24-27 hold samplerate<<16 —
+    width/height must come from hdlr-dispatched parsing, never entry
+    length, or an mp4a track reads width=48000 and masquerades as video."""
+    aud = [b"x" * 8 for _ in range(3)]
+    b = mux_mp4([{"codec": "mp4a", "timescale": 48000, "delta": 1024,
+                  "samples": aud}])
+    (t,) = demux_mp4(b)
+    assert t["handler"] == "soun"
+    assert t["width"] == 0 and t["height"] == 0
+    from parquet_go_ray.ops.multimodal import DemuxVideoFrames
+
+    tbl = pa.table({"video_id": pa.array([0]),
+                    "payload": pa.array([b], pa.binary())})
+    with pytest.raises(ValueError, match="no video track"):
+        DemuxVideoFrames(every=1)(tbl)
+
+
+def test_stsz_fixed_count_bounded_by_file_size():
+    """Review finding: a crafted fixed-size stsz count must be rejected
+    BEFORE any count-sized allocation (memory-exhaustion DoS)."""
+    import struct
+
+    b = bytearray(mux_mp4([{"codec": "raw ", "timescale": 30, "delta": 1,
+                            "samples": [b"abc"] * 4, "width": 1,
+                            "height": 1}]))
+    i = bytes(b).find(b"stsz")
+    b[i + 8:i + 16] = struct.pack(">II", 10, 30_000_000)  # fixed=10, huge n
+    with pytest.raises(ValueError, match="stsz"):
+        demux_mp4(bytes(b))
+
+
+def test_stsc_first_chunk_zero_rejected():
+    """Review finding: first_chunk=0 negative-indexed the chunk table and
+    silently read the wrong chunk's bytes."""
+    import struct
+
+    b = bytearray(mux_mp4([{"codec": "raw ", "timescale": 30, "delta": 1,
+                            "samples": [b"abc"] * 4, "width": 1,
+                            "height": 1}]))
+    i = bytes(b).find(b"stsc")
+    b[i + 12:i + 16] = struct.pack(">I", 0)  # first_chunk = 0
+    with pytest.raises(ValueError, match="first_chunk"):
+        demux_mp4(bytes(b))
+
+
+def test_movie_duration_in_movie_timescale():
+    # 4 samples x 1024 ticks @ 48 kHz = 85 ms -> mvhd (timescale 1000)
+    # must say ~85, not 4096
+    import struct
+
+    b = mux_mp4([{"codec": "mp4a", "timescale": 48000, "delta": 1024,
+                  "samples": [b"x"] * 4}])
+    i = b.find(b"mvhd")
+    ts, dur = struct.unpack_from(">II", b, i + 4 + 12)
+    assert ts == 1000 and dur == 4 * 1024 * 1000 // 48000

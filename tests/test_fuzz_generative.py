@@ -12,7 +12,8 @@ Two input families per parser:
 The contract under fuzz is the same as the frozen corpus: a clean parse
 error (ValueError & friends) or a well-formed-but-wrong value is fine;
 MemoryError, SystemError, segfaults, hangs and unbounded allocation are the
-bugs being hunted. Budgeted to stay well under a minute of CI time.
+bugs being hunted. Budgeted to stay within ~1-2 minutes of CI time
+(the round-5 media decoders run a full parse per example).
 
 Any crasher hypothesis finds gets FROZEN as a deterministic regression in
 tests/test_fuzz.py (none outstanding).
@@ -196,3 +197,80 @@ def test_for_mutated(idx, mut):
 @given(st.binary(max_size=120), st.integers(0, 64), st.integers(0, 4000))
 def test_bitpack_soup(blob, width, count):
     _expect_clean(lambda: bitpack.unpack(blob, width, count))
+
+
+# ------------------------------------------- round-5 media-codec parsers
+
+def _flac_valid() -> bytes:
+    from parquet_go_ray.functions.flaccodec import encode_flac
+
+    t = np.arange(2000) / 8000
+    sig = (4000 * np.sin(2 * np.pi * 250 * t)).astype(np.int64)[:, None]
+    return encode_flac(sig, 8000, block_size=512)
+
+
+def _mp4_valid() -> bytes:
+    from parquet_go_ray.functions.mp4box import mux_mp4
+
+    fr = [bytes([i % 251]) * 12 for i in range(6)]
+    return mux_mp4([{"codec": "raw ", "timescale": 30, "delta": 1,
+                     "samples": fr, "width": 2, "height": 2}])
+
+
+def _jpeg_valid(progressive: bool) -> bytes:
+    from parquet_go_ray.functions.jpegcodec import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    return encode_jpeg(img, quality=80, progressive=progressive)
+
+
+_FLAC_POOL = [_flac_valid()]
+# media decoders run a full parse per example (entropy loops): smaller
+# example budget keeps the whole fuzz suite inside CI time
+FUZZ_MEDIA = dict(FUZZ, max_examples=50)
+_MP4_POOL = [_mp4_valid()]
+_JPEG_POOL = [_jpeg_valid(False), _jpeg_valid(True)]
+
+
+@settings(**FUZZ_MEDIA)
+@given(st.binary(max_size=300))
+def test_flac_soup(blob):
+    from parquet_go_ray.functions.flaccodec import decode_flac
+
+    _expect_clean(lambda: decode_flac(b"fLaC" + blob))
+
+
+@settings(**FUZZ_MEDIA)
+@given(mutation)
+def test_flac_mutated(mut):
+    from parquet_go_ray.functions.flaccodec import decode_flac
+
+    blob = _mutate(_FLAC_POOL[0], *mut)
+    _expect_clean(lambda: decode_flac(blob))
+
+
+@settings(**FUZZ_MEDIA)
+@given(st.binary(max_size=300))
+def test_mp4_soup(blob):
+    from parquet_go_ray.functions.mp4box import demux_mp4
+
+    _expect_clean(lambda: demux_mp4(blob))
+
+
+@settings(**FUZZ_MEDIA)
+@given(mutation)
+def test_mp4_mutated(mut):
+    from parquet_go_ray.functions.mp4box import demux_mp4
+
+    blob = _mutate(_MP4_POOL[0], *mut)
+    _expect_clean(lambda: demux_mp4(blob))
+
+
+@settings(**FUZZ_MEDIA)
+@given(st.integers(0, 1), mutation)
+def test_jpeg_mutated(which, mut):
+    from parquet_go_ray.functions.jpegcodec import decode_jpeg
+
+    blob = _mutate(_JPEG_POOL[which], *mut)
+    _expect_clean(lambda: decode_jpeg(blob))

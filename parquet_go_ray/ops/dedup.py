@@ -27,6 +27,30 @@ from ..pipelines.encode import _default_concurrency, _stable_hash
 DEFAULT_SHUFFLE_PARTITIONS = 64
 
 
+def _require_int_ids(ds, id_col: str, op: str) -> None:
+    """The near-dedup pair sources and connected-components clustering carry
+    ids through numpy int64 throughout (pair shuffles, hash-min label
+    propagation) — a string id corpus would crash deep in the chain with an
+    opaque numpy error. Fail fast at the entry point with guidance instead.
+    Metadata-only check: reads the Dataset schema, never the data."""
+    import pyarrow.types as pt
+
+    sch = ds.schema()
+    names = list(sch.names)
+    if id_col not in names:
+        raise ValueError(f"{op}: no column {id_col!r} in {names}")
+    typ = sch.types[names.index(id_col)]  # pa.DataType or numpy dtype
+    ok = pt.is_integer(typ) if isinstance(typ, pa.DataType) \
+        else np.issubdtype(np.dtype(typ), np.integer)
+    if not ok:
+        raise ValueError(
+            f"{op} requires an INTEGER {id_col!r} (got {typ}); the "
+            "pair shuffles and cluster label propagation run on int64 ids. "
+            "Attach one first — e.g. deterministic_shuffle_rank's "
+            "shuffle_pos, a row number, or a 64-bit hash of the string id "
+            "— and map back after.")
+
+
 def dedup_exact(ds, col: str = "text", id_col: str = "doc_id",
                 num_partitions: int = DEFAULT_SHUFFLE_PARTITIONS):
     """Keep the min-id row per distinct value of ``col``.
@@ -43,7 +67,11 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id",
     text side down to candidate members, then attaches text via a
     hash-partitioned join and groups by exact content — so total text
     movement really is O(duplicates), not O(corpus).
+
+    Requires an integer ``id_col`` (the broadcast membership filter and the
+    min-id reduction run on int64 ids) — fails fast otherwise.
     """
+    _require_int_ids(ds, id_col, "dedup_exact")
     import pyarrow.compute as pc
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -235,6 +263,7 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16, k: int =
     self-merge per partition. Cross-partition duplicate pairs are removed by a
     second tiny shuffle keyed the same way on doc_a.
     """
+    _require_int_ids(ds, id_col, "minhash_candidate_pairs")
     conc = concurrency or _default_concurrency()
     sigs = ds.map_batches(
         MinHasher,
@@ -487,6 +516,7 @@ def simhash_candidate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
     """SimHash near-dup over text: 64-bit SimHash per doc, then the shared
     banded-Hamming LSH (``hamming_candidate_pairs`` — with max_hamming=3
     that is the classic 4x16-bit banding)."""
+    _require_int_ids(ds, id_col, "simhash_candidate_pairs")
     conc = concurrency or _default_concurrency()
     sigs = ds.map_batches(SimHasher,
                           fn_constructor_kwargs={"id_col": id_col,
@@ -1120,6 +1150,7 @@ def embedding_neardup_lsh(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
     probabilities force L beyond any budget — use the exact blocked join.
     Skewed buckets (a hot near-dup cluster) bound one group's GEMM; salt or
     raise ``bits`` if a single bucket exceeds worker memory."""
+    _require_int_ids(ds_emb, id_col, "embedding_neardup_lsh")
     if bits is None or tables is None:
         auto_b, auto_l = _lsh_geometry(tau, target_recall)
         bits = bits if bits is not None else auto_b

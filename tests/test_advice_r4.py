@@ -125,3 +125,35 @@ def test_bpe_roundtrip_with_null_mixed_batch(ray_session):
     rt = decode_bpe_column(t, model=model).column("text_rt").to_pylist()
     want = whitespace_normalize(pa.array(texts)).to_pylist()
     assert rt == want
+
+
+# ---------------- round-5 review: string ids fail fast, not deep in numpy
+def test_near_dedup_requires_integer_ids(ray_session):
+    """The pair sources and connected-components chain carry ids as int64
+    (pair shuffles, hash-min labels, broadcast membership filters); a
+    string-id corpus used to crash deep in the chain with an opaque numpy
+    error. Entry points now fail fast with guidance."""
+    import ray.data as rd
+
+    from parquet_go_ray.ops.dedup import (dedup_exact,
+                                          minhash_candidate_pairs,
+                                          simhash_candidate_pairs)
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["x y z"] * 2 + ["p q r"] * 2}))
+    with pytest.raises(ValueError, match="INTEGER 'doc_id'"):
+        minhash_candidate_pairs(ds)
+    with pytest.raises(ValueError, match="INTEGER 'doc_id'"):
+        simhash_candidate_pairs(ds)
+    # exact dedup's second pass runs the same int64 membership filter
+    with pytest.raises(ValueError, match="INTEGER 'doc_id'"):
+        dedup_exact(ds)
+
+    from parquet_go_ray.ops.dedup import embedding_neardup_lsh
+
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": ["v1", "v2"],
+        "embedding": [np.ones(4, np.float32)] * 2}))
+    with pytest.raises(ValueError, match="INTEGER 'vec_id'"):
+        embedding_neardup_lsh(emb, tau=0.9)

@@ -9,11 +9,13 @@ encode, full decode incl. LPC and all stereo decorrelation modes
 (``functions/flaccodec.py``), baseline AND progressive JPEG — full T.81
 sequential + progressive (SOF2) processes with 4:4:4/4:2:2/4:2:0
 subsampling and restart markers (``functions/jpegcodec.py``) — a real
-ISO-BMFF/MP4 container demux (``functions/mp4box.py``), and a real pixel
-resize (``ResizeImageReal``). Formats that require external codec
-libraries (MP3, video frame codecs, arithmetic-coded JPEG) raise
-``NotImplementedError`` — an honest capability gate, exercised in tests. ``fake=True`` keeps the
-deterministic synthetic FIMG/FAUD parsers for plumbing-scale tests.
+ISO-BMFF/MP4 container demux (``functions/mp4box.py``) whose Motion-JPEG
+video tracks (``jpeg``/``mjpa``) decode to pixels for real via the JPEG
+codec, and a real pixel resize (``ResizeImageReal``). Formats that require
+external codec libraries (MP3, inter-frame video codecs like avc1/hev1,
+arithmetic-coded JPEG) raise ``NotImplementedError`` — an honest capability
+gate, exercised in tests. ``fake=True`` keeps the deterministic synthetic
+FIMG/FAUD parsers for plumbing-scale tests.
 
 Synthetic payload layout (``make_fake_image_payload``):
     magic b"FIMG" | width:u16 | height:u16 | channels:u8 | seed:u32 | blob
@@ -243,20 +245,32 @@ class SampleFrames:
 def make_real_video_table(n: int, seed: int = 0, *, frames_lo: int = 3,
                           frames_hi: int = 10) -> pa.Table:
     """(video_id, payload, n_frames, width, height) with REAL MP4 payloads:
-    a ``raw `` RGB24 video track (deterministic random pixels) and an
-    ``mp4a`` audio track whose samples are opaque bytes — exercises the
-    genuine ISO-BMFF demux path end-to-end; the raw frames decode exactly."""
+    a video track — ``raw `` RGB24 or, every third fixture, Motion-JPEG
+    (``jpeg`` sample entry, each sample a standalone baseline JPEG from the
+    in-repo T.81 encoder) — plus, for half the fixtures, an ``mp4a`` audio
+    track whose samples are opaque bytes. Exercises the genuine ISO-BMFF
+    demux path end-to-end; raw frames decode exactly, MJPEG frames decode
+    bit-identically to a direct ``decode_jpeg`` of the same sample."""
+    from ..functions.jpegcodec import encode_jpeg
     from ..functions.mp4box import mux_mp4
 
     rng = np.random.default_rng(seed)
     payloads, nfs, ws, hs = [], [], [], []
-    for _ in range(n):
+    for vi in range(n):
         w = int(rng.integers(4, 17))
         h = int(rng.integers(4, 17))
         nf = int(rng.integers(frames_lo, frames_hi))
-        frames = [rng.integers(0, 256, h * w * 3, dtype=np.uint8).tobytes()
-                  for _ in range(nf)]
-        tracks = [{"codec": "raw ", "timescale": 30, "delta": 1,
+        if vi % 3 == 2:  # Motion-JPEG track: samples are complete JPEGs
+            frames = [encode_jpeg(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                quality=90, subsampling="4:4:4") for _ in range(nf)]
+            codec = "jpeg"
+        else:
+            frames = [rng.integers(0, 256, h * w * 3,
+                                   dtype=np.uint8).tobytes()
+                      for _ in range(nf)]
+            codec = "raw "
+        tracks = [{"codec": codec, "timescale": 30, "delta": 1,
                    "samples": frames, "width": w, "height": h}]
         if rng.integers(0, 2):  # half the fixtures carry an audio track too
             tracks.append({
@@ -279,16 +293,22 @@ class DemuxVideoFrames:
     """Actor stage: REAL ISO-BMFF (MP4) demux — every k-th sample of the
     first VIDEO track -> (video_id, frame_index, codec, frame, mean_intensity)
     rows. The container walk (stsz/stts/stsc/stco) is real for any MP4;
-    pixel decode is real for the self-describing ``raw `` RGB24 entry and an
-    honest ``NotImplementedError`` gate for external-codec tracks
-    (avc1/hev1/...) — no av libraries in this container."""
+    pixel decode is real for the self-describing ``raw `` RGB24 entry AND
+    for Motion-JPEG tracks (``jpeg``/``mjpa`` sample entries, whose samples
+    are standalone T.81 JPEG images — decoded by ``functions/jpegcodec``,
+    emitted as raw interleaved pixels so the ``frame`` column has one
+    contract for both codecs). Inter-frame-predicted external codecs
+    (avc1/hev1/...) stay an honest ``NotImplementedError`` gate — no av
+    libraries in this container."""
 
     def __init__(self, every: int = 2, payload_col: str = "payload"):
+        from ..functions.jpegcodec import decode_jpeg
         from ..functions.mp4box import demux_mp4
 
         self.every = every
         self.payload_col = payload_col
         self._demux = demux_mp4
+        self._decode_jpeg = decode_jpeg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         arr = batch.column(self.payload_col).combine_chunks().cast(pa.binary())
@@ -307,6 +327,18 @@ class DemuxVideoFrames:
                     if len(px) != t["width"] * t["height"] * 3:
                         raise ValueError("mp4: raw frame size mismatch")
                     mean = float(px.mean()) if len(px) else 0.0
+                elif t["codec"] in ("jpeg", "mjpa"):
+                    # Motion-JPEG: each sample is a complete JPEG image —
+                    # decode with the in-repo T.81 codec and emit raw pixels
+                    # (grayscale frames come out as one plane)
+                    px = self._decode_jpeg(s)
+                    if t["width"] and t["height"] and px.shape[:2] != (
+                            t["height"], t["width"]):
+                        raise ValueError(
+                            f"mp4: jpeg frame {px.shape[:2]} != track dims "
+                            f"({t['height']}, {t['width']})")
+                    mean = float(px.mean()) if px.size else 0.0
+                    s = px.tobytes()
                 elif t["codec"] in ("avc1", "avc3", "hev1", "hvc1", "vp09",
                                     "av01"):
                     raise NotImplementedError(

@@ -689,9 +689,12 @@ def q_multimodal_real_decode(sf_dir):
         got = int(np.argmax(np.asarray(feats.logmel[i])))
         assert abs(got - expect) <= 1, (f, got, expect)
 
-    # REAL MP4 demux: mux raw-RGB24 tracks (+ opaque mp4a tracks), sample
-    # every 2nd frame through the actor stage, assert counts and exact
-    # per-frame pixel means against direct numpy decode of the fixtures
+    # REAL MP4 demux: mux raw-RGB24 AND Motion-JPEG tracks (+ opaque mp4a
+    # tracks), sample every 2nd frame through the actor stage, assert
+    # counts, exact per-frame pixel means, and bit-identity of the stage's
+    # MJPEG pixels against a direct decode_jpeg of the demuxed sample
+    from ..functions.jpegcodec import decode_jpeg
+    from ..functions.mp4box import demux_mp4
     from ..ops.multimodal import demux_video_frames, make_real_video_table
 
     vids = make_real_video_table(12, seed=17)
@@ -701,10 +704,15 @@ def q_multimodal_real_decode(sf_dir):
     nf = np.asarray(vids.column("n_frames"))
     assert (vout.groupby("video_id").size().to_numpy()
             == (nf + 1) // 2).all(), "frame sampling count mismatch"
-    assert (vout.codec == "raw ").all()
+    assert set(vout.codec) == {"raw ", "jpeg"}
     for _, row in vout.iloc[[0, len(vout) // 2, len(vout) - 1]].iterrows():
         px = np.frombuffer(row.frame, dtype=np.uint8)
         assert abs(row.mean_intensity - px.mean()) < 1e-9
+    jrow = vout[vout.codec == "jpeg"].iloc[0]
+    jtrack = demux_mp4(vids.column("payload")[
+        int(jrow.video_id)].as_py())[0]
+    assert jrow.frame == decode_jpeg(
+        jtrack["samples"][int(jrow.frame_index)]).tobytes()
 
     merged = out[["image_id", "width", "height", "mean_intensity"]].join(
         aout[["n_samples", "rms"]])

@@ -103,6 +103,40 @@ def test_demux_video_frames_stage(ray_session):
     assert np.isnan(got.column("mean_intensity").to_pylist()[0])
 
 
+def test_mjpeg_track_decodes_bit_identically():
+    """Motion-JPEG tracks ('jpeg' sample entry): each sample is a complete
+    baseline JPEG — the stage must emit pixels bit-identical to a direct
+    decode_jpeg of the same sample, and reject dims that contradict the
+    track header."""
+    from parquet_go_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from parquet_go_ray.ops.multimodal import DemuxVideoFrames
+
+    rng = np.random.default_rng(11)
+    frames = [encode_jpeg(rng.integers(0, 256, (6, 8, 3), dtype=np.uint8),
+                          quality=85, subsampling="4:2:0")
+              for _ in range(5)]
+    b = mux_mp4([{"codec": "jpeg", "timescale": 30, "delta": 1,
+                  "samples": frames, "width": 8, "height": 6}])
+    t = pa.table({"video_id": pa.array([0]),
+                  "payload": pa.array([b], pa.binary())})
+    got = DemuxVideoFrames(every=2)(t)
+    assert got.column("codec").to_pylist() == ["jpeg"] * 3
+    for row, fi in zip(got.column("frame").to_pylist(), (0, 2, 4)):
+        px = decode_jpeg(frames[fi])
+        assert row == px.tobytes()
+    means = got.column("mean_intensity").to_pylist()
+    assert all(abs(m - np.frombuffer(f, np.uint8).mean()) < 1e-9
+               for m, f in zip(means, got.column("frame").to_pylist()))
+
+    # track header says 4x4 but the JPEG is 6x8 -> clean ValueError
+    bad = mux_mp4([{"codec": "jpeg", "timescale": 30, "delta": 1,
+                    "samples": frames[:1], "width": 4, "height": 4}])
+    with pytest.raises(ValueError, match="track dims"):
+        DemuxVideoFrames(every=1)(pa.table({
+            "video_id": pa.array([0]),
+            "payload": pa.array([bad], pa.binary())}))
+
+
 def test_audio_only_file_is_not_classified_video():
     """Review finding: AudioSampleEntry bytes 24-27 hold samplerate<<16 —
     width/height must come from hdlr-dispatched parsing, never entry

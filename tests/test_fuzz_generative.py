@@ -267,6 +267,35 @@ def test_mp4_mutated(mut):
     _expect_clean(lambda: demux_mp4(blob))
 
 
+def _mjpeg_mp4_valid() -> bytes:
+    from parquet_go_ray.functions.jpegcodec import encode_jpeg
+    from parquet_go_ray.functions.mp4box import mux_mp4
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    img = np.stack([(xx * 9) % 256, (yy * 7) % 256,
+                    ((xx + yy) * 5) % 256], axis=-1).astype(np.uint8)
+    fr = [encode_jpeg(img, quality=80) for _ in range(3)]
+    return mux_mp4([{"codec": "jpeg", "timescale": 30, "delta": 1,
+                     "samples": fr, "width": 8, "height": 8}])
+
+
+_MJPEG_POOL = [_mjpeg_mp4_valid()]
+
+
+@settings(**FUZZ_MEDIA)
+@given(mutation)
+def test_mjpeg_stage_mutated(mut):
+    """Mutated MJPEG MP4s through the full DemuxVideoFrames stage: the
+    container walk AND the per-sample JPEG decode must both fail cleanly
+    (corrupt samples reach decode_jpeg, not just the box parser)."""
+    from parquet_go_ray.ops.multimodal import DemuxVideoFrames
+
+    blob = _mutate(_MJPEG_POOL[0], *mut)
+    t = pa.table({"video_id": pa.array([0]),
+                  "payload": pa.array([blob], pa.binary())})
+    _expect_clean(lambda: DemuxVideoFrames(every=1)(t))
+
+
 @settings(**FUZZ_MEDIA)
 @given(st.integers(0, 1), mutation)
 def test_jpeg_mutated(which, mut):

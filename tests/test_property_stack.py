@@ -1,0 +1,89 @@
+"""Whole-stack property: a random token-shaped table through the FULL
+encode path — codec auto-selection, plane trials (BSS/FOR/delta/FSST/dict),
+page slicing, block compression, footer — must decode bit-identical.
+
+The per-codec properties in test_property.py pin each kernel alone; this
+pins their COMPOSITION (selector decisions interact with value shape,
+nulls, empty lists, extreme values, and the page compressor). The shape
+mirrors the north-star input (doc_id:string, tokens:list<int32>,
+n_tok:int32, source:string) plus the scalar types the engine ships.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from parquet_go_ray.sources.columns import EncodeConfig
+from parquet_go_ray.sources.partfile import decode_table, encode_table
+
+SETTINGS = dict(max_examples=60, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow,
+                                       HealthCheck.data_too_large])
+
+_i32 = st.integers(-(2**31), 2**31 - 1)
+
+# token lists: empty, null, short random, and long runs (dict/RLE/FOR bait)
+_tokens = st.one_of(
+    st.none(),
+    st.lists(_i32, max_size=20),
+    st.integers(0, 50).map(lambda n: [7] * n),          # constant run
+    st.integers(0, 30).map(lambda n: list(range(n))),    # ramp (delta bait)
+)
+
+_doc_id = st.one_of(st.none(), st.text(max_size=12),
+                    st.sampled_from(["", "a", "é中\U0001f600"]))
+_source = st.one_of(st.none(), st.sampled_from(["cc", "wiki", "code", "s"]))
+
+
+@st.composite
+def token_tables(draw):
+    n = draw(st.integers(0, 120))
+    toks = [draw(_tokens) for _ in range(n)]
+    return pa.table({
+        "doc_id": pa.array([draw(_doc_id) for _ in range(n)], pa.string()),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "n_tok": pa.array(
+            [len(t) if t is not None else None for t in toks], pa.int32()),
+        "source": pa.array([draw(_source) for _ in range(n)], pa.string()),
+    })
+
+
+@settings(**SETTINGS)
+@given(t=token_tables(), compression=st.sampled_from(["none", "snappy",
+                                                      "zstd"]))
+def test_token_table_roundtrip_bit_identical(t, compression):
+    body, lineage = encode_table(t, EncodeConfig(compression=compression))
+    back = decode_table(body)
+    assert back.schema == t.schema
+    assert back.equals(t), (lineage.get("codecs"), t.to_pydict())
+
+
+@st.composite
+def scalar_tables(draw):
+    """Every scalar physical type in one table, independent null masks,
+    adversarial float values (inf/-0.0/nan handled as bit-patterns)."""
+    n = draw(st.integers(0, 80))
+
+    def col(strat):
+        return [draw(st.one_of(st.none(), strat)) for _ in range(n)]
+
+    floats = st.one_of(
+        st.floats(allow_nan=False, width=64),
+        st.sampled_from([0.0, -0.0, float("inf"), float("-inf")]))
+    return pa.table({
+        "i64": pa.array(col(st.integers(-(2**63), 2**63 - 1)), pa.int64()),
+        "i32": pa.array(col(_i32), pa.int32()),
+        "f64": pa.array(col(floats), pa.float64()),
+        "b": pa.array(col(st.booleans()), pa.bool_()),
+        "s": pa.array(col(st.text(max_size=16)), pa.string()),
+        "bin": pa.array(col(st.binary(max_size=16)), pa.binary()),
+    })
+
+
+@settings(**SETTINGS)
+@given(t=scalar_tables(), compression=st.sampled_from(["none", "zstd"]))
+def test_scalar_table_roundtrip_bit_identical(t, compression):
+    body, lineage = encode_table(t, EncodeConfig(compression=compression))
+    back = decode_table(body)
+    assert back.schema == t.schema
+    assert back.equals(t), (lineage.get("codecs"), t.to_pydict())

@@ -141,6 +141,18 @@ def _decode_values(payload: bytes, encoding: int, phys: str, n: int, dict_values
         itemsize = np.dtype(phys).itemsize
         planes = np.frombuffer(payload, dtype=np.uint8, count=n * itemsize).reshape(itemsize, n)
         return np.ascontiguousarray(planes.T).reshape(-1).view(phys)
+    if encoding == ENC_RLE and phys == "boolean":
+        # spec Encodings.md "RLE": when RLE carries data values (booleans),
+        # the hybrid stream is prefixed with a 4-byte LE length — pyarrow
+        # writes boolean columns this way in v2 data pages
+        if len(payload) < 4:
+            raise ValueError("rle boolean: truncated length prefix")
+        ln = int.from_bytes(payload[:4], "little")
+        if ln > len(payload) - 4:
+            raise ValueError(
+                f"rle boolean: declared {ln} bytes, payload has "
+                f"{len(payload) - 4}")
+        return hybrid.decode(payload[4:4 + ln], 1, n).astype(np.bool_)
     raise NotImplementedError(f"parquet encoding {encoding} for {phys}")
 
 

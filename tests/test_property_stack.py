@@ -87,3 +87,32 @@ def test_scalar_table_roundtrip_bit_identical(t, compression):
     back = decode_table(body)
     assert back.schema == t.schema
     assert back.equals(t), (lineage.get("codecs"), t.to_pydict())
+
+
+@settings(**dict(SETTINGS, max_examples=25))
+@given(t=scalar_tables(), version=st.sampled_from([1, 2]))
+def test_parquet_conformance_scalar_property(t, version):
+    """Mixed-scalar tables (independent null masks, inf/-0.0, unicode,
+    binary) survive BOTH interop directions: our parquet writer read by
+    pyarrow, and pyarrow's file read by our kernels — v1 and v2 pages.
+    Extends test_property.py's nested-list conformance property to every
+    scalar physical type at once."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources import parquet_compat as pcq
+
+    d = tempfile.mkdtemp(prefix="pgr-prop-scalar-", dir="/tmp")
+    try:
+        p1 = os.path.join(d, "ours.parquet")
+        pcq.write_parquet_with_our_kernels(t, p1, data_page_version=version)
+        assert pq.read_table(p1).cast(t.schema).equals(t)
+        p2 = os.path.join(d, "pa.parquet")
+        pq.write_table(t, p2, data_page_version=f"{version}.0")
+        assert pcq.read_parquet_with_our_kernels(p2).cast(t.schema).equals(t)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)

@@ -360,7 +360,7 @@ def _read_chunk(blob: bytes, col_meta: dict, leaf, validate_crc: bool = False):
             n_seen += n
         elif ptype == 3:  # data page v2: uncompressed levels precede values
             dph = header[8]
-            n, num_nulls = dph[1], dph[2]
+            n = dph[1]
             enc = dph[4]
             dl_len = dph[5]
             rl_len = dph[6]
@@ -372,7 +372,13 @@ def _read_chunk(blob: bytes, col_meta: dict, leaf, validate_crc: bool = False):
                     if max_r > 0 and rl_len else np.zeros(n, dtype=np.uint8))
             defs = (hybrid.decode(levels[rl_len : rl_len + dl_len], dw, n).astype(np.uint8)
                     if max_d > 0 and dl_len else np.full(n, max_d, dtype=np.uint8))
-            nn = n - num_nulls
+            # stored-value count comes from the def levels (== max_d), like
+            # the v1 branch: the header's num_nulls can't be trusted for
+            # nested leaves — parquet-cpp counts only LEAF-level nulls
+            # there, not levels absorbed by null/empty ancestors (a
+            # list<struct> page with one value in three levels says
+            # num_nulls=0), so n - num_nulls over-reads the value stream
+            nn = int((defs == max_d).sum())
             out_parts.append(_decode_values(vals_bytes, enc, phys, nn, dict_values, type_length))
             defs_parts.append(defs)
             reps_parts.append(reps)

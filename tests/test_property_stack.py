@@ -89,6 +89,67 @@ def test_scalar_table_roundtrip_bit_identical(t, compression):
     assert back.equals(t), (lineage.get("codecs"), t.to_pydict())
 
 
+_x = st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1))
+_struct_ty = __import__("pyarrow").struct([("x", __import__("pyarrow").int32()),
+                                           ("s", __import__("pyarrow").string())])
+_struct_row = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({"x": _x, "s": st.one_of(st.none(),
+                                                   st.text(max_size=6))}))
+
+# the three nesting shapes with distinct level algebra: list<struct>
+# (ancestor-absorbed values — the pyarrow num_nulls trap), struct<list>,
+# and map (key required, value optional)
+_nested_cols = {
+    "ls": (st.one_of(st.none(), st.lists(_struct_row, max_size=4)),
+           lambda pa: pa.list_(_struct_ty)),
+    "sl": (st.one_of(st.none(), st.fixed_dictionaries(
+        {"l": st.one_of(st.none(), st.lists(_x, max_size=4))})),
+        lambda pa: pa.struct([("l", pa.list_(pa.int32()))])),
+    "m": (st.one_of(st.none(), st.lists(
+        st.tuples(st.text(alphabet="abc", max_size=3), _x),
+        max_size=3, unique_by=lambda kv: kv[0])),
+        lambda pa: pa.map_(pa.string(), pa.int32())),
+}
+
+
+@st.composite
+def nested_tables(draw):
+    n = draw(st.integers(0, 30))
+    cols = {}
+    for name, (strat, ty) in _nested_cols.items():
+        cols[name] = pa.array([draw(strat) for _ in range(n)], ty(pa))
+    return pa.table(cols)
+
+
+@settings(**dict(SETTINGS, max_examples=25))
+@given(t=nested_tables(), version=st.sampled_from([1, 2]))
+def test_parquet_conformance_nested_property(t, version):
+    """Nested shapes (list<struct>, struct<list>, map) with nulls at every
+    nesting depth survive both interop directions at v1 AND v2 pages.
+    Pins the v2 stored-value-count fix: parquet-cpp's DataPageHeaderV2
+    num_nulls omits levels absorbed by null/empty ancestors, so the count
+    must come from the def levels."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources import parquet_compat as pcq
+
+    d = tempfile.mkdtemp(prefix="pgr-prop-nested-", dir="/tmp")
+    try:
+        p1 = os.path.join(d, "ours.parquet")
+        pcq.write_parquet_with_our_kernels(t, p1, data_page_version=version)
+        assert pq.read_table(p1).cast(t.schema).equals(t)
+        p2 = os.path.join(d, "pa.parquet")
+        pq.write_table(t, p2, data_page_version=f"{version}.0")
+        assert pcq.read_parquet_with_our_kernels(p2).cast(t.schema).equals(t)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @settings(**dict(SETTINGS, max_examples=25))
 @given(t=scalar_tables(), version=st.sampled_from([1, 2]))
 def test_parquet_conformance_scalar_property(t, version):

@@ -42,6 +42,15 @@ from ..state import manifest as mf
 DEFAULT_TARGET_PARTITION_BYTES = 128 << 20  # reference row-group default (split.go:26)
 
 
+def key_tag(val) -> str:
+    """Canonical manifest tag for a partition-key value. Null keys get a
+    reserved token (``pc.equal`` against a null scalar would otherwise
+    filter their rows away silently); everything else is ``str(val)``.
+    Shared by the encode tags and ``decode_dataset(keys=...)`` pruning, so
+    a caller can pass ``keys={None}`` to point-look-up the null partition."""
+    return "__null__" if val is None else str(val)
+
+
 def _default_concurrency() -> tuple[int, int]:
     """Autoscaling actor-pool bounds. Fixed-size pools deadlock when two
     pools are chained on one node (each reserves all CPUs); autoscaling
@@ -126,6 +135,21 @@ def encode_grouped(
     salts = plan_salts(ds, key, target_partition_bytes)
     done = mf.completed_ids(out_dir) if resume else set()
 
+    def _fs_tag(tag: str) -> str:
+        # filesystem-safe deterministic filename fragment: percent-encode
+        # outside [A-Za-z0-9._~-] (bijective — a '/' in a key value must not
+        # create a stray subdirectory decode_dataset never globs), cap the
+        # length by hashing the tail (NAME_MAX). Plain alnum tags — every
+        # normal layout — are unchanged, so existing manifests resume as-is.
+        import hashlib
+        from urllib.parse import quote
+
+        q = quote(tag, safe="._-")
+        if len(q) > 96:
+            q = q[:64] + "~" + hashlib.blake2b(
+                tag.encode(), digest_size=8).hexdigest()
+        return q
+
     def add_salt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -141,7 +165,8 @@ def encode_grouped(
     def encode_group(group: pa.Table) -> pa.Table:
         src = group.column(key)[0].as_py()
         salt = group.column("__salt")[0].as_py()
-        pid = f"{src}-{salt:04d}"
+        tag = key_tag(src)
+        pid = f"{_fs_tag(tag)}-{salt:04d}"
         if pid in done:
             return _lineage_table(
                 {"partition_id": pid, "path": fsio.join(out_dir, f"part-{pid}.rdpg"),
@@ -151,6 +176,7 @@ def encode_grouped(
         body_table = group.drop_columns(["__salt"])
         lineage = write_partition(body_table, fsio.join(out_dir, f"part-{pid}.rdpg"), cfg)
         lineage["partition_id"] = pid
+        lineage["key"] = tag  # decode_dataset(keys=...) prunes on this
         mf.write_record(out_dir, lineage)
         return _lineage_table(lineage)
 
@@ -187,8 +213,14 @@ def encode_partitioned(
             parts = []
             keys = batch.column(key)
             for val in pc.unique(keys):
-                sub = batch.filter(pc.equal(keys, val))
-                parts.append(EncodeStage.__call__(self, sub, tag=str(val)))
+                if not val.is_valid:
+                    # pc.equal(keys, null) is all-null -> filter drops the
+                    # rows SILENTLY; route null keys to their own partition
+                    mask, tag = pc.is_null(keys), key_tag(None)
+                else:
+                    mask, tag = pc.equal(keys, val), key_tag(val.as_py())
+                parts.append(EncodeStage.__call__(
+                    self, batch.filter(mask), tag=tag))
             return pa.concat_tables(parts) if parts else EncodeStage.__call__(self, batch)
 
     if concurrency is None:
@@ -281,7 +313,7 @@ def decode_dataset(
                 f"{out_dir} — key pruning needs the manifest; decoding "
                 f"everything instead would silently drop the point-lookup "
                 f"contract")
-        keyset = {str(k) for k in keys}
+        keyset = {key_tag(k) for k in keys}
         records = [r for r in records if str(r.get("key")) in keyset]
         if not records:
             return rd.from_items([])  # no partition carries a requested key

@@ -368,3 +368,43 @@ def test_encode_stage_batch_cap_self_splits(tmp_path):
     one = pa.table({"x": pa.array([b"q" * 10_000])})
     with pytest.raises(ValueError, match="cannot be split"):
         stage(one)
+
+
+def test_adversarial_partition_keys_roundtrip(ray_session, tmp_path):
+    """Keys with '/', unicode, percent signs, 300-char values and NULLs must
+    roundtrip through BOTH keyed layouts. Regressions this pins: a '/' in an
+    encode_grouped key put the partition file in a stray subdirectory
+    decode_dataset never globs (silent row loss), and encode_partitioned's
+    pc.equal(keys, null-scalar) filter dropped null-key rows silently."""
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode import (decode_dataset,
+                                                 encode_grouped,
+                                                 encode_partitioned)
+
+    keys = ["é中", "a/b", "k" * 300, "", "100%", None, "a b", "é中", None]
+    t = pa.table({"source": pa.array(keys, pa.string()),
+                  "v": pa.array(range(len(keys)), pa.int64())})
+    for i, fn in enumerate((encode_partitioned, encode_grouped)):
+        out = str(tmp_path / f"keys{i}")
+        fn(rd.from_arrow(t), out, key="source").materialize()
+        back = (decode_dataset(out).to_pandas()
+                .sort_values("v").reset_index(drop=True))
+        assert back.v.tolist() == list(range(len(keys)))
+        assert back.source.tolist() == keys
+
+
+def test_null_key_partition_point_lookup(ray_session, tmp_path):
+    """decode_dataset(keys={None}) selects exactly the null-key partition
+    (manifest tag '__null__'), and a named key selects only its own."""
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode import (decode_dataset,
+                                                 encode_partitioned)
+
+    t = pa.table({"source": pa.array(["a", None, "b", None], pa.string()),
+                  "v": pa.array(range(4), pa.int64())})
+    out = str(tmp_path / "nullkey")
+    encode_partitioned(rd.from_arrow(t), out, key="source").materialize()
+    assert sorted(decode_dataset(out, keys={None}).to_pandas().v) == [1, 3]
+    assert sorted(decode_dataset(out, keys={"a"}).to_pandas().v) == [0]

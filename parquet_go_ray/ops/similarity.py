@@ -60,6 +60,19 @@ class BruteForceScorer:
         )
 
 
+
+def _require_query_rows(qrows, query_ids, id_col):
+    """Fail with a clear message when query ids are absent from the corpus
+    (an empty/partial pick otherwise dies in pandas indexing with
+    KeyError: "None of ['vec_id'] are in the columns")."""
+    found = set(qrows[id_col].tolist()) if len(qrows) else set()
+    missing = [q for q in query_ids if q not in found]
+    if missing:
+        raise ValueError(
+            f"query ids not in the corpus: {missing[:10]}"
+            + (" ..." if len(missing) > 10 else ""))
+
+
 def knn_bruteforce(ds_emb, query_ids: list[int], k: int = 10, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", concurrency=None) -> pd.DataFrame:
     """Exact cosine top-k for the given query ids (queries drawn from the corpus).
@@ -76,6 +89,7 @@ def knn_bruteforce(ds_emb, query_ids: list[int], k: int = 10, *, id_col: str = "
         return batch.filter(m)
 
     qrows = ds_emb.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    _require_query_rows(qrows, query_ids, id_col)
     qrows = qrows.set_index(id_col).loc[query_ids].reset_index()
     qmat = np.stack(qrows[vec_col].to_numpy())
     queries_ref = ray.put({"ids": qrows[id_col].to_numpy(), "matrix": qmat})
@@ -129,6 +143,7 @@ def knn_ivf(ds_emb, query_ids: list[int], k: int = 10, *, nlist: int = 16,
         return batch.filter(pc.is_in(batch.column(id_col), value_set=pa.array(query_ids)))
 
     qrows = ds_emb.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    _require_query_rows(qrows, query_ids, id_col)
     qrows = qrows.set_index(id_col).loc[query_ids].reset_index()
     qmat = _normalize(np.stack(qrows[vec_col].to_numpy()).astype(np.float64))
     qlists = np.argsort(-(qmat @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -326,6 +341,7 @@ def knn_lsh(ds_emb, query_ids: list[int], k: int = 10, *, bits: int = 4, id_col:
         return batch.filter(m)
 
     qrows = ds_emb.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    _require_query_rows(qrows, query_ids, id_col)
     qrows = qrows.set_index(id_col).loc[query_ids].reset_index()
     qmat = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
     qbuckets = bucketer.bucket_of(qmat)

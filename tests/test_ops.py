@@ -736,3 +736,17 @@ def test_mix_sources_exact_mixture(ray_session):
     out2, th2 = mix_sources(ds, {"a": 1, "b": 1, "c": 2})
     assert th2 == th
     assert set(out2.to_pandas().doc_id) == set(df.doc_id)
+
+
+def test_knn_missing_query_id_clear_error(ray_session):
+    """A query id absent from the corpus must raise a clear ValueError, not
+    a pandas KeyError about missing columns (empty-pick edge)."""
+    import ray.data as rd
+
+    from parquet_go_ray.ops.similarity import knn_bruteforce
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 4, pa.list_(pa.float32()))}))
+    with pytest.raises(ValueError, match="not in the corpus"):
+        knn_bruteforce(ds, [99], k=2)

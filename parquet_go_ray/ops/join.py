@@ -45,6 +45,15 @@ def broadcast_join(ds, small: pa.Table, on: str, *, right_on: str | None = None,
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _attach_null_dim(t: pa.Table, dim_t: pa.Table) -> pa.Table:
+    """Empty dimension table: every probe row is unmatched — append the dim
+    columns as all-null (take() on empty columns would raise instead)."""
+    out = t
+    for f in dim_t.schema:
+        out = out.append_column(f.name, pa.nulls(t.num_rows, f.type))
+    return out
+
+
 def asof_join_broadcast(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
                         by: str | None = None, dim_by: str | None = None):
     """Broadcast AS-OF join: every probe row is matched to the LAST dim row
@@ -90,6 +99,8 @@ def asof_join_broadcast(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
 
     def attach(t: pa.Table) -> pa.Table:
         dim_t, dts_s, dkey_s = ray.get(ref)
+        if len(dts_s) == 0:
+            return _attach_null_dim(t, dim_t)
         ts = key_array(t, ts_col)
         if by is None:
             idx = np.searchsorted(dts_s, ts, side="right") - 1
@@ -156,6 +167,8 @@ def range_join_broadcast(ds, dim: pa.Table, *, value_col: str, lo_col: str,
 
     def attach(t: pa.Table) -> pa.Table:
         dim_t, lo_s, hi_s = ray.get(ref)
+        if len(lo_s) == 0:
+            return _attach_null_dim(t, dim_t)
         v = np.asarray(t.column(value_col).combine_chunks().cast(cmp_pa))
         idx = np.searchsorted(lo_s, v, side="right") - 1
         valid = (idx >= 0) & (v <= hi_s[np.maximum(idx, 0)])

@@ -444,7 +444,13 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
 
     def summarize(t: pa.Table) -> pa.Table:
         ids = _ids64(t.column(id_col))
-        tok_sum = int(np.asarray(t.column(count_col)).sum())
+        counts = t.column(count_col)
+        if counts.null_count:
+            raise ValueError(
+                f"pack_sequences: {count_col!r} contains nulls — a null "
+                "token count is ambiguous here; fill_null(0) upstream "
+                "(pack_token_sequences does this for null token lists)")
+        tok_sum = int(np.asarray(counts).sum())
         fp = _fingerprint(ids, tok_sum)
         return pa.table({
             "fp": pa.array([repr(fp)], type=pa.string()),
@@ -601,9 +607,12 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
     import pyarrow.compute as _pc
 
     def add_len(t: pa.Table) -> pa.Table:
+        # a NULL token list contributes zero tokens — same as an empty list;
+        # fill_null keeps the length cumsum aligned with flatten(), which
+        # emits nothing for null slots
         return t.append_column(
-            "__n", _pc.cast(_pc.list_value_length(t.column(tokens_col)),
-                            pa.int64()))
+            "__n", _pc.fill_null(_pc.cast(
+                _pc.list_value_length(t.column(tokens_col)), pa.int64()), 0))
 
     from .ordering import ordered_scope
 

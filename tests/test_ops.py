@@ -750,3 +750,59 @@ def test_knn_missing_query_id_clear_error(ray_session):
         "embedding": pa.array([[1.0, 0.0]] * 4, pa.list_(pa.float32()))}))
     with pytest.raises(ValueError, match="not in the corpus"):
         knn_bruteforce(ds, [99], k=2)
+
+
+def test_empty_dim_broadcast_joins_all_null(ray_session):
+    """An EMPTY dimension table means every probe row is unmatched: asof and
+    range broadcast joins must append all-null dim columns, not crash in
+    take() on empty columns."""
+    import numpy as np
+    import ray.data as rd
+
+    from parquet_go_ray.ops.join import (asof_join_broadcast,
+                                         range_join_broadcast)
+
+    base = np.datetime64("2024-01-01", "us")
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([base, base + np.timedelta64(9, "s")],
+                       pa.timestamp("us")),
+        "v": pa.array([5.0, 99.0], pa.float64())}))
+    e_dim = pa.table({"cts": pa.array([], pa.timestamp("us")),
+                      "rate": pa.array([], pa.float64())})
+    out = asof_join_broadcast(ds, e_dim, ts_col="ts",
+                              dim_ts_col="cts").to_pandas()
+    assert len(out) == 2 and out.rate.isna().all()
+    r_dim = pa.table({"lo": pa.array([], pa.float64()),
+                      "hi": pa.array([], pa.float64()),
+                      "tier": pa.array([], pa.string())})
+    out2 = range_join_broadcast(ds, r_dim, value_col="v", lo_col="lo",
+                                hi_col="hi").to_pandas()
+    assert len(out2) == 2 and out2.tier.isna().all()
+
+
+def test_pack_token_sequences_null_token_lists(ray_session):
+    """A NULL token list packs as zero tokens (same as an empty list): the
+    length cumsum must stay aligned with flatten(), which emits nothing for
+    null slots — this used to crash with 'cannot convert float NaN'."""
+    import ray.data as rd
+
+    from parquet_go_ray.ops.text import pack_sequences, pack_token_sequences
+
+    tok = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "tokens": pa.array([[1, 2, 3], [], None, [4] * 10, [5]],
+                           pa.list_(pa.int32()))}))
+    out = (pack_token_sequences(tok, seq_len=4).to_pandas()
+           .sort_values("seq_id"))
+    flat = [x for s in out.tokens.tolist() for x in s]
+    # 14 real tokens packed contiguously in doc order; tail padded
+    assert flat[:14] == [1, 2, 3] + [4] * 10 + [5]
+
+    # pack_sequences (count-column variant) cannot interpret a null count:
+    # clear contract error, not a NaN crash
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "n_tok": pa.array([1, None, 2], pa.int64())}))
+    with pytest.raises(Exception, match="ambiguous"):
+        pack_sequences(bad, seq_len=4).materialize()

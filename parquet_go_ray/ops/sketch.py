@@ -84,6 +84,10 @@ def quantile_sketch(ds, col: str, quantiles: list[float], *, k: int = 512) -> li
 
     parts = ds.map_batches(summarize, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if "q" not in parts.columns:
+        # an EMPTY dataset yields a column-less frame from to_pandas();
+        # quantiles of nothing are NaN (the in-code convention below)
+        return [float("nan")] * len(quantiles)
     q = parts["q"].to_numpy()
     w = parts["w"].to_numpy()
     order = np.argsort(q, kind="stable")

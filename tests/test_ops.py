@@ -806,3 +806,23 @@ def test_pack_token_sequences_null_token_lists(ray_session):
         "n_tok": pa.array([1, None, 2], pa.int64())}))
     with pytest.raises(Exception, match="ambiguous"):
         pack_sequences(bad, seq_len=4).materialize()
+
+
+def test_quantile_ops_empty_dataset(ray_session):
+    """Quantiles of an empty dataset are NaN (and quantile_filter keeps
+    nothing) — to_pandas() of an empty Dataset loses columns, which used to
+    KeyError inside quantile_sketch."""
+    import math
+
+    import ray.data as rd
+
+    from parquet_go_ray.ops.sketch import (exact_quantile_threshold,
+                                           quantile_filter, quantile_sketch)
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "n_chars": pa.array([], pa.int64())}))
+    qs = quantile_sketch(empty, "n_chars", [0.5, 0.9])
+    assert len(qs) == 2 and all(math.isnan(v) for v in qs)
+    filtered, thr = quantile_filter(empty, "n_chars")
+    assert math.isnan(thr) and filtered.count() == 0
+    assert math.isnan(exact_quantile_threshold(empty, "n_chars", 0.5))

@@ -321,6 +321,14 @@ def decode_dataset(
         paths = sorted({r["path"] for r in records})
     else:
         paths = fsio.list_files(out_dir, ".rdpg")
+        if not paths and fsio.is_local(out_dir) and not os.path.isdir(
+                fsio._local_path(out_dir)):
+            # a nonexistent LOCAL directory is a caller error (typo, failed
+            # mount), not an empty run — returning 0 rows would hide it.
+            # Object-store URIs stay silent: "missing prefix" and "no
+            # objects" are indistinguishable there.
+            raise ValueError(
+                f"decode_dataset: {out_dir!r} does not exist")
     if stats_filter:
         from ..sources.partfile import partition_stats
 

@@ -408,3 +408,16 @@ def test_null_key_partition_point_lookup(ray_session, tmp_path):
     encode_partitioned(rd.from_arrow(t), out, key="source").materialize()
     assert sorted(decode_dataset(out, keys={None}).to_pandas().v) == [1, 3]
     assert sorted(decode_dataset(out, keys={"a"}).to_pandas().v) == [0]
+
+
+def test_decode_missing_local_dir_raises(ray_session, tmp_path):
+    """decode_dataset of a nonexistent LOCAL directory is a caller error
+    (typo, failed mount) and must raise, not silently return 0 rows; an
+    existing-but-empty directory still decodes to an empty Dataset."""
+    from parquet_go_ray.pipelines.encode import decode_dataset
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert decode_dataset(str(empty)).count() == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        decode_dataset(str(tmp_path / "nope"))

@@ -105,10 +105,23 @@ def cmd_rowcount(args):
 
         with open(args.path, "rb") as f:
             print(read_footer(f.read())["num_rows"])
+    elif args.path.endswith(".parquet"):
+        # footer-only, our own thrift reader (the reference's `parquet-tool
+        # rowcount` shape, cmd/parquet-tool) — FileMetaData field 3
+        from .sources.parquet_compat import read_file_metadata
+
+        with open(args.path, "rb") as f:
+            print(read_file_metadata(f.read())[3])
     else:
+        import os
+
         from .state import manifest as mf
 
-        print(sum(r["num_rows"] for r in mf.load_records(args.path)))
+        records = mf.load_records(args.path)
+        if not records and not os.path.isdir(args.path):
+            # a missing run directory printed 0 and exited 0 — hide-the-typo
+            raise SystemExit(f"rowcount: {args.path} does not exist")
+        print(sum(r["num_rows"] for r in records))
 
 
 def cmd_split(args):

@@ -221,3 +221,21 @@ def test_cli_bpe(tmp_path, ray_session):
     tb = v.column("token_bytes").to_pylist()
     ids0 = enc.column("bpe_ids")[0].as_py()
     assert b"".join(tb[i] for i in ids0).decode() == texts[0]
+
+
+def test_rowcount_parquet_and_missing(tmp_path, capsys):
+    """rowcount on a .parquet file reads OUR thrift footer (field 3, no
+    pyarrow); on a missing run dir it exits nonzero instead of printing 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from parquet_go_ray.cli import main
+
+    t = pa.table({"x": pa.array(range(7), pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    main(["rowcount", p])
+    assert capsys.readouterr().out.strip() == "7"
+    with pytest.raises(SystemExit, match="does not exist"):
+        main(["rowcount", str(tmp_path / "nope_dir")])

@@ -50,9 +50,14 @@ def token_tables(draw):
 
 @settings(**SETTINGS)
 @given(t=token_tables(), compression=st.sampled_from(["none", "snappy",
-                                                      "zstd"]))
-def test_token_table_roundtrip_bit_identical(t, compression):
-    body, lineage = encode_table(t, EncodeConfig(compression=compression))
+                                                      "zstd"]),
+       mode=st.sampled_from(["extended", "reference"]),
+       page_bytes=st.sampled_from([64, 1 << 20]))
+def test_token_table_roundtrip_bit_identical(t, compression, mode,
+                                             page_bytes):
+    cfg = EncodeConfig(compression=compression, mode=mode,
+                       page_bytes=page_bytes)  # tiny pages force multi-page
+    body, lineage = encode_table(t, cfg)
     back = decode_table(body)
     assert back.schema == t.schema
     assert back.equals(t), (lineage.get("codecs"), t.to_pydict())

@@ -241,6 +241,9 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             add_page(hybrid.encode(v[lo:hi], 1), hi - lo)
     elif kind == "values" and dtype == "bool":
         v = np.asarray(stream.data, dtype=np.uint64)
+        if forced and forced not in ("PLAIN", "RLE_BOOL"):
+            raise ValueError(f"unknown bool codec {forced!r} for "
+                             f"{stream.path!r}; valid: PLAIN, RLE_BOOL")
         codec = forced or sel.choose_bool_codec(np.asarray(stream.data), config.mode).codec
         for lo, hi in _page_slices(len(v), 0.125, config.page_bytes):
             if codec == "RLE_BOOL":
@@ -315,6 +318,9 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             if len(finite):
                 stats["min"], stats["max"] = float(finite.min()), float(finite.max())
         dict_ok = st.distinct is not None and st.distinct <= sel.DICT_MAX_CARD
+        if forced and forced not in ("PLAIN", "DICT", "BSS"):
+            raise ValueError(f"unknown float codec {forced!r} for "
+                             f"{stream.path!r}; valid: PLAIN, DICT, BSS")
         codec = forced or ("DICT" if dict_ok and (config.mode == sel.MODE_REFERENCE or st.unique_bytes + st.num_values * bitpack.bit_width(max((st.distinct or 1) - 1, 0)) / 8 < st.plain_size) else "PLAIN")
         if codec == "PLAIN" and not forced and config.mode == sel.MODE_EXTENDED:
             # BYTE_STREAM_SPLIT trial: the compressor sees the highly-
@@ -349,6 +355,9 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         stats = {"distinct": distinct}
         dict_ok = distinct is not None and distinct <= sel.DICT_MAX_CARD
         if forced:
+            if forced not in ("PLAIN_FB", "DICT"):
+                raise ValueError(f"unknown fixed-bytes codec {forced!r} for "
+                                 f"{stream.path!r}; valid: PLAIN_FB, DICT")
             codec = forced
         elif config.mode == sel.MODE_REFERENCE:
             codec = "DICT" if dict_ok else "PLAIN_FB"

@@ -49,6 +49,16 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None,
         arr = col.chunk(0) if col.num_chunks else pa.nulls(0, col.type)
         shred(arr, name, streams)
 
+    if config.column_codecs:
+        # a typo'd path would otherwise silently no-op and the selector's
+        # choice would ship instead of the forced codec
+        known = {s.path for s in streams}
+        unknown = sorted(set(config.column_codecs) - known)
+        if unknown:
+            raise ValueError(
+                f"column_codecs: no such stream path(s) {unknown}; "
+                f"available: {sorted(known)}")
+
     body = bytearray(MAGIC)
 
     def _append(part) -> None:

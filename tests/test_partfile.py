@@ -417,3 +417,23 @@ def test_bss_trial_declines_when_plain_wins():
     t = pa.table({"x": pa.array(reps)})
     _, lin = encode_table(t)
     assert lin["codecs"]["x"] != "BSS"  # runs: snappy on plain already near-free
+
+
+def test_forced_codec_validation():
+    """Forced per-column codecs validate everywhere: a typo'd PATH and an
+    invalid NAME both raise with the valid options — previously the bool/
+    float/fixed-bytes arms silently wrote PLAIN pages under the forced
+    label, and an unknown path silently no-opped."""
+    t = pa.table({"b": pa.array([True, False] * 10),
+                  "f": pa.array([1.5] * 20),
+                  "fb": pa.array([b"abcd"] * 20, pa.binary(4))})
+    for col, bad, msg in (("b", "nonsense", "bool codec"),
+                          ("f", "FSST", "float codec"),
+                          ("fb", "BSS", "fixed-bytes codec"),
+                          ("typo_col", "PLAIN", "no such stream path")):
+        with pytest.raises(ValueError, match=msg):
+            encode_table(t, EncodeConfig(column_codecs={col: bad}))
+    for col, good in (("b", "RLE_BOOL"), ("f", "BSS"), ("fb", "DICT")):
+        body, lineage = encode_table(t, EncodeConfig(column_codecs={col: good}))
+        assert decode_table(body).equals(t)
+        assert lineage["codecs"][col] == good

@@ -128,8 +128,9 @@ def nested_tables(draw):
 
 
 @settings(**dict(SETTINGS, max_examples=25))
-@given(t=nested_tables(), version=st.sampled_from([1, 2]))
-def test_parquet_conformance_nested_property(t, version):
+@given(t=nested_tables(), version=st.sampled_from([1, 2]),
+       rg_rows=st.sampled_from([None, 3]))
+def test_parquet_conformance_nested_property(t, version, rg_rows):
     """Nested shapes (list<struct>, struct<list>, map) with nulls at every
     nesting depth survive both interop directions at v1 AND v2 pages.
     Pins the v2 stored-value-count fix: parquet-cpp's DataPageHeaderV2
@@ -146,10 +147,12 @@ def test_parquet_conformance_nested_property(t, version):
     d = tempfile.mkdtemp(prefix="pgr-prop-nested-", dir="/tmp")
     try:
         p1 = os.path.join(d, "ours.parquet")
-        pcq.write_parquet_with_our_kernels(t, p1, data_page_version=version)
+        pcq.write_parquet_with_our_kernels(t, p1, data_page_version=version,
+                                           row_group_rows=rg_rows)
         assert pq.read_table(p1).cast(t.schema).equals(t)
         p2 = os.path.join(d, "pa.parquet")
-        pq.write_table(t, p2, data_page_version=f"{version}.0")
+        pq.write_table(t, p2, data_page_version=f"{version}.0",
+                       row_group_size=rg_rows or 2**20)
         assert pcq.read_parquet_with_our_kernels(p2).cast(t.schema).equals(t)
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -826,3 +826,68 @@ def test_quantile_ops_empty_dataset(ray_session):
     filtered, thr = quantile_filter(empty, "n_chars")
     assert math.isnan(thr) and filtered.count() == 0
     assert math.isnan(exact_quantile_threshold(empty, "n_chars", 0.5))
+
+
+def test_embedding_neardup_cap_pruning(ray_session):
+    """Cluster-pruned exact join: identical pair set to the unpruned blocked
+    join on a clustered corpus, while scheduling strictly fewer block-pair
+    GEMM tasks (the triangle-inequality bound must bite across well-separated
+    clusters and never drop a qualifying pair)."""
+    from parquet_go_ray.ops.dedup import (_block_cap_summary,
+                                          _prune_block_pairs,
+                                          embedding_neardup_pairs)
+
+    rng = np.random.default_rng(23)
+    d, per = 16, 120
+    # 5 well-separated gaussian clusters on the sphere
+    centers = rng.standard_normal((5, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.concatenate([
+        c + 0.08 * rng.standard_normal((per, d)) for c in centers
+    ]).astype(np.float32)
+    ids = rng.permutation(len(vecs)).astype(np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+    tau = 0.6  # low tau: in-cluster pairs qualify, cross-cluster never
+    pruned = embedding_neardup_pairs(ds, tau=tau, method="exact", prune=True)
+    full = embedding_neardup_pairs(ds, tau=tau, method="exact", prune=False)
+    assert len(full) > 100
+    assert (sorted(zip(pruned.vec_a.tolist(), pruned.vec_b.tolist()))
+            == sorted(zip(full.vec_a.tolist(), full.vec_b.tolist())))
+    np.testing.assert_allclose(
+        pruned.sort_values(["vec_a", "vec_b"]).cosine.to_numpy(),
+        full.sort_values(["vec_a", "vec_b"]).cosine.to_numpy(), rtol=1e-6)
+
+    # the bound itself: two antipodal-ish caps prune, near caps survive,
+    # and soundness holds on random blocks vs a brute-force check
+    def blk(M):
+        Mn = (M / np.linalg.norm(M, axis=1, keepdims=True)).astype(np.float32)
+        return pa.table({"__vec": pa.FixedSizeListArray.from_arrays(
+            pa.array(Mn.reshape(-1)), M.shape[1])})
+
+    tight_a = blk(centers[0] + 0.01 * rng.standard_normal((40, d)))
+    tight_b = blk(-centers[0] + 0.01 * rng.standard_normal((40, d)))
+    s = [_block_cap_summary(tight_a), _block_cap_summary(tight_b)]
+    kept = _prune_block_pairs(s, 0.5)
+    assert (0, 1) not in kept and (0, 0) in kept and (1, 1) in kept
+    # empty blocks are never scheduled
+    s2 = [s[0], None, s[1]]
+    kept2 = _prune_block_pairs(s2, 0.5)
+    assert all(1 not in p for p in kept2)
+
+    # soundness sweep: random small blocks — every block pair holding a
+    # qualifying vector pair must survive pruning at that tau
+    for trial in range(5):
+        blocks = [rng.standard_normal((12, d)) for _ in range(4)]
+        summaries = [_block_cap_summary(blk(B)) for B in blocks]
+        norm = [B / np.linalg.norm(B, axis=1, keepdims=True) for B in blocks]
+        for tau2 in (0.3, 0.6, 0.9):
+            kept3 = set(_prune_block_pairs(summaries, tau2))
+            for i in range(4):
+                for j in range(i, 4):
+                    if (norm[i] @ norm[j].T).max() >= tau2:
+                        assert (i, j) in kept3, (trial, tau2, i, j)

@@ -437,6 +437,39 @@ def bench_ops(sf_dir: str) -> dict:
     n_lsh_pairs = embedding_neardup_lsh(heavy_vecs, tau=0.99).count()
     res["embedding_lsh_40k"] = time.perf_counter() - t0
     res["_meta"]["lsh_pairs"] = n_lsh_pairs
+
+    # EXACT threshold join with spherical-cap pruning over a clustered corpus
+    # (96 tight clusters x 1500 vecs, 128-dim — the SemDeDup-shaped workload
+    # where the triangle-inequality bound bites; on the near-copy corpus
+    # above the 2000 independent directions defeat any coarse quantizer and
+    # the join honestly degrades to the full schedule). _meta records how
+    # much of the quadratic schedule the bound eliminated.
+    from parquet_go_ray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    d_e, nclust, per = 128, 96, 1500
+    centers = rng.standard_normal((nclust, d_e))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cvecs = np.concatenate([
+        c + 0.025 * rng.standard_normal((per, d_e)) for c in centers
+    ]).astype(np.float32)
+    ctbl = pa.table({
+        "vec_id": pa.array(np.arange(len(cvecs), dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(cvecs.reshape(-1)), d_e).cast(pa.list_(pa.float32())),
+    })
+    import ray.data as _rd
+    cds = _rd.from_arrow(ctbl).repartition(128).materialize()
+    prune_stats: dict = {}
+    t0 = time.perf_counter()
+    pruned_pairs = embedding_neardup_pairs(
+        cds, tau=0.95, method="exact", prune=True, nlist=192,
+        stats_out=prune_stats)
+    res["embedding_exact_pruned_144k"] = time.perf_counter() - t0
+    res["_meta"]["exact_pruned_pairs"] = len(pruned_pairs)
+    res["_meta"]["exact_prune_scheduled"] = prune_stats.get("scheduled")
+    res["_meta"]["exact_prune_total"] = prune_stats.get("total_pairs")
+    res["_meta"]["exact_prune_tasks"] = prune_stats.get("tasks")
     return res
 
 

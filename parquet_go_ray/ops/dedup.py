@@ -1192,47 +1192,73 @@ def embedding_neardup_lsh(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
 
 
 def _block_cap_summary(t: pa.Table):
-    """Spherical-cap summary of one normalized block: (centroid unit vector,
-    theta_max) with theta_max = max angle from any row to the centroid, plus
-    a small inflation absorbing float32 normalization error. None for an
-    empty block."""
-    arr = t.column("__vec").combine_chunks()
-    if len(arr) == 0:
-        return None
-    M = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), -1)
-    c = M.mean(axis=0)
-    c = c / max(float(np.linalg.norm(c)), 1e-12)
-    cos_min = float(np.clip(M @ c, -1.0, 1.0).min())
-    return c, float(np.arccos(cos_min)) + 1e-6
-
-
-def _prune_block_pairs(summaries, tau: float):
-    """Block pairs (i <= j) that CAN hold a qualifying pair, by the angular
-    triangle inequality: for u in cap(c_i, th_i) and v in cap(c_j, th_j),
-    angle(u, v) >= angle(c_i, c_j) - th_i - th_j, hence
-    cos(u, v) <= cos(max(0, angle_ij - th_i - th_j)). A pair of blocks whose
-    bound is < tau provably holds no pair at >= tau — sound to skip (exactness
-    preserved; pruning only removes work). ``summaries[i] is None`` marks an
-    empty block (never scheduled). Self pairs have bound 1 — always kept."""
-    alive = [i for i, s in enumerate(summaries) if s is not None]
-    if not alive:
+    """Spherical-cap summaries of one sorted block's cluster runs: a list of
+    (row_start, row_len, centroid unit vector, theta_max) — one per contiguous
+    ``__cl`` run — where theta_max is the max angle from any run row to the
+    run centroid plus a small inflation absorbing float32 normalization error.
+    The block arrives sorted by ``__cl`` (global Dataset sort), so runs are
+    exactly the (block x cluster) intersections: pruning then works at
+    cluster-coherent granularity WITHOUT re-blocking the dataset (a plain
+    re-block leaves boundary blocks straddling two clusters, whose caps cover
+    both centroids and never prune — measured 990/2080 scheduled vs ~100 at
+    slice granularity on a 32-cluster corpus). Empty list for an empty block
+    (Ray's sort can emit zero-row blocks with an EMPTY schema, hence the
+    column-presence check)."""
+    if t.num_rows == 0 or "__vec" not in t.column_names:
         return []
-    C = np.stack([summaries[i][0] for i in alive])
-    th = np.asarray([summaries[i][1] for i in alive], dtype=np.float64)
+    arr = t.column("__vec").combine_chunks()
+    M = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), -1)
+    cl = np.asarray(t.column("__cl"))
+    starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+    bounds = np.r_[starts, len(cl)]
+    out = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        Mi = M[s:e]
+        c = Mi.mean(axis=0)
+        c = c / max(float(np.linalg.norm(c)), 1e-12)
+        cos_min = float(np.clip(Mi @ c, -1.0, 1.0).min())
+        out.append((int(s), int(e - s), c, float(np.arccos(cos_min)) + 1e-6))
+    return out
+
+
+def _prune_cap_pairs(caps, tau: float):
+    """Cap pairs (i <= j) that CAN hold a qualifying vector pair, by the
+    angular triangle inequality: for u in cap(c_i, th_i) and v in
+    cap(c_j, th_j), angle(u, v) >= angle(c_i, c_j) - th_i - th_j, hence
+    cos(u, v) <= cos(max(0, angle_ij - th_i - th_j)). A pair of caps whose
+    bound is < tau provably holds no pair at >= tau — sound to skip
+    (exactness preserved; pruning only removes work). ``caps`` is a list of
+    (centroid, theta_max). Self pairs have bound 1 — always kept."""
+    if not caps:
+        return []
+    C = np.stack([c for c, _ in caps])
+    th = np.asarray([t for _, t in caps], dtype=np.float64)
     ang = np.arccos(np.clip(C @ C.T, -1.0, 1.0))
     bound = np.cos(np.maximum(0.0, ang - th[:, None] - th[None, :]))
-    out = []
-    for a in range(len(alive)):
-        for b in range(a, len(alive)):
-            if bound[a, b] + 1e-9 >= tau:
-                out.append((alive[a], alive[b]))
-    return out
+    a, b = np.nonzero(np.triu(bound + 1e-9 >= tau))
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def _tile_pairs_neardup(ta: pa.Table, tb: pa.Table, tiles, tau: float,
+                        id_col: str):
+    """GEMM the qualifying (cluster-run x cluster-run) sub-tiles of ONE block
+    pair: ``tiles`` is a list of (a_off, a_len, b_off, b_len, same) into
+    zero-copy table slices. One task per block pair keeps the fan-out at most
+    B(B+1)/2 (scheduling a task per slice pair DOUBLES the task count when
+    runs-per-block ~ 2, which on loose-cap corpora costs more than the
+    pruning saves — measured); the slice-level bounds still skip every
+    non-qualifying sub-GEMM inside."""
+    parts = [_block_pair_neardup(ta.slice(ao, al), tb.slice(bo, bl),
+                                 same, tau, id_col)
+             for (ao, al, bo, bl, same) in tiles]
+    return pd.concat(parts, ignore_index=True)
 
 
 def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id",
                             vec_col: str = "embedding", method: str = "auto",
                             prune: bool = True, nlist: int = 64,
-                            sample_rows: int = 8192):
+                            sample_rows: int = 8192,
+                            stats_out: dict | None = None):
     """Pairs (a < b) with cosine >= tau — EXACT, distributed as a blocked
     cross-join: each Ray Data block is normalized once and materialized in the
     object store; one Ray task per surviving block pair (i <= j) runs a tiled
@@ -1243,14 +1269,17 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
     ``prune=True`` (default) bounds the quadratic fan-out WITHOUT giving up
     exactness: a k-means coarse quantizer (driver-side sample, broadcast via
     ``ray.put``) assigns every vector a cluster; one sort on the cluster id
-    packs angularly-coherent vectors into the same blocks; each block then
-    reports a spherical-cap summary (centroid, max angle), and only block
-    pairs whose triangle-inequality cosine bound reaches tau are scheduled
-    (``_prune_block_pairs``). No false dismissals — a skipped pair of caps
-    provably cannot contain a qualifying pair. Worst case (isotropic data at
-    a tau inside the background cosine mass) degrades to the full O(B^2)
-    schedule, but clustered corpora — the ones worth deduplicating — prune
-    most cross-cluster tiles. The sort is one shuffle, negligible next to the
+    makes every block a contiguous cluster range; each block then reports
+    spherical-cap summaries of its cluster RUNS (``_block_cap_summary`` —
+    slice granularity, because uniformly re-blocked boundaries straddle two
+    clusters and a straddler's cap never prunes), and only slice pairs whose
+    triangle-inequality cosine bound reaches tau are GEMMed — grouped into
+    at most one task per block pair (``_prune_cap_pairs`` ->
+    ``_tile_pairs_neardup``, zero-copy table slices). No false dismissals — a skipped pair of caps provably cannot
+    contain a qualifying pair. Worst case (isotropic data at a tau inside
+    the background cosine mass) degrades to the full O(S^2) schedule, but
+    clustered corpora — the ones worth deduplicating — prune most
+    cross-cluster tiles. The sort is one shuffle, negligible next to the
     GEMMs it avoids.
 
     The block-pair cross product is not expressible in the Dataset API (a
@@ -1288,7 +1317,23 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
 
     c_ref = None
     if prune:
-        sample = ds_emb.limit(sample_rows).to_pandas()
+        # RANDOM sample for the quantizer: a prefix (ds.limit) sees only the
+        # first few clusters of a cluster-ordered corpus, the quantizer then
+        # mis-assigns everything else, runs stay angularly wide and nothing
+        # prunes (measured: 2080/2080 scheduled with a prefix sample vs
+        # ~120 with a random one on a 32-cluster corpus)
+        # NOTE no .limit() after random_sample: random_sample preserves row
+        # order, so limit would keep only the corpus PREFIX of the sample —
+        # later clusters go unsampled, the quantizer mis-assigns them, their
+        # runs go wide and nothing prunes (measured: 89% of slice pairs kept
+        # with the prefix bias vs ~30% without, same corpus)
+        n_total = ds_emb.count()
+        if n_total == 0:
+            return empty
+        frac = min(1.0, sample_rows / n_total)
+        sample = ds_emb.random_sample(frac, seed=1234).to_pandas()
+        if len(sample) < min(n_total, 64):  # pathological under-draw
+            sample = ds_emb.limit(sample_rows).to_pandas()
         if len(sample) == 0:
             return empty
         k = max(1, min(nlist, (len(sample) // 32) + 1))
@@ -1312,21 +1357,41 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
     mapped = ds_emb.map_batches(
         normalize_block, batch_format="pyarrow", zero_copy_batch=True)
     if prune:
-        # one shuffle: angularly-coherent blocks make the cap bounds tight
+        # one shuffle: blocks become contiguous __cl ranges, so every block
+        # decomposes into cluster-coherent runs (sliced, not re-blocked)
         mapped = mapped.sort("__cl")
     refs = mapped.to_arrow_refs()
 
     if prune:
         cap_task = ray.remote(num_cpus=1)(_block_cap_summary)
-        summaries = ray.get([cap_task.remote(r) for r in refs])
-        schedule = _prune_block_pairs(summaries, tau)
+        per_block = ray.get([cap_task.remote(r) for r in refs])
+        slices = [(bi, s, ln, c, th)
+                  for bi, runs in enumerate(per_block)
+                  for (s, ln, c, th) in runs]
+        schedule = _prune_cap_pairs([(c, th) for _, _, _, c, th in slices], tau)
+        # group qualifying slice pairs by block pair: one task per block pair
+        tiles: dict = {}
+        for i, j in schedule:
+            bi, si, li = slices[i][0], slices[i][1], slices[i][2]
+            bj, sj, lj = slices[j][0], slices[j][1], slices[j][2]
+            tiles.setdefault((bi, bj), []).append((si, li, sj, lj, i == j))
+        if stats_out is not None:
+            stats_out.update(
+                blocks=len(refs), slices=len(slices), scheduled=len(schedule),
+                tasks=len(tiles),
+                total_pairs=len(slices) * (len(slices) + 1) // 2)
+        tile_task = ray.remote(num_cpus=1)(_tile_pairs_neardup)
+        futures = [tile_task.remote(refs[bi], refs[bj], tl, tau, id_col)
+                   for (bi, bj), tl in tiles.items()]
     else:
         schedule = [(i, j) for i in range(len(refs))
                     for j in range(i, len(refs))]
-
-    pair_task = ray.remote(num_cpus=1)(_block_pair_neardup)
-    futures = [pair_task.remote(refs[i], refs[j], i == j, tau, id_col)
-               for i, j in schedule]
+        if stats_out is not None:
+            stats_out.update(blocks=len(refs), scheduled=len(schedule),
+                             total_pairs=len(schedule))
+        pair_task = ray.remote(num_cpus=1)(_block_pair_neardup)
+        futures = [pair_task.remote(refs[i], refs[j], i == j, tau, id_col)
+                   for i, j in schedule]
     parts = ray.get(futures)
     if not parts:
         return empty

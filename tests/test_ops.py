@@ -834,7 +834,7 @@ def test_embedding_neardup_cap_pruning(ray_session):
     GEMM tasks (the triangle-inequality bound must bite across well-separated
     clusters and never drop a qualifying pair)."""
     from parquet_go_ray.ops.dedup import (_block_cap_summary,
-                                          _prune_block_pairs,
+                                          _prune_cap_pairs,
                                           embedding_neardup_pairs)
 
     rng = np.random.default_rng(23)
@@ -853,8 +853,12 @@ def test_embedding_neardup_cap_pruning(ray_session):
     })
     ds = rd.from_arrow(tbl).repartition(8)
     tau = 0.6  # low tau: in-cluster pairs qualify, cross-cluster never
-    pruned = embedding_neardup_pairs(ds, tau=tau, method="exact", prune=True)
+    stats = {}
+    pruned = embedding_neardup_pairs(ds, tau=tau, method="exact", prune=True,
+                                     stats_out=stats)
     full = embedding_neardup_pairs(ds, tau=tau, method="exact", prune=False)
+    # the bound must actually bite on well-separated clusters
+    assert stats["scheduled"] < stats["total_pairs"], stats
     assert len(full) > 100
     assert (sorted(zip(pruned.vec_a.tolist(), pruned.vec_b.tolist()))
             == sorted(zip(full.vec_a.tolist(), full.vec_b.tolist())))
@@ -864,29 +868,37 @@ def test_embedding_neardup_cap_pruning(ray_session):
 
     # the bound itself: two antipodal-ish caps prune, near caps survive,
     # and soundness holds on random blocks vs a brute-force check
-    def blk(M):
+    def blk(M, cl=0):
         Mn = (M / np.linalg.norm(M, axis=1, keepdims=True)).astype(np.float32)
         return pa.table({"__vec": pa.FixedSizeListArray.from_arrays(
-            pa.array(Mn.reshape(-1)), M.shape[1])})
+            pa.array(Mn.reshape(-1)), M.shape[1]),
+            "__cl": pa.array(np.full(len(M), cl, dtype=np.int64))})
 
-    tight_a = blk(centers[0] + 0.01 * rng.standard_normal((40, d)))
-    tight_b = blk(-centers[0] + 0.01 * rng.standard_normal((40, d)))
-    s = [_block_cap_summary(tight_a), _block_cap_summary(tight_b)]
-    kept = _prune_block_pairs(s, 0.5)
+    def cap(t):
+        runs = _block_cap_summary(t)
+        assert len(runs) == 1 and runs[0][0] == 0 and runs[0][1] == t.num_rows
+        return runs[0][2], runs[0][3]
+
+    tight_a = cap(blk(centers[0] + 0.01 * rng.standard_normal((40, d))))
+    tight_b = cap(blk(-centers[0] + 0.01 * rng.standard_normal((40, d))))
+    kept = _prune_cap_pairs([tight_a, tight_b], 0.5)
     assert (0, 1) not in kept and (0, 0) in kept and (1, 1) in kept
-    # empty blocks are never scheduled
-    s2 = [s[0], None, s[1]]
-    kept2 = _prune_block_pairs(s2, 0.5)
-    assert all(1 not in p for p in kept2)
+    # empty blocks yield no runs (sort can emit empty-schema blocks)
+    assert _block_cap_summary(pa.table({})) == []
+    # a sorted block with two cluster runs decomposes into two caps
+    two = pa.concat_tables([blk(centers[0] + 0.01 * rng.standard_normal((7, d)), 0),
+                            blk(centers[1] + 0.01 * rng.standard_normal((5, d)), 1)])
+    runs = _block_cap_summary(two)
+    assert [(r[0], r[1]) for r in runs] == [(0, 7), (7, 5)]
 
-    # soundness sweep: random small blocks — every block pair holding a
+    # soundness sweep: random small blocks — every cap pair holding a
     # qualifying vector pair must survive pruning at that tau
     for trial in range(5):
         blocks = [rng.standard_normal((12, d)) for _ in range(4)]
-        summaries = [_block_cap_summary(blk(B)) for B in blocks]
+        caps = [cap(blk(B)) for B in blocks]
         norm = [B / np.linalg.norm(B, axis=1, keepdims=True) for B in blocks]
         for tau2 in (0.3, 0.6, 0.9):
-            kept3 = set(_prune_block_pairs(summaries, tau2))
+            kept3 = set(_prune_cap_pairs(caps, tau2))
             for i in range(4):
                 for j in range(i, 4):
                     if (norm[i] @ norm[j].T).max() >= tau2:

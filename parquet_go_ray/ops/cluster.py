@@ -530,8 +530,12 @@ def semantic_dedup(ds, *, tau: float = 0.95, k: int | None = None,
     # giant clusters)
     n_sample = max(sample_rows, 2 * k)
     if n_total > n_sample:
-        frac = min(1.0, 1.25 * n_sample / n_total)
-        sample = ds.random_sample(frac, seed=1234).limit(n_sample).to_pandas()
+        # no .limit() after random_sample: random_sample preserves row order,
+        # so a limit keeps only the corpus-PREFIX rows of the sample and
+        # later clusters go unrepresented (exactly the prefix bias (b) warns
+        # about, reintroduced through the cap)
+        frac = min(1.0, n_sample / n_total)
+        sample = ds.random_sample(frac, seed=1234).to_pandas()
         if len(sample) < k:  # pathological under-draw: fall back to prefix
             sample = ds.limit(n_sample).to_pandas()
     else:

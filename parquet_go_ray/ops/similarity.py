@@ -136,7 +136,19 @@ def knn_ivf(ds_emb, query_ids: list[int], k: int = 10, *, nlist: int = 16,
     """
     import pyarrow.compute as pc
 
-    sample = ds_emb.limit(sample_rows).to_pandas()
+    # quantizer sample drawn ACROSS the corpus: a prefix (plain .limit) of a
+    # cluster- or source-ordered corpus trains centroids on the first few
+    # clusters only; vectors elsewhere collapse into whichever lists point
+    # their way, so nprobe recall craters. random_sample without a trailing
+    # .limit (which would keep only the prefix rows of the sample again).
+    n_total = ds_emb.count()
+    if n_total > sample_rows:
+        frac = min(1.0, sample_rows / n_total)
+        sample = ds_emb.random_sample(frac, seed=1234).to_pandas()
+        if len(sample) < nlist:  # pathological under-draw
+            sample = ds_emb.limit(sample_rows).to_pandas()
+    else:
+        sample = ds_emb.limit(sample_rows).to_pandas()
     C = _kmeans(np.stack(sample[vec_col].to_numpy()), nlist)
 
     def pick(batch: pa.Table) -> pa.Table:

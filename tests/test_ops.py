@@ -903,3 +903,34 @@ def test_embedding_neardup_cap_pruning(ray_session):
                 for j in range(i, 4):
                     if (norm[i] @ norm[j].T).max() >= tau2:
                         assert (i, j) in kept3, (trial, tau2, i, j)
+
+
+def test_knn_ivf_cluster_ordered_corpus(ray_session):
+    """Quantizer-sample bias regression: on a CLUSTER-ORDERED corpus (all of
+    cluster 0, then cluster 1, ...) a prefix-trained quantizer never sees the
+    last clusters, so queries there lose their true neighbors. The corpus-wide
+    random sample must keep recall high for queries in the LAST cluster."""
+    from parquet_go_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(31)
+    d, nclust, per = 24, 12, 300
+    centers = rng.standard_normal((nclust, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.concatenate([
+        c + 0.05 * rng.standard_normal((per, d)) for c in centers
+    ]).astype(np.float32)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(12).materialize()
+    # queries in the LAST cluster — unseen by any prefix of < 11/12 corpus
+    q = [int(ids[-1]), int(ids[-per // 2])]
+    exact = knn_bruteforce(ds, q, k=10)
+    approx = knn_ivf(ds, q, k=10, nlist=12, nprobe=3, sample_rows=1024)
+    for qid in q:
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        assert len(e & a) / max(len(e), 1) >= 0.7, (qid, e, a)

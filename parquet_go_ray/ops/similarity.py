@@ -125,6 +125,31 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.nda
     return C
 
 
+def _quantizer_sample(ds_emb, sample_rows: int, k: int,
+                      vec_col: str) -> np.ndarray:
+    """Corpus-wide random sample matrix for training a coarse quantizer.
+
+    A prefix (plain .limit) of a cluster- or source-ordered corpus trains
+    centroids on the first few clusters only; vectors elsewhere collapse
+    into whichever lists point their way, so nprobe recall craters. And
+    random_sample().limit() is the same bias through a side door —
+    random_sample preserves row order, so the limit keeps only the
+    corpus-PREFIX rows of the sample. Hence: sample by fraction, prefix
+    fallback only on pathological under-draw; clean error on an empty corpus.
+    """
+    n_total = ds_emb.count()
+    if n_total == 0:
+        raise ValueError("cannot train a quantizer on an empty corpus")
+    if n_total > sample_rows:
+        frac = min(1.0, sample_rows / n_total)
+        sample = ds_emb.random_sample(frac, seed=1234).to_pandas()
+        if len(sample) < k:  # pathological under-draw
+            sample = ds_emb.limit(sample_rows).to_pandas()
+    else:
+        sample = ds_emb.limit(sample_rows).to_pandas()
+    return np.stack(sample[vec_col].to_numpy())
+
+
 def knn_ivf(ds_emb, query_ids: list[int], k: int = 10, *, nlist: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
             sample_rows: int = 8192, concurrency=None) -> pd.DataFrame:
@@ -136,20 +161,7 @@ def knn_ivf(ds_emb, query_ids: list[int], k: int = 10, *, nlist: int = 16,
     """
     import pyarrow.compute as pc
 
-    # quantizer sample drawn ACROSS the corpus: a prefix (plain .limit) of a
-    # cluster- or source-ordered corpus trains centroids on the first few
-    # clusters only; vectors elsewhere collapse into whichever lists point
-    # their way, so nprobe recall craters. random_sample without a trailing
-    # .limit (which would keep only the prefix rows of the sample again).
-    n_total = ds_emb.count()
-    if n_total > sample_rows:
-        frac = min(1.0, sample_rows / n_total)
-        sample = ds_emb.random_sample(frac, seed=1234).to_pandas()
-        if len(sample) < nlist:  # pathological under-draw
-            sample = ds_emb.limit(sample_rows).to_pandas()
-    else:
-        sample = ds_emb.limit(sample_rows).to_pandas()
-    C = _kmeans(np.stack(sample[vec_col].to_numpy()), nlist)
+    C = _kmeans(_quantizer_sample(ds_emb, sample_rows, nlist, vec_col), nlist)
 
     def pick(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch.column(id_col), value_set=pa.array(query_ids)))
@@ -226,8 +238,7 @@ def build_ivf_index(ds_emb, index_dir: str, *, nlist: int = 16,
     from ..sources import fsio
     from ..state import manifest as mf
 
-    sample = ds_emb.limit(sample_rows).to_pandas()
-    C = _kmeans(np.stack(sample[vec_col].to_numpy()), nlist)
+    C = _kmeans(_quantizer_sample(ds_emb, sample_rows, nlist, vec_col), nlist)
     cref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:

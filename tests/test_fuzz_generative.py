@@ -303,3 +303,47 @@ def test_jpeg_mutated(which, mut):
 
     blob = _mutate(_JPEG_POOL[which], *mut)
     _expect_clean(lambda: decode_jpeg(blob))
+
+
+# --- spherical-cap pruning soundness (ops/dedup.py) -------------------------
+# The angular-triangle-inequality bound must NEVER dismiss a cap pair that
+# holds a qualifying vector pair — for any block contents, any tau.
+
+@settings(**FUZZ)
+@given(st.data())
+def test_cap_pruning_never_false_dismisses(data):
+    import pyarrow as pa
+
+    from parquet_go_ray.ops.dedup import _block_cap_summary, _prune_cap_pairs
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    d = data.draw(st.integers(2, 24))
+    nblocks = data.draw(st.integers(1, 5))
+    tau = data.draw(st.floats(-0.5, 0.999))
+    caps, mats = [], []
+    for _ in range(nblocks):
+        n = rng.integers(1, 30)
+        # mix of tight and spread blocks, occasional duplicates/zeros
+        M = rng.standard_normal((n, d))
+        if rng.random() < 0.5:  # tighten around a random direction
+            c = rng.standard_normal(d)
+            M = c + rng.uniform(0.005, 0.4) * M
+        if rng.random() < 0.2 and n > 1:
+            M[0] = M[-1]  # exact duplicate across positions
+        Mn = (M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+              ).astype(np.float32)
+        t = pa.table({
+            "__vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(Mn.reshape(-1)), d),
+            "__cl": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        runs = _block_cap_summary(t)
+        assert len(runs) == 1
+        caps.append((runs[0][2], runs[0][3]))
+        mats.append(np.asarray(Mn, dtype=np.float64))
+    kept = set(_prune_cap_pairs(caps, tau))
+    for i in range(nblocks):
+        for j in range(i, nblocks):
+            best = float((mats[i] @ mats[j].T).max())
+            if best >= tau:
+                assert (i, j) in kept, (i, j, best, tau, caps[i], caps[j])

@@ -111,10 +111,27 @@ def knn_bruteforce(ds_emb, query_ids: list[int], k: int = 10, *, id_col: str = "
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.ndarray:
     """Small numpy k-means (means normalized for cosine) — trains the IVF
     coarse quantizer on a driver-side sample (the sample is small; the
-    assignment sweep over the corpus is distributed)."""
+    assignment sweep over the corpus is distributed).
+
+    Seeding is k-means++ (Arthur & Vassilvitskii 2007) on angular distance:
+    uniform init can land several seeds in one tight cluster and leave other
+    clusters uncovered entirely — the uncovered clusters' vectors then smear
+    across whichever centroids point their way, which craters IVF nprobe
+    recall and widens the exact-join pruning caps. O(k·n) on the sample."""
     rng = np.random.default_rng(seed)
     S = _normalize(sample.astype(np.float64))
-    C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+    k = min(k, len(S))
+    C = np.empty((k, S.shape[1]), dtype=np.float64)
+    C[0] = S[rng.integers(len(S))]
+    # d2 = angular proxy distance (1 - cos) to the nearest chosen seed
+    d2 = np.maximum(1.0 - S @ C[0], 0.0)
+    for j in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:  # all points coincide with chosen seeds
+            C[j:] = C[0]
+            break
+        C[j] = S[rng.choice(len(S), p=d2 / tot)]
+        d2 = np.minimum(d2, np.maximum(1.0 - S @ C[j], 0.0))
     for _ in range(iters):
         assign = np.argmax(S @ C.T, axis=1)
         for j in range(len(C)):

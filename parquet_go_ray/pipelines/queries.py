@@ -1481,7 +1481,11 @@ def q_knn_ivf_index(sf_dir):
     ds = _read(sf_dir, "embeddings")
     idx = os.path.join(tempfile.gettempdir(), "pgr_ivf_index_q")
     shutil.rmtree(idx, ignore_errors=True)
-    build_ivf_index(ds, idx, nlist=8)
+    # nlist=16 > len(KNN_QUERIES) * nprobe: the probe set structurally
+    # cannot cover every list, so the partitions_read < partitions_total
+    # assert tests manifest pruning, not centroid-placement luck (k-means++
+    # seeding spreads 8 centroids wide enough that 4x3 probes hit all 8)
+    build_ivf_index(ds, idx, nlist=16)
     # collect only the query vectors (vectorized is_in filter), not the corpus
     import pyarrow as _pa
     import pyarrow.compute as _pc

@@ -1327,6 +1327,9 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
         # later clusters go unsampled, the quantizer mis-assigns them, their
         # runs go wide and nothing prunes (measured: 89% of slice pairs kept
         # with the prefix bias vs ~30% without, same corpus)
+        # one upstream execution, not three: count + quantizer sample +
+        # normalize would each re-run a lazy upstream pipeline otherwise
+        ds_emb = ds_emb.materialize()
         n_total = ds_emb.count()
         if n_total == 0:
             return empty

@@ -99,19 +99,44 @@ def cmd_meta(args):
         )
 
 
+def _tail_footer(f, magic: bytes) -> bytes:
+    """Seek-read ONLY the footer of an open binary file laid out as
+    ``magic ... footer <u32 footer_len> magic`` — rowcount on a multi-GB
+    file must not read the whole file into memory."""
+    import os
+
+    size = f.seek(0, os.SEEK_END)
+    tail = len(magic) + 4
+    if size < 2 * len(magic) + 4:
+        raise ValueError("file too short for a footer")
+    f.seek(0)
+    if f.read(len(magic)) != magic:
+        raise ValueError("bad leading magic")
+    f.seek(size - tail)
+    flen = int.from_bytes(f.read(4), "little")
+    if f.read(len(magic)) != magic:
+        raise ValueError("bad trailing magic")
+    if flen > size - tail - len(magic):
+        raise ValueError("footer length exceeds file size")
+    f.seek(size - tail - flen)
+    return f.read(flen)
+
+
 def cmd_rowcount(args):
     if args.path.endswith(".rdpg"):
-        from .sources.partfile import read_footer
+        import json
+
+        from .sources.partfile import MAGIC
 
         with open(args.path, "rb") as f:
-            print(read_footer(f.read())["num_rows"])
+            print(json.loads(_tail_footer(f, MAGIC))["num_rows"])
     elif args.path.endswith(".parquet"):
         # footer-only, our own thrift reader (the reference's `parquet-tool
         # rowcount` shape, cmd/parquet-tool) — FileMetaData field 3
-        from .sources.parquet_compat import read_file_metadata
+        from .sources.parquet_compat import MAGIC, CompactReader
 
         with open(args.path, "rb") as f:
-            print(read_file_metadata(f.read())[3])
+            print(CompactReader(_tail_footer(f, MAGIC), 0).read_struct()[3])
     else:
         import os
 

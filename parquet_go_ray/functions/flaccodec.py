@@ -249,6 +249,10 @@ def encode_flac(samples: np.ndarray, sample_rate: int, *, bps: int = 16,
         raise ValueError("mid_side needs exactly 2 channels")
     if not 16 <= block_size <= 65535:
         raise ValueError("flac: block_size must be in [16, 65535]")
+    if not 1 <= sample_rate < (1 << 20):
+        # STREAMINFO carries the rate in 20 bits — larger values would
+        # silently wrap modulo 2^20 into wrong (but well-formed) metadata
+        raise ValueError("flac: sample_rate must be in [1, 1048575]")
     lim = 1 << (bps - 1)
     s = s.astype(np.int64)
     if s.min() < -lim or s.max() >= lim:

@@ -230,6 +230,18 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 90,
     identical to the baseline stream's, so both decodes are bit-equal."""
     if progressive and restart_interval:
         raise ValueError("progressive + restart_interval not supported")
+    if progressive:
+        # the scan script must code every AC coefficient exactly once, or
+        # the 'progressive decodes bit-equal to baseline' contract silently
+        # degrades (uncoded bands would just be missing from the image)
+        bands = sorted(tuple(b) for b in spectral_bands)
+        if (any(not (1 <= lo <= hi <= 63) for lo, hi in bands)
+                or bands[0][0] != 1 or bands[-1][1] != 63
+                or any(bands[i][1] + 1 != bands[i + 1][0]
+                       for i in range(len(bands) - 1))):
+            raise ValueError(
+                f"spectral_bands {spectral_bands!r} must partition 1..63 "
+                "(disjoint, complete)")
     px = np.asarray(pixels)
     if px.dtype != np.uint8 or px.ndim not in (2, 3):
         raise ValueError("encode_jpeg needs uint8 HxW or HxWx3")

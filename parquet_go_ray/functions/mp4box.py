@@ -252,6 +252,8 @@ def _demux_mp4(data) -> list[dict]:
             if len(deltas) + cnt > count:
                 raise ValueError("mp4: stts covers more samples than stsz")
             deltas.extend([dl] * cnt)
+        if len(deltas) < count:
+            raise ValueError("mp4: stts covers fewer samples than stsz")
 
         # chunk offsets
         if b"stco" in boxes:

@@ -529,27 +529,19 @@ def semantic_dedup(ds, *, tau: float = 0.95, k: int | None = None,
     # would train centroids on one source and funnel the rest into a few
     # giant clusters)
     n_sample = max(sample_rows, 2 * k)
-    if n_total > n_sample:
-        # no .limit() after random_sample: random_sample preserves row order,
-        # so a limit keeps only the corpus-PREFIX rows of the sample and
-        # later clusters go unrepresented (exactly the prefix bias (b) warns
-        # about, reintroduced through the cap)
-        frac = min(1.0, n_sample / n_total)
-        sample = ds.random_sample(frac, seed=1234).to_pandas()
-        if len(sample) < k:  # pathological under-draw: fall back to prefix
-            sample = ds.limit(n_sample).to_pandas()
-    else:
-        sample = ds.limit(n_sample).to_pandas()
-    if n_total == 0 or len(sample) == 0:
-        # empty corpus: nothing to drop — np.stack on zero arrays would raise
+    from .similarity import _quantizer_sample
+
+    S = _quantizer_sample(ds, n_sample, k, vec_col,
+                          n_total=n_total, on_empty="none")
+    if S is None:
+        # empty corpus: nothing to drop
         if drop:
             return ds
         import ray.data as rd
         return rd.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
             "cluster_id": pa.array([], pa.int64())}))
-    C = _kmeans(np.stack(sample[vec_col].to_numpy()), k,
-                iters=kmeans_iters).astype(np.float32)
+    C = _kmeans(S, k, iters=kmeans_iters).astype(np.float32)
     c_ref = ray.put(C)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -1297,7 +1297,7 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
     """
     import ray
 
-    from .similarity import _kmeans, _normalize, _to_matrix
+    from .similarity import _kmeans, _normalize, _quantizer_sample, _to_matrix
 
     if method not in ("auto", "exact", "lsh"):
         raise ValueError(f"unknown method {method!r}")
@@ -1317,30 +1317,19 @@ def embedding_neardup_pairs(ds_emb, *, tau: float = 0.95, id_col: str = "vec_id"
 
     c_ref = None
     if prune:
-        # RANDOM sample for the quantizer: a prefix (ds.limit) sees only the
-        # first few clusters of a cluster-ordered corpus, the quantizer then
-        # mis-assigns everything else, runs stay angularly wide and nothing
-        # prunes (measured: 2080/2080 scheduled with a prefix sample vs
-        # ~120 with a random one on a 32-cluster corpus)
-        # NOTE no .limit() after random_sample: random_sample preserves row
-        # order, so limit would keep only the corpus PREFIX of the sample —
-        # later clusters go unsampled, the quantizer mis-assigns them, their
-        # runs go wide and nothing prunes (measured: 89% of slice pairs kept
-        # with the prefix bias vs ~30% without, same corpus)
+        # quantizer trained on a corpus-wide RANDOM sample (see
+        # _quantizer_sample: a prefix-biased sample leaves later clusters
+        # unrepresented, their runs go wide and nothing prunes — measured
+        # 89% of slice pairs kept with the bias vs ~2% without)
         # one upstream execution, not three: count + quantizer sample +
         # normalize would each re-run a lazy upstream pipeline otherwise
         ds_emb = ds_emb.materialize()
-        n_total = ds_emb.count()
-        if n_total == 0:
+        S = _quantizer_sample(ds_emb, sample_rows, 64, vec_col,
+                              on_empty="none")
+        if S is None:
             return empty
-        frac = min(1.0, sample_rows / n_total)
-        sample = ds_emb.random_sample(frac, seed=1234).to_pandas()
-        if len(sample) < min(n_total, 64):  # pathological under-draw
-            sample = ds_emb.limit(sample_rows).to_pandas()
-        if len(sample) == 0:
-            return empty
-        k = max(1, min(nlist, (len(sample) // 32) + 1))
-        C = _kmeans(np.stack(sample[vec_col].to_numpy()), k)
+        k = max(1, min(nlist, (len(S) // 32) + 1))
+        C = _kmeans(S, k)
         c_ref = ray.put(C.astype(np.float32))
 
     def normalize_block(batch: pa.Table) -> pa.Table:

@@ -142,9 +142,12 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.nda
     return C
 
 
-def _quantizer_sample(ds_emb, sample_rows: int, k: int,
-                      vec_col: str) -> np.ndarray:
-    """Corpus-wide random sample matrix for training a coarse quantizer.
+def _quantizer_sample(ds_emb, sample_rows: int, min_draw: int, vec_col: str,
+                      *, n_total: int | None = None,
+                      on_empty: str = "raise") -> np.ndarray | None:
+    """Corpus-wide random sample matrix for training a coarse quantizer
+    (the ONE copy of this policy — knn_ivf, build_ivf_index, semantic_dedup
+    and the exact-join pruner all train through it).
 
     A prefix (plain .limit) of a cluster- or source-ordered corpus trains
     centroids on the first few clusters only; vectors elsewhere collapse
@@ -152,18 +155,21 @@ def _quantizer_sample(ds_emb, sample_rows: int, k: int,
     random_sample().limit() is the same bias through a side door —
     random_sample preserves row order, so the limit keeps only the
     corpus-PREFIX rows of the sample. Hence: sample by fraction, prefix
-    fallback only on pathological under-draw; clean error on an empty corpus.
-    """
-    n_total = ds_emb.count()
-    if n_total == 0:
-        raise ValueError("cannot train a quantizer on an empty corpus")
+    fallback only on a pathological under-draw (< min_draw rows drawn).
+    Empty corpus: raise, or return None with ``on_empty="none"``. Pass
+    ``n_total`` when the caller already counted."""
+    if n_total is None:
+        n_total = ds_emb.count()
+    sample = None
     if n_total > sample_rows:
         frac = min(1.0, sample_rows / n_total)
         sample = ds_emb.random_sample(frac, seed=1234).to_pandas()
-        if len(sample) < k:  # pathological under-draw
-            sample = ds_emb.limit(sample_rows).to_pandas()
-    else:
+    if sample is None or len(sample) < min(n_total, min_draw):
         sample = ds_emb.limit(sample_rows).to_pandas()
+    if len(sample) == 0:
+        if on_empty == "raise":
+            raise ValueError("cannot train a quantizer on an empty corpus")
+        return None
     return np.stack(sample[vec_col].to_numpy())
 
 

@@ -45,10 +45,19 @@ DEFAULT_TARGET_PARTITION_BYTES = 128 << 20  # reference row-group default (split
 def key_tag(val) -> str:
     """Canonical manifest tag for a partition-key value. Null keys get a
     reserved token (``pc.equal`` against a null scalar would otherwise
-    filter their rows away silently); everything else is ``str(val)``.
+    filter their rows away silently); everything else is ``str(val)``,
+    escaped so no real value can collide with the reserved token: a value
+    whose str() starts with ``__`` gains one leading ``_`` (escaped tags
+    start ``___``, unescaped ones never start ``__``, and ``__null__``
+    matches neither — injective, so a literal '__null__' source value and
+    the null partition keep distinct tags/paths instead of the second
+    group silently overwriting the first's partition file).
     Shared by the encode tags and ``decode_dataset(keys=...)`` pruning, so
     a caller can pass ``keys={None}`` to point-look-up the null partition."""
-    return "__null__" if val is None else str(val)
+    if val is None:
+        return "__null__"
+    s = str(val)
+    return "_" + s if s.startswith("__") else s
 
 
 def _default_concurrency() -> tuple[int, int]:

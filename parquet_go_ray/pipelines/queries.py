@@ -1565,6 +1565,19 @@ def q_segment_signals_documents(sf_dir):
         seg, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_topk_per_group_documents(sf_dir):
+    """Top-3 documents per source by n_chars (deterministic doc_id
+    tiebreak) — the keep-k-best-per-domain curation primitive
+    (ops/topk.py:top_k_per_group): per-block combiner cuts to <= k rows
+    per (block, group) before the groupby, so the shuffle moves candidates,
+    never groups. Exact SQL window oracle."""
+    from ..ops.topk import top_k_per_group
+
+    return top_k_per_group(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+        "source", "n_chars", 3, tiebreak="doc_id")
+
+
 def q_windows_events_all(sf_dir):
     """All three window shapes (tumbling / hopping / session) in one checked
     row (VERDICT r3 #1), schemas aligned to (kind, user_id, w, n_events,
@@ -1706,6 +1719,7 @@ QUERIES = {
     # embedding_neardup combo (recall >= 0.95 vs exact asserted in-query);
     # this standalone entry stays runnable for tests/test_oracle.py
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "topk_per_group_documents": q_topk_per_group_documents,
 }
 
 _CHECKED_WINDOW = 50
@@ -2117,6 +2131,13 @@ ORACLE_SQL = {
         "      THEN 1 ELSE 0 END AS new_s"
         "    FROM events)"
         ") GROUP BY 1, 2, 3"
+    ),
+    "topk_per_group_documents": (
+        "SELECT doc_id, source, n_chars FROM ("
+        "  SELECT doc_id, source, n_chars,"
+        "         row_number() OVER (PARTITION BY source"
+        "                            ORDER BY n_chars DESC, doc_id) AS rn"
+        "  FROM documents) WHERE rn <= 3"
     ),
     # lang_id / fingerprint / minhash / simhash / knn_lsh are intentionally
     # omitted: non-SQL-expressible (heuristic / hash / probabilistic) -> the

@@ -934,3 +934,42 @@ def test_knn_ivf_cluster_ordered_corpus(ray_session):
         e = set(exact[exact.query_id == qid].neighbor_id)
         a = set(approx[approx.query_id == qid].neighbor_id)
         assert len(e & a) / max(len(e), 1) >= 0.7, (qid, e, a)
+
+
+def test_top_k_per_group(ray_session):
+    """Combiner + groupby finalize must equal pandas groupby-head with the
+    same deterministic tiebreak — across blocks, ties, nulls in the group
+    column, and groups smaller than k."""
+    from parquet_go_ray.ops.topk import top_k_per_group
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "grp": rng.choice(["a", "b", "c", None, "tiny"],
+                          p=[0.3, 0.3, 0.3, 0.05, 0.05], size=n),
+        "score": rng.integers(0, 20, n).astype(np.int64),  # heavy ties
+    })
+    df.loc[df.grp == "tiny", "grp"] = None  # fold: null + tiny group mix
+    df.loc[:2, "grp"] = "solo"  # a group smaller than k across blocks
+    ds = rd.from_pandas(df).repartition(7)
+    got = (top_k_per_group(ds, "grp", "score", 5, tiebreak="doc_id")
+           .to_pandas().sort_values(["grp", "score", "doc_id"],
+                                    ascending=[True, False, True],
+                                    na_position="last").reset_index(drop=True))
+    want = (df.sort_values(["score", "doc_id"], ascending=[False, True])
+            .groupby("grp", dropna=False).head(5)
+            .sort_values(["grp", "score", "doc_id"],
+                         ascending=[True, False, True],
+                         na_position="last").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["doc_id", "grp", "score"]],
+                                  want[["doc_id", "grp", "score"]])
+    # ascending order flips which rows survive
+    asc = top_k_per_group(ds, "grp", "score", 2, ascending=True,
+                          tiebreak="doc_id").to_pandas()
+    want_asc = (df.sort_values(["score", "doc_id"])
+                .groupby("grp", dropna=False).head(2))
+    assert sorted(asc.doc_id) == sorted(want_asc.doc_id)
+    # empty input
+    empty = rd.from_pandas(df.iloc[:0])
+    assert top_k_per_group(empty, "grp", "score", 3).count() == 0

@@ -72,7 +72,13 @@ def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
     for b in (ds.map_batches(histogram, batch_format="pyarrow",
                              zero_copy_batch=True)
               .iter_batches(batch_format="pyarrow")):
-        totals[np.asarray(b.column("bucket"))] += np.asarray(b.column("n"))
+        # np.add.at, NOT totals[idx] += n: iter_batches coalesces histogram
+        # rows from several blocks into one batch, and fancy-index += applies
+        # only ONE update per duplicated bucket id — bucket totals undercount,
+        # offsets shrink, and ranks collide (measured: 20k rows yielded only
+        # ~10k distinct shuffle_pos at num_buckets=128)
+        np.add.at(totals, np.asarray(b.column("bucket")),
+                  np.asarray(b.column("n")))
     offsets = np.zeros(num_buckets, dtype=np.int64)
     np.cumsum(totals[:-1], out=offsets[1:])
     ref = ray.put(offsets)

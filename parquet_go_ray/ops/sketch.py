@@ -151,7 +151,9 @@ def exact_quantile_threshold(ds, col: str, q: float, *, k: int = 512,
     vals, cnts = vals[order], cnts[order]
     uvals, start = np.unique(vals, return_index=True)
     ucnts = np.add.reduceat(cnts, start) if len(vals) else cnts
-    rank = int(np.floor(q * total))  # 0-indexed ascending target
+    # 0-indexed ascending target, clamped so q=1.0 means the maximum
+    # (floor(1.0*N) = N is out of range and would blame the bracket forever)
+    rank = min(int(np.floor(q * total)), total - 1)
     j = rank - below
     if j < 0 or j >= int(ucnts.sum()):
         raise RuntimeError(

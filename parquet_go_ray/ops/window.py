@@ -18,16 +18,46 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ts_to_us(ts) -> pa.ChunkedArray:
+    """Epoch-microsecond int64 from a timestamp column of ANY unit (or an
+    already-integer column, passed through). A plain ``.cast(timestamp[us])``
+    is a SAFE cast that raises 'would lose data' on any ns value not
+    microsecond-aligned — i.e. on virtually every real timestamp[ns] column;
+    here ns floors by integer division instead (Arrow ``divide`` truncates
+    toward zero; pre-epoch ns values land one us late — documented, exact
+    for the post-1970 domain). Nulls stay null."""
+    if pa.types.is_timestamp(ts.type):
+        unit = ts.type.unit
+        raw = pc.cast(ts, pa.int64())
+        if unit == "s":
+            return pc.multiply_checked(raw, 1_000_000)
+        if unit == "ms":
+            return pc.multiply_checked(raw, 1_000)
+        if unit == "ns":
+            return pc.divide(raw, 1_000)
+        return raw
+    return pc.cast(ts, pa.int64())
+
+
+def _drop_null_ts(batch: pa.Table, us) -> tuple[pa.Table, pa.ChunkedArray]:
+    """A null timestamp belongs to no window (SQL GROUP BY on the derived
+    bucket would keep a null group; converting through numpy would
+    silently turn it into INT64_MIN garbage — the one thing it must never
+    be). Drop those rows up front, consistently across all window shapes."""
+    if us.null_count:
+        mask = pc.is_valid(us)
+        return batch.filter(mask), pc.drop_null(us)
+    return batch, us
+
+
 def tumbling_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: str = "value",
                     width_us: int = 3_600_000_000):
     """(key, bucket, n_events, min_value, max_value) per tumbling window."""
     from ray.data.aggregate import Max, Min, Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col)
-        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
-            ts = ts.cast(pa.timestamp("us"))
-        epoch = pc.cast(ts, pa.int64())
+        epoch = _ts_to_us(batch.column(ts_col))
+        batch, epoch = _drop_null_ts(batch, epoch)
         bucket = pc.cast(pc.floor(pc.divide(epoch, float(width_us))), pa.int64())
         t = pa.table(
             {
@@ -36,9 +66,12 @@ def tumbling_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: 
                 "value": batch.column(value_col),
             }
         )
-        # per-batch combine: one row per (key, bucket)
+        # per-batch combine: one row per (key, bucket). n counts EVENTS
+        # (mode="all") — the default only_valid mode would silently exclude
+        # null-value rows, disagreeing with session_windows on the same data
         g = t.group_by([key, "bucket"]).aggregate(
-            [("value", "count"), ("value", "min"), ("value", "max")]
+            [("value", "count", pc.CountOptions(mode="all")),
+             ("value", "min"), ("value", "max")]
         )
         return g.rename_columns([key, "bucket", "n_partial", "min_partial", "max_partial"])
 
@@ -103,14 +136,13 @@ def session_windows(ds, *, key: str = "user_id", ts_col: str = "ts", gap_us: int
     def add_us(batch: pa.Table) -> pa.Table:
         from ..pipelines.encode import _stable_hash
 
-        ts = batch.column(ts_col)
-        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
-            ts = ts.cast(pa.timestamp("us"))
+        us = _ts_to_us(batch.column(ts_col))
+        batch, us = _drop_null_ts(batch, us)
         bucket = _stable_hash(batch.column(key)) % np.int64(nb)
         return pa.table(
             {
                 key: batch.column(key),
-                "__us": pc.cast(ts, pa.int64()),
+                "__us": us,
                 "__bucket": pa.array(bucket),
             }
         )
@@ -147,21 +179,25 @@ def hopping_window(ds, *, key: str = "user_id", ts_col: str = "ts", value_col: s
     fanout = size_us // hop_us
 
     def partials(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col)
-        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
-            ts = ts.cast(pa.timestamp("us"))
-        epoch = np.asarray(pc.cast(ts, pa.int64()), dtype=np.int64)
+        us = _ts_to_us(batch.column(ts_col))
+        batch, us = _drop_null_ts(batch, us)
+        epoch = np.asarray(us, dtype=np.int64)
         base = np.floor_divide(epoch, hop_us)
         n = len(epoch)
         wins = (np.repeat(base, fanout)
                 - np.tile(np.arange(fanout, dtype=np.int64), n)) * hop_us
+        # fan out key/value via Arrow take (null-preserving: a numpy
+        # round-trip would turn null values into NaN — counted as valid —
+        # and nullable ints into garbage)
+        rep = np.repeat(np.arange(n, dtype=np.int64), fanout)
         t = pa.table({
-            key: pa.array(np.repeat(np.asarray(batch.column(key)), fanout)),
+            key: batch.column(key).take(rep),
             "win_start": pa.array(wins),
-            "value": pa.array(np.repeat(np.asarray(batch.column(value_col)), fanout)),
+            "value": batch.column(value_col).take(rep),
         })
         g = t.group_by([key, "win_start"]).aggregate(
-            [("value", "count"), ("value", "min"), ("value", "max")]
+            [("value", "count", pc.CountOptions(mode="all")),
+             ("value", "min"), ("value", "max")]
         )
         return g.rename_columns([key, "win_start", "n_partial", "min_partial", "max_partial"])
 

@@ -253,7 +253,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
     elif kind in ("values", "lengths") and dtype in _INT_CLASS:
         raw = np.asarray(stream.data)
         v, nbits = _to_class(raw, dtype)
-        st = sel.int_stats(v, nbits)
+        st = sel.int_stats(v)
         stats = {"min": int(st.min) if st.num_values else None,
                  "max": int(st.max) if st.num_values else None,
                  "distinct": st.distinct}
@@ -311,7 +311,7 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
     elif kind == "values":  # float32 / float64
         raw = np.asarray(stream.data)
         bits = raw.view(np.uint32 if raw.dtype.itemsize == 4 else np.uint64)
-        st = sel.int_stats(bits.view(np.int32 if raw.dtype.itemsize == 4 else np.int64), 32 if raw.dtype.itemsize == 4 else 64)
+        st = sel.int_stats(bits.view(np.int32 if raw.dtype.itemsize == 4 else np.int64))
         stats = {"distinct": st.distinct}
         if len(raw):
             finite = raw[np.isfinite(raw)]

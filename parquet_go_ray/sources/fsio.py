@@ -168,7 +168,10 @@ def list_files(dir_path: str, suffix: str = "") -> list[str]:
         d = _local_path(dir_path)
         if not os.path.isdir(d):
             return []
-        names = [n for n in os.listdir(d) if n.endswith(suffix)]
+        # files only, like the object-store branch's FileType.File filter —
+        # a subdirectory named like a partition must not reach the readers
+        names = [n for n in os.listdir(d)
+                 if n.endswith(suffix) and os.path.isfile(os.path.join(d, n))]
         return sorted(join(dir_path, n) for n in names)
     from pyarrow import fs as pafs
 

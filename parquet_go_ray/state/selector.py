@@ -80,7 +80,12 @@ def capped_distinct(values: np.ndarray, cap: int = DICT_MAX_CARD, chunk: int = 1
     return uniq
 
 
-def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkStats:
+def int_stats(values: np.ndarray, sample_cap: int = 65536) -> ChunkStats:
+    """Chunk statistics for an integer column. ``sample_cap`` bounds the
+    delta-statistics sample per slice (selection-steering only; exact
+    min/max for pruning stay global). ``run_count``/``sorted`` in the
+    result are diagnostics computed from the same sampled delta pass —
+    no selection rule reads them today."""
     n = len(values)
     itemsize = values.dtype.itemsize
     if n == 0:
@@ -97,7 +102,7 @@ def int_stats(values: np.ndarray, nbits: int, sample_cap: int = 65536) -> ChunkS
     # (they only steer codec SELECTION — exact min/max for pruning stats stay
     # global above; the encoders compute their true widths at encode time),
     # cutting ~3 full memory passes from the selection step.
-    SAMPLE = 1 << 16
+    SAMPLE = int(sample_cap)
     if n > 1:
         if n > 8 * SAMPLE:
             slices = [values[:SAMPLE], values[(n - SAMPLE) // 2 : (n + SAMPLE) // 2],
@@ -176,11 +181,17 @@ def bytes_stats(offsets: np.ndarray, data: np.ndarray, sample_cap: int = 65536) 
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_buffers(
-        pa.binary(),
-        n,
-        [None, pa.py_buffer(np.ascontiguousarray(offsets - offsets[0], dtype=np.int32)), pa.py_buffer(np.ascontiguousarray(data[int(offsets[0]):int(offsets[-1])]))],
-    )
+    rel = np.ascontiguousarray(offsets - offsets[0], dtype=np.int64)
+    payload = pa.py_buffer(np.ascontiguousarray(data[int(offsets[0]):int(offsets[-1])]))
+    if nbytes <= np.iinfo(np.int32).max:
+        arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(rel.astype(np.int32)), payload])
+    else:
+        # >2 GiB of chunk payload: int32 offsets would silently wrap negative
+        # and count_distinct would score garbage — large_binary keeps int64
+        arr = pa.Array.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(rel), payload])
     if n <= sample_cap:
         distinct = pc.count_distinct(arr).as_py()
         unique_bytes = int(pc.sum(pc.binary_length(pc.unique(arr))).as_py() or 0)

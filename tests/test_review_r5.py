@@ -126,3 +126,65 @@ def test_rowcount_reads_footer_only(tmp_path, capsys):
         got = json.loads(_tail_footer(Counting(f), MAGIC))
     assert got["num_rows"] == 42
     assert sum(reads) < 4096, f"read {sum(reads)} bytes for a footer"
+
+
+# --- second review batch (state/fsio/window/shuffle/sketch) ------------------
+
+def test_shuffle_rank_is_permutation_small_buckets(ray_session):
+    """Histogram merge regression: iter_batches coalesces histogram rows
+    from different blocks, and `totals[idx] += n` dropped duplicate-bucket
+    updates (reproduced: 20k rows -> ~10k distinct positions). shuffle_pos
+    must be a permutation of 0..n-1 at any bucket count."""
+    from parquet_go_ray.ops.shuffle import deterministic_shuffle_rank
+
+    n = 20_000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64))})).repartition(10)
+    out = deterministic_shuffle_rank(ds, num_buckets=128).to_pandas()
+    pos = np.sort(out.shuffle_pos.to_numpy())
+    np.testing.assert_array_equal(pos, np.arange(n))
+
+
+def test_windows_accept_ns_timestamps_and_null_ts(ray_session):
+    """timestamp[ns] crashed all three window ops (safe cast refuses
+    sub-us values); null timestamps became INT64_MIN garbage through the
+    numpy path. Now: ns floors to us, null-ts rows belong to no window,
+    and n_events counts ROWS (null values included) in all three shapes."""
+    from parquet_go_ray.ops.window import (hopping_window, session_windows,
+                                           tumbling_window)
+
+    ts_ns = pa.array([1_000_001_234, 1_000_002_345, None, 7_200_000_000_001],
+                     pa.timestamp("ns"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": ts_ns,
+        "value": pa.array([1.0, None, 3.0, 4.0]),  # one NULL value
+    })
+    ds = rd.from_arrow(t)
+    tumb = tumbling_window(ds, width_us=3_600_000_000).to_pandas()
+    # 3 non-null-ts events: two in hour 0 (n_events counts the null value!)
+    assert int(tumb[tumb.bucket == 0].n_events.iloc[0]) == 2
+    assert len(tumb) == 2
+    hop = hopping_window(ds, size_us=3_600_000_000,
+                         hop_us=3_600_000_000).to_pandas()
+    assert int(hop[hop.win_start == 0].n_events.iloc[0]) == 2
+    assert hop.win_start.min() >= 0  # no INT64_MIN garbage window
+    sess = session_windows(ds, gap_us=600_000_000).to_pandas()
+    assert int(sess.n_events.sum()) == 3  # null-ts row in no session
+
+
+def test_exact_quantile_threshold_q1_is_max(ray_session):
+    from parquet_go_ray.ops.sketch import exact_quantile_threshold
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([5.0, 1.0, 9.0, 3.0])}))
+    assert exact_quantile_threshold(ds, "x", 1.0) == 9.0
+    assert exact_quantile_threshold(ds, "x", 0.0) == 1.0
+
+
+def test_list_files_ignores_directories(tmp_path):
+    from parquet_go_ray.sources import fsio
+
+    (tmp_path / "real.rdpg").write_bytes(b"x")
+    (tmp_path / "fake.rdpg").mkdir()
+    got = fsio.list_files(str(tmp_path), ".rdpg")
+    assert [p.split("/")[-1] for p in got] == ["real.rdpg"]

@@ -10,7 +10,7 @@ from parquet_go_ray.state import selector as sel
 
 
 def stats_of(vals):
-    return sel.int_stats(np.asarray(vals, dtype=np.int32), 32)
+    return sel.int_stats(np.asarray(vals, dtype=np.int32))
 
 
 def test_dict_cutoff_boundary_accept():
@@ -69,7 +69,7 @@ def test_bytes_dict_cutoff():
 )
 def test_extended_mode_sane_choices(gen, expect):
     vals = gen()
-    d = sel.choose_int_codec(sel.int_stats(vals, 32), mode=sel.MODE_EXTENDED)
+    d = sel.choose_int_codec(sel.int_stats(vals), mode=sel.MODE_EXTENDED)
     assert d.codec in expect, d
 
 

@@ -32,10 +32,13 @@ def _row_hashes(batch: pa.Table, id_col: str, list_col: str) -> pa.Table:
         weights = np.ones(len(v), dtype=np.uint64)
         base = P
         maxbits = int(pos.max()).bit_length() if len(pos) else 0
-        for b in range(maxbits):
-            mask = ((pos >> b) & 1) == 1
-            weights[mask] *= base
-            base = base * base
+        # overflow IS the mod-2^64 reduction; numpy warns on scalar uint64
+        # wraparound (base*base) only, so scope it explicitly
+        with np.errstate(over="ignore"):
+            for b in range(maxbits):
+                mask = ((pos >> b) & 1) == 1
+                weights[mask] *= base
+                base = base * base
         terms = (v + np.uint64(0x9E37)) * weights
         # Prefix-sum segment sums (modular in uint64). reduceat would reject a
         # trailing empty row (its start index == len(terms)); this handles any

@@ -473,9 +473,23 @@ def bench_ops(sf_dir: str) -> dict:
     return res
 
 
+def _cpu_steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the hypervisor's share of
+    this guest's CPU. A firecracker guest's load average cannot see neighbor
+    guests; steal% is the only in-guest signal that a 'quiet' window is
+    actually quiet (BENCH/BASELINE.md round-5 diagnosis: 19% steal turned
+    the 9.8 s 32-CPU headline into 38 s on identical code)."""
+    try:
+        f = open("/proc/stat").readline().split()
+        return int(f[8]), sum(int(x) for x in f[1:])
+    except Exception:
+        return 0, 0
+
+
 def run_bench() -> dict:
     import ray
 
+    steal0, total0 = _cpu_steal_jiffies()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -529,6 +543,10 @@ def run_bench() -> dict:
         "bytes_out": enc["bytes_out"],
         "encode_gb_per_s": round(gb_in / queries["encode_tokens"], 3),
     }
+    steal1, total1 = _cpu_steal_jiffies()
+    if total1 > total0:
+        result["host_steal_pct"] = round(
+            100.0 * (steal1 - steal0) / (total1 - total0), 1)
     if not headline_only:
         result.update(op_meta)
         result["compression_ratio_vs_parquet"] = round(enc["bytes_out"] / base["bytes"], 4)
@@ -560,6 +578,7 @@ def run_scaling() -> dict:
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     best: dict[int, float] = {}
     gbps: dict[int, float] = {}
+    steal: dict[int, float] = {}  # worst window per level, for context
     for _ in range(rounds):
         for ncpu in (2, 8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1",
@@ -571,6 +590,8 @@ def run_scaling() -> dict:
             )
             res = json.loads(proc.stdout.strip().splitlines()[-1])
             sec = res["queries"]["encode_tokens"]
+            steal[ncpu] = max(steal.get(ncpu, 0.0),
+                              res.get("host_steal_pct", 0.0))
             if ncpu not in best or sec < best[ncpu]:
                 best[ncpu] = sec
                 gbps[ncpu] = res["encode_gb_per_s"]
@@ -587,6 +608,7 @@ def run_scaling() -> dict:
         "scaling_efficiency_8_to_32": round((t[8] / t[32]) / 4, 3),
         "scaling_efficiency": round((t[2] / t[8]) / 4, 3),
         "gb_per_s": gbps,
+        "host_steal_pct_worst": steal,
     }
 
 

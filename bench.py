@@ -72,7 +72,11 @@ def bench_encode_tokens(rows: int) -> dict:
     from parquet_go_ray.state import manifest as mf
 
     src_dir = _token_cache_dir(rows)
-    rd.read_parquet(src_dir).count()  # warm OS page cache (untimed)
+    # touch footers/metadata untimed (count() is satisfied from parquet
+    # metadata, it does NOT read data pages — measured: a real full read of
+    # this fixture is CPU-bound, not disk-bound, so no data warm-up is
+    # needed; see BENCH/BASELINE.md round-5 steal diagnosis)
+    rd.read_parquet(src_dir).count()
 
     out = f"/tmp/pgr_bench_out/tokens-{NCPU}"
     # batch == block (~40 MB, 65k rows): no re-batching copies. Default

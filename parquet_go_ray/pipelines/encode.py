@@ -341,6 +341,12 @@ def decode_dataset(
     if stats_filter:
         from ..sources.partfile import partition_stats
 
+        if not hasattr(stats_filter, "items"):
+            raise TypeError(
+                f"stats_filter must be a mapping {{column: (lo, hi)}}, got "
+                f"{type(stats_filter).__name__} — e.g. "
+                f"stats_filter={{'doc_id': (0, None)}} for doc_id >= 0")
+
         def overlaps(p: str) -> bool:
             st = partition_stats(p)
             for col, (lo, hi) in stats_filter.items():

@@ -188,3 +188,23 @@ def test_list_files_ignores_directories(tmp_path):
     (tmp_path / "fake.rdpg").mkdir()
     got = fsio.list_files(str(tmp_path), ".rdpg")
     assert [p.split("/")[-1] for p in got] == ["real.rdpg"]
+
+
+def test_stats_filter_rejects_non_mapping(ray_session, tmp_path):
+    """A tuple like ("doc_id", ">=", 0) used to die inside the prune loop
+    with an opaque AttributeError; the mapping contract is now validated
+    up front with the expected shape in the message."""
+    import pytest
+
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    out = str(tmp_path / "sf")
+    encode_dataset(
+        rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64())})),
+        out).materialize()
+    with pytest.raises(TypeError, match="stats_filter must be a mapping"):
+        decode_dataset(out, stats_filter=("doc_id", ">=", 0))
+    # the documented mapping shape still works, combined with projection
+    got = decode_dataset(out, columns=["doc_id"],
+                         stats_filter={"doc_id": (2, None)}).to_pandas()
+    assert got.doc_id.tolist() == [1, 2] or got.doc_id.tolist() == [2]

@@ -208,3 +208,31 @@ def test_stats_filter_rejects_non_mapping(ray_session, tmp_path):
     got = decode_dataset(out, columns=["doc_id"],
                          stats_filter={"doc_id": (2, None)}).to_pandas()
     assert got.doc_id.tolist() == [1, 2] or got.doc_id.tolist() == [2]
+
+
+def test_compaction_preserves_empty_and_null_keys(ray_session, tmp_path):
+    """compact_partitions groups records by key; an empty-string key is
+    falsy and a null key rides the reserved '__null__' tag — both must
+    survive a merge with their manifest key intact so decode_dataset
+    point-lookups keep working after compaction."""
+    import glob
+
+    from parquet_go_ray.pipelines.compact import compact_partitions
+    from parquet_go_ray.pipelines.encode import (decode_dataset,
+                                                 encode_partitioned)
+
+    out = str(tmp_path / "keyed")
+    t = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "source": pa.array(["", None] * 6),
+    })
+    encode_partitioned(rd.from_arrow(t).repartition(6), out,
+                       key="source").materialize()
+    assert len(glob.glob(out + "/part-*.rdpg")) == 12
+    r = compact_partitions(out, target_bytes=1 << 20)
+    assert r["merged_files"] == 12 and len(glob.glob(out + "/part-*.rdpg")) == 2
+    assert decode_dataset(out).count() == 12
+    empties = decode_dataset(out, keys={""}).to_pandas()
+    nulls = decode_dataset(out, keys={None}).to_pandas()
+    assert len(empties) == 6 and set(empties.source) == {""}
+    assert len(nulls) == 6 and nulls.source.isna().all()

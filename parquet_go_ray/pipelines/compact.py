@@ -75,7 +75,25 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
                 recs = json.loads(spec)
                 tables = [read_partition(r["path"]) for r in recs]
                 merged = pa.concat_tables(tables)
-                out_rows.append(EncodeStage.__call__(self, merged, tag=recs[0].get("key")))
+                new = EncodeStage.__call__(self, merged, tag=recs[0].get("key"))
+                # record which LOGICAL partition ids this merge absorbed
+                # (propagating ids a previous compaction already absorbed):
+                # resume keys on the original deterministic ids (e.g.
+                # "<key>-<salt>"), and compaction renames partitions to
+                # content hashes — without `covers`, a resume re-run after
+                # compaction re-encoded every group and silently DUPLICATED
+                # all rows. A merge group is bounded by half the encode
+                # batch cap (plan_compaction), so the re-encode never
+                # self-splits and `new` is a single record.
+                covers = sorted({i for r in recs
+                                 for i in ([r["partition_id"]]
+                                           + list(r.get("covers") or []))})
+                for pid in new.column("partition_id").to_pylist():
+                    rec_path = mf.record_path(self.out_dir, pid)
+                    rec = json.loads(fsio.read_bytes(rec_path))
+                    rec["covers"] = covers
+                    mf.write_record(self.out_dir, rec)
+                out_rows.append(new)
                 # retire old records + files only after the new one is durable
                 for r in recs:
                     fsio.delete_file(mf.record_path(self.out_dir, r["partition_id"]))

@@ -54,7 +54,13 @@ def load_records(out_dir: str) -> list[dict]:
 
 
 def completed_ids(out_dir: str, verify_crc: bool = False) -> set[str]:
-    """Partition ids whose file exists (optionally crc-verified) — skip these."""
+    """Partition ids whose file exists (optionally crc-verified) — skip these.
+
+    Includes ids a compaction absorbed (the record's ``covers`` list): the
+    merged file provably contains those logical partitions' rows, so a
+    resume must treat them as complete — without this, a resume re-run
+    after ``compact_partitions`` re-encoded every group and silently
+    duplicated all rows."""
     done = set()
     for rec in load_records(out_dir):
         path = rec.get("path")
@@ -64,6 +70,7 @@ def completed_ids(out_dir: str, verify_crc: bool = False) -> set[str]:
             if (zlib.crc32(fsio.read_bytes(path)) & 0xFFFFFFFF) != rec.get("crc32"):
                 continue
         done.add(rec["partition_id"])
+        done.update(rec.get("covers") or ())
     return done
 
 

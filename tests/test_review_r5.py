@@ -236,3 +236,38 @@ def test_compaction_preserves_empty_and_null_keys(ray_session, tmp_path):
     nulls = decode_dataset(out, keys={None}).to_pandas()
     assert len(empties) == 6 and set(empties.source) == {""}
     assert len(nulls) == 6 and nulls.source.isna().all()
+
+
+def test_resume_after_compaction_does_not_duplicate(ray_session, tmp_path):
+    """compact_partitions renames partitions to content-hash ids; resume
+    keys on the original '<key>-<salt>' ids. Without the merged record's
+    ``covers`` list, a resume re-run after compaction re-encoded every
+    group and silently DUPLICATED all rows (reproduced: 2000 -> 4000)."""
+    import numpy as np
+
+    from parquet_go_ray.pipelines.compact import compact_partitions
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_grouped
+    from parquet_go_ray.state import manifest as mf
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["".join(map(str, rng.integers(0, 10, 200)))
+                          for _ in range(n)]),
+        "source": pa.array([f"s{i % 2}" for i in range(n)]),
+    })
+    out = str(tmp_path / "run")
+    kw = dict(key="source", target_partition_bytes=10_000)
+    encode_grouped(rd.from_arrow(t), out, **kw).materialize()
+    before = mf.completed_ids(out)
+    r = compact_partitions(out, target_bytes=1 << 20)
+    assert r["merged_files"] > 0
+    # the original salt-stable ids stay complete through the rename
+    assert before <= mf.completed_ids(out)
+    encode_grouped(rd.from_arrow(t), out, **kw).materialize()
+    assert decode_dataset(out).count() == n
+    # covers propagate through a SECOND compaction round
+    compact_partitions(out, target_bytes=1 << 21)
+    encode_grouped(rd.from_arrow(t), out, **kw).materialize()
+    assert decode_dataset(out).count() == n

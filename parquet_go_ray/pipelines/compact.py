@@ -36,7 +36,7 @@ def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int 
 
     max_group_decoded = EncodeStage.DEFAULT_MAX_BATCH_BYTES // 2
     by_key: dict[str, list[dict]] = {}
-    for rec in mf.load_records(out_dir):
+    for rec in mf.drop_covered(mf.load_records(out_dir)):
         if rec.get("bytes_out", 0) >= target_bytes:
             continue
         by_key.setdefault(rec.get("key", ""), []).append(rec)
@@ -60,7 +60,19 @@ def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int 
 def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
                        config: EncodeConfig | None = None, concurrency=None,
                        max_group_files: int = 64) -> dict:
-    """Run the compaction plan; returns {"groups": n, "merged_files": m}."""
+    """Run the compaction plan; returns {"groups": n, "merged_files": m}.
+
+    First finishes any retirement a previous compaction crashed out of:
+    records (and their files) that a live merged record ``covers`` are
+    deleted — they are fully contained in the merge, and leaving them
+    would double-read every absorbed row."""
+    recs = mf.load_records(out_dir)
+    live = {r["partition_id"] for r in mf.drop_covered(recs)}
+    for r in recs:
+        if r["partition_id"] not in live:
+            fsio.delete_file(mf.record_path(out_dir, r["partition_id"]))
+            if r.get("path"):
+                fsio.delete_file(r["path"])
     groups = plan_compaction(out_dir, target_bytes, max_group_files=max_group_files)
     if not groups:
         return {"groups": 0, "merged_files": 0}

@@ -314,7 +314,11 @@ def decode_dataset(
     set are decoded — metadata-only, no file opened for skipped partitions
     (the point-lookup path for keyed layouts, e.g. IVF inverted lists).
     """
-    records = mf.load_records(out_dir)
+    # reconcile an interrupted compaction: records absorbed by a live merged
+    # record are stale — reading them alongside the merge would duplicate
+    # every absorbed row (the crash window between the merged record landing
+    # and the old ones being retired)
+    records = mf.drop_covered(mf.load_records(out_dir))
     if keys is not None:
         if not records:
             raise ValueError(

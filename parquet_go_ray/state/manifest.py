@@ -53,6 +53,19 @@ def load_records(out_dir: str) -> list[dict]:
     return out
 
 
+def drop_covered(records: list[dict]) -> list[dict]:
+    """Drop records a compaction has absorbed (another LIVE record lists
+    their id in ``covers``). A crash between writing the merged record and
+    retiring the old ones leaves both listed; reading both would duplicate
+    every absorbed row. The merged record only claims its covers while its
+    file exists, so this never hides rows."""
+    covered: set[str] = set()
+    for r in records:
+        if r.get("covers") and r.get("path") and fsio.exists(r["path"]):
+            covered.update(r["covers"])
+    return [r for r in records if r["partition_id"] not in covered]
+
+
 def completed_ids(out_dir: str, verify_crc: bool = False) -> set[str]:
     """Partition ids whose file exists (optionally crc-verified) — skip these.
 

@@ -271,3 +271,44 @@ def test_resume_after_compaction_does_not_duplicate(ray_session, tmp_path):
     compact_partitions(out, target_bytes=1 << 21)
     encode_grouped(rd.from_arrow(t), out, **kw).materialize()
     assert decode_dataset(out).count() == n
+
+
+def test_interrupted_compaction_never_double_reads(ray_session, tmp_path):
+    """The crash window between the merged record landing and the old
+    records being retired leaves BOTH listed; decode used to read both and
+    duplicate every absorbed row (reproduced: 2000 -> 4000). drop_covered
+    reconciles reads, and the next compact_partitions call finishes the
+    retirement."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from parquet_go_ray.pipelines.compact import compact_partitions
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_grouped
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["".join(map(str, rng.integers(0, 10, 200)))
+                          for _ in range(n)]),
+        "source": pa.array([f"s{i % 2}" for i in range(n)]),
+    })
+    out, snap = str(tmp_path / "run"), str(tmp_path / "snap")
+    encode_grouped(rd.from_arrow(t), out, key="source",
+                   target_partition_bytes=10_000).materialize()
+    shutil.copytree(out, snap)
+    assert compact_partitions(out, target_bytes=1 << 20)["merged_files"] > 0
+    # restore the pre-compaction files + records = crash before retirement
+    for sub in ("", "_manifest/"):
+        for p in glob.glob(os.path.join(snap, sub, "*")):
+            if os.path.isfile(p):
+                dst = os.path.join(out, sub, os.path.basename(p))
+                if not os.path.exists(dst):
+                    shutil.copy(p, dst)
+    assert decode_dataset(out).count() == n
+    assert decode_dataset(out, keys={"s0"}).count() == n // 2
+    compact_partitions(out, target_bytes=1 << 20)  # repair pass
+    assert decode_dataset(out).count() == n

@@ -63,6 +63,61 @@ class BpeModel:
         tb = self.token_bytes
         return b"".join(tb[int(i)] for i in np.asarray(ids, dtype=np.int64))
 
+    def save(self, path: str) -> None:
+        """Persist the model as one compressed npz blob via fsio (local
+        path or object-store URI): merges plus the optional word-type
+        cache. ``token_bytes`` is fully derived from ``merges`` and is
+        reconstructed on load, never stored — train once, ``BpeModel.load``
+        in every later tokenize job."""
+        import io
+
+        from ..sources import fsio
+
+        kw = {"merges": np.ascontiguousarray(self.merges, dtype=np.int32)}
+        if self.cache_words is not None and len(self.cache_words):
+            arr = self.cache_words
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = arr.cast(pa.large_binary())
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+            offs = offs[arr.offset: arr.offset + len(arr) + 1]
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            kw.update(
+                word_offs=np.ascontiguousarray(offs - offs[0]),
+                word_data=np.ascontiguousarray(data[offs[0]:offs[-1]]),
+                cache_ids=np.ascontiguousarray(self.cache_ids, np.int32),
+                cache_offs=np.ascontiguousarray(self.cache_offs, np.int64))
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **kw)
+        fsio.write_bytes_atomic(path, buf.getvalue())
+
+    @classmethod
+    def load(cls, path: str) -> "BpeModel":
+        """Inverse of :meth:`save`; byte-identical tokenization guaranteed
+        (merges drive everything; the cache is an exact-match accelerator)."""
+        import io
+
+        from ..sources import fsio
+
+        z = np.load(io.BytesIO(bytes(fsio.read_bytes(path))))
+        merges = np.ascontiguousarray(z["merges"], dtype=np.int32)
+        token_bytes = [bytes([i]) for i in range(256)]
+        for left, right, _ in merges:
+            token_bytes.append(token_bytes[int(left)] + token_bytes[int(right)])
+        model = cls(merges=merges, token_bytes=token_bytes)
+        if "word_offs" in z.files:
+            offs = np.ascontiguousarray(z["word_offs"], dtype=np.int64)
+            data = np.ascontiguousarray(z["word_data"], dtype=np.uint8)
+            arr = pa.Array.from_buffers(
+                pa.large_binary(), len(offs) - 1,
+                [None, pa.py_buffer(offs), pa.py_buffer(data)])
+            # train builds the cache as pa.binary(); keep types identical so
+            # pc.index_in on the apply path never sees a type mismatch
+            model.cache_words = arr.cast(pa.binary())
+            model.cache_ids = np.ascontiguousarray(z["cache_ids"], np.int32)
+            model.cache_offs = np.ascontiguousarray(z["cache_offs"], np.int64)
+        return model
+
 
 def _merge_pass(sym: np.ndarray, word: np.ndarray, left: int, right: int,
                 new_id: int) -> tuple[np.ndarray, np.ndarray]:

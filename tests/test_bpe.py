@@ -214,3 +214,29 @@ def test_rank_incremental_apply_matches_rescan():
             asym.copy(), aword.copy(), merges)
         np.testing.assert_array_equal(isym, rsym.astype(np.int32))
         np.testing.assert_array_equal(iword, rword)
+
+
+def test_model_save_load_roundtrip(ray_session, tmp_path):
+    """A trained tokenizer must persist across sessions: save stores merges
+    + the word-type cache (token_bytes is derived), load reconstructs a
+    model whose tokenization is byte-identical, with and without cache."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["the cat sat", "the the the", "cat cat mat",
+                          "héllo wörld", "", "sat on the mat"]),
+    }))
+    m = bpe.train_bpe(ds, num_merges=32)
+    p = str(tmp_path / "model.npz")
+    m.save(p)
+    m2 = bpe.BpeModel.load(p)
+    assert np.array_equal(m.merges, m2.merges)
+    assert m.token_bytes == m2.token_bytes
+    assert len(m2.cache_words) == len(m.cache_words)
+    a = bpe.apply_bpe(ds, m).to_pandas().sort_values("doc_id")
+    b = bpe.apply_bpe(ds, m2).to_pandas().sort_values("doc_id")
+    assert all(list(x) == list(y) for x, y in zip(a.bpe_ids, b.bpe_ids))
+
+    m3 = bpe.train_bpe(ds, num_merges=8, cache_words=False)
+    m3.save(p)
+    m4 = bpe.BpeModel.load(p)
+    assert np.array_equal(m3.merges, m4.merges) and m4.cache_words is None

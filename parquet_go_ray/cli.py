@@ -296,9 +296,12 @@ def cmd_bpe(args):
         "right": pa.array(np.concatenate([np.full(256, -1, np.int32), m[:, 1]])),
     })
     pq.write_table(vocab, args.vocab)
+    if args.model:
+        model.save(args.model)  # reusable: BpeModel.load() in later jobs
     print(json.dumps({"vocab_size": model.vocab_size,
                       "merges": int(len(model.merges)),
-                      "out": args.out, "vocab": args.vocab}))
+                      "out": args.out, "vocab": args.vocab,
+                      "model": args.model}))
 
 
 def cmd_csv2parquet(args):
@@ -359,7 +362,7 @@ def main(argv=None):
     s = sub.add_parser("dedup-substrings"); s.add_argument("input"); s.add_argument("out"); s.add_argument("-k", type=int, default=50); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--mode", default="remove", choices=["remove", "flag"]); s.set_defaults(fn=cmd_dedup_substrings)
     s = sub.add_parser("sample"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--rates", required=True); s.add_argument("--key-col", default="source"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--salt", type=int, default=0); s.add_argument("--default-rate", type=float, default=1.0); s.set_defaults(fn=cmd_sample)
     s = sub.add_parser("pack"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--seq-len", type=int, default=2048); s.add_argument("--id-col", default="doc_id"); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--drop-last", action="store_true"); s.set_defaults(fn=cmd_pack)
-    s = sub.add_parser("bpe"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--vocab", required=True); s.add_argument("--merges", type=int, default=512); s.add_argument("--text-col", default="text"); s.add_argument("--min-count", type=int, default=1); s.set_defaults(fn=cmd_bpe)
+    s = sub.add_parser("bpe"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--vocab", required=True); s.add_argument("--merges", type=int, default=512); s.add_argument("--text-col", default="text"); s.add_argument("--min-count", type=int, default=1); s.add_argument("--model", default=None, help="also save the reusable model blob (BpeModel.load)"); s.set_defaults(fn=cmd_bpe)
 
     args = p.parse_args(argv)
     args.fn(args)

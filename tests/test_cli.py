@@ -206,13 +206,20 @@ def test_cli_bpe(tmp_path, ray_session):
         "text": pa.array(texts)}), src)
     out = tmp_path / "bpe_out"
     vocab = tmp_path / "vocab.parquet"
+    model_path = tmp_path / "model.npz"
     r = subprocess.run(
         [sys.executable, "-m", "parquet_go_ray.cli", "bpe", str(src),
-         str(out), "--vocab", str(vocab), "--merges", "40"],
+         str(out), "--vocab", str(vocab), "--merges", "40",
+         "--model", str(model_path)],
         capture_output=True, text=True, timeout=240)
     assert r.returncode == 0, r.stderr[-800:]
     info = json.loads(r.stdout.strip().splitlines()[-1])
     assert info["vocab_size"] == 256 + info["merges"]
+    # the saved model reloads in THIS (separate) process and agrees
+    from parquet_go_ray.ops.bpe import BpeModel
+
+    m = BpeModel.load(str(model_path))
+    assert m.vocab_size == info["vocab_size"]
     v = pq.read_table(vocab)
     assert v.num_rows == info["vocab_size"]
     # decode via the sidecar vocab alone: token_bytes roundtrips doc 0

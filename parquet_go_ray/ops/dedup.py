@@ -99,6 +99,15 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id",
         .map_groups(resolve, batch_format="pandas")
         .materialize()  # narrow (id, hash, flag) rows; read twice below
     )
+    if grouped.schema(fetch_if_missing=True) is None:
+        # empty corpus: map_groups produced zero blocks, so every downstream
+        # schema probe (filter column names, _attach_text) would crash on a
+        # None schema — return the typed empty result directly
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "dup_count": pa.array([], pa.int64())}))
     resolved = grouped.map_batches(
         lambda t: t.filter(pc.invert(t.column("__need"))).select([id_col, "dup_count"]),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -1,0 +1,84 @@
+"""Empty-corpus robustness sweep: every major op must return a typed empty
+result (never crash) on a zero-row input — the degenerate case every
+scheduled production pipeline eventually feeds it (an empty shard, a filter
+that matched nothing, a day with no events). Round-5 finds: semantic_dedup
+(ADVICE r4) and dedup_exact both crashed here; the rest held."""
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs():
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "source": pa.array([], pa.string())}))
+
+
+def _toks():
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "tokens": pa.array([], pa.list_(pa.int32())),
+        "n_tok": pa.array([], pa.int32())}))
+
+
+def _embs():
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+
+
+def _events():
+    return rd.from_arrow(pa.table({
+        "key": pa.array([], pa.string()),
+        "ts_us": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64())}))
+
+
+def test_dedup_exact_empty(ray_session):
+    from parquet_go_ray.ops.dedup import dedup_exact
+
+    r = dedup_exact(_docs())
+    assert r.count() == 0
+    assert set(r.schema().names) == {"doc_id", "dup_count"}
+
+
+def test_dedup_candidates_and_near_empty(ray_session):
+    from parquet_go_ray.ops.cluster import dedup_near
+    from parquet_go_ray.ops.dedup import (embedding_neardup_lsh,
+                                          minhash_candidate_pairs)
+
+    assert minhash_candidate_pairs(_docs()).count() == 0
+    assert dedup_near(_docs(), method="minhash").count() == 0
+    assert dedup_near(_docs(), method="simhash").count() == 0
+    assert dedup_near(_embs(), method="embedding", id_col="vec_id").count() == 0
+    assert embedding_neardup_lsh(_embs(), tau=0.9).count() == 0
+
+
+def test_semantic_dedup_empty(ray_session):
+    from parquet_go_ray.ops.cluster import semantic_dedup
+
+    assert semantic_dedup(_embs(), tau=0.9).count() == 0
+
+
+def test_text_ops_empty(ray_session):
+    from parquet_go_ray.ops.bpe import train_bpe
+    from parquet_go_ray.ops.shuffle import deterministic_shuffle_rank
+    from parquet_go_ray.ops.text import (build_vocab, pack_sequences,
+                                         pack_token_sequences)
+
+    assert train_bpe(_docs(), num_merges=8).vocab_size == 256
+    assert pack_sequences(_toks()).count() == 0
+    assert pack_token_sequences(_toks()).count() == 0
+    assert build_vocab(_docs()).count() == 0
+    assert deterministic_shuffle_rank(_docs(), seed=1).count() == 0
+
+
+def test_windows_and_sketches_empty(ray_session):
+    from parquet_go_ray.ops.sketch import heavy_hitters
+    from parquet_go_ray.ops.substring import dedup_substrings
+    from parquet_go_ray.ops.window import session_windows, tumbling_window
+
+    assert session_windows(_events()).count() == 0
+    assert tumbling_window(_events(), width_us=10).count() == 0
+    assert len(heavy_hitters(_docs(), "source", k=4)) == 0
+    assert dedup_substrings(_toks(), k=10).count() == 0

@@ -124,7 +124,12 @@ def dedup_exact(ds, col: str = "text", id_col: str = "doc_id",
     attached = _attach_text(cands, texts, id_col, col, id_col, col, num_partitions)
 
     def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(col, sort=False)[id_col].agg(["min", "size"]).reset_index(drop=True)
+        # dropna=False: null content is one distinct group (SQL GROUP BY
+        # semantics) — the default silently DROPPED every null-text row
+        # from the result (they hash like "" so they always reach this
+        # verify pass whenever an empty text exists too)
+        agg = g.groupby(col, sort=False, dropna=False)[id_col].agg(
+            ["min", "size"]).reset_index(drop=True)
         return pd.DataFrame({id_col: agg["min"], "dup_count": agg["size"].astype("int64")})
 
     def rekey(t: pa.Table) -> pa.Table:
@@ -665,6 +670,7 @@ def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str
     def tag_pairs(t: pa.Table) -> pa.Table:
         t = t.select(pair_cols)
         t = t.append_column(out_col, pa.nulls(t.num_rows, col_type))
+        t = t.append_column("__txt", pa.array(np.zeros(t.num_rows, dtype=bool)))
         return t.append_column("__p", pa.array(np.asarray(t.column(on)) % num_partitions))
 
     def tag_texts(t: pa.Table) -> pa.Table:
@@ -677,6 +683,7 @@ def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str
                 cols[c] = pa.nulls(n_rows, type_of[c])
         src = t.column(text_col)
         cols[out_col] = src.cast(col_type) if src.type != col_type else src
+        cols["__txt"] = pa.array(np.ones(n_rows, dtype=bool))
         cols["__p"] = pa.array(np.asarray(t.column(id_col)) % num_partitions)
         return pa.table(cols)
 
@@ -686,12 +693,18 @@ def _attach_text(pairs, texts, on: str, out_col: str, id_col: str, text_col: str
 
     def join(g: pa.Table) -> pa.Table:
         # pure-arrow join: no pandas round-trip (which would promote int
-        # columns with nulls to float64 and auto-tensorize array cells)
+        # columns with nulls to float64 and auto-tensorize array cells).
+        # Sides are told apart by the explicit __txt role flag — NOT by the
+        # attached value's validity: a text row whose value is genuinely
+        # NULL used to be misclassified as a pair row, which silently
+        # dropped every pair anchored on a null-content id (null texts
+        # always reach the dedup_exact verify pass whenever an empty text
+        # shares their hash)
         import pyarrow.compute as pc
 
-        present = pc.is_valid(g.column(out_col))
-        t = g.filter(present)
-        p = g.filter(pc.invert(present))
+        is_txt = g.column("__txt")
+        t = g.filter(is_txt)
+        p = g.filter(pc.invert(is_txt)).drop_columns(["__txt"])
         idx = pc.index_in(p.column(on), value_set=t.column(on).combine_chunks())
         keep = pc.is_valid(idx)
         p2 = p.filter(keep)

@@ -82,3 +82,20 @@ def test_windows_and_sketches_empty(ray_session):
     assert tumbling_window(_events(), width_us=10).count() == 0
     assert len(heavy_hitters(_docs(), "source", k=4)) == 0
     assert dedup_substrings(_toks(), k=10).count() == 0
+
+
+def test_dedup_exact_null_text_matches_sql(ray_session):
+    """Null content is one distinct GROUP BY group. Two stacked bugs used
+    to break this: pandas groupby dropped null keys (dropna default), and
+    _attach_text told pair rows from text rows by the attached value's
+    NULLness, misclassifying genuinely-null texts and dropping their pairs
+    (null hashes like "", so null texts always reach the verify pass when
+    an empty text exists)."""
+    from parquet_go_ray.ops.dedup import dedup_exact
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([None, None, "ok", "", "ok"], pa.string())})
+    got = sorted(dedup_exact(rd.from_arrow(t)).to_pandas()
+                 .itertuples(index=False))
+    assert [(r[0], r[1]) for r in got] == [(1, 2), (3, 2), (4, 1)]

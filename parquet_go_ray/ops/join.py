@@ -25,12 +25,25 @@ def broadcast_join(ds, small: pa.Table, on: str, *, right_on: str | None = None,
     import ray
 
     right_on = right_on or on
+    if not isinstance(small, pa.Table):
+        if hasattr(small, "to_arrow_refs"):  # a (small!) Dataset build side
+            small = pa.concat_tables(
+                t for t in ray.get(small.to_arrow_refs()) if t.num_rows)
+        else:
+            raise TypeError(
+                f"broadcast_join build side must be a pyarrow.Table (or a "
+                f"small Dataset), got {type(small).__name__}")
     small = small.combine_chunks()
     small_ref = ray.put(small)
 
     def probe(batch: pa.Table) -> pa.Table:
         build = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
         idx = pc.index_in(batch.column(on), value_set=build.column(right_on).combine_chunks())
+        # SQL join semantics: NULL never equals NULL — index_in would match
+        # a null probe key to a null build key, inner-joining rows SQL drops
+        # (and attaching that build row's values under how="left")
+        idx = pc.if_else(pc.is_null(batch.column(on)),
+                         pa.scalar(None, idx.type), idx)
         if how == "inner":
             keep = pc.is_valid(idx)
             batch = batch.filter(keep)
@@ -73,27 +86,50 @@ def asof_join_broadcast(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
     dim_by = dim_by or by
 
     def key_array(t, col):
+        """-> (int64 values, validity mask). Nulls become 0 in the value
+        array and False in the mask — the previous np.asarray().astype()
+        put NaN through an UNDEFINED float->int64 cast (platform-dependent:
+        INT64_MIN here, 0 elsewhere — 0 would silently as-of-match a null
+        timestamp to a real dim row)."""
         arr = t.column(col) if hasattr(t, "column") else col
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         if pa.types.is_timestamp(arr.type):
             arr = arr.cast(pa.timestamp("us"))
-            return np.asarray(arr).view("i8")
-        return np.asarray(arr).astype(np.int64)
+        elif not pa.types.is_integer(arr.type):
+            raise TypeError(
+                f"asof_join_broadcast: column {col!r} must be integer or "
+                f"timestamp, got {arr.type} (hash string keys to int64 "
+                f"first)")
+        ok = ~np.asarray(pc.is_null(arr))
+        if not ok.all():
+            arr = pc.fill_null(arr, pa.scalar(0, arr.type) if not
+                               pa.types.is_timestamp(arr.type) else
+                               pa.scalar(0, pa.int64()).cast(arr.type))
+        if pa.types.is_timestamp(arr.type):
+            return np.asarray(arr).view("i8"), ok
+        return np.asarray(arr).astype(np.int64), ok
 
     overlap = set(dim.column_names) & set(ds.schema().names)
     if overlap:
         raise ValueError(f"asof_join_broadcast: overlapping columns {overlap}"
                          " — rename the dim columns first")
-    dts = key_array(dim, dim_ts_col)
+    dts, dts_ok = key_array(dim, dim_ts_col)
+    if not dts_ok.all():
+        raise ValueError(f"asof_join_broadcast: dim column {dim_ts_col!r} "
+                         f"contains nulls — a dim row without a timestamp "
+                         f"cannot anchor an as-of match")
     if by is None:
         order = np.argsort(dts, kind="stable")
     else:
-        dkey = key_array(dim, dim_by)
+        dkey, dkey_ok = key_array(dim, dim_by)
+        if not dkey_ok.all():
+            raise ValueError(f"asof_join_broadcast: dim column {dim_by!r} "
+                             f"contains nulls")
         order = np.lexsort((dts, dkey))
     dim_sorted = dim.take(pa.array(order))
     dts_sorted = dts[order]
     if by is not None:
-        dkey_sorted = key_array(dim_sorted, dim_by)
+        dkey_sorted = key_array(dim_sorted, dim_by)[0]
     ref = ray.put((dim_sorted, dts_sorted,
                    dkey_sorted if by is not None else None))
 
@@ -101,11 +137,12 @@ def asof_join_broadcast(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
         dim_t, dts_s, dkey_s = ray.get(ref)
         if len(dts_s) == 0:
             return _attach_null_dim(t, dim_t)
-        ts = key_array(t, ts_col)
+        ts, ts_ok = key_array(t, ts_col)
         if by is None:
             idx = np.searchsorted(dts_s, ts, side="right") - 1
         else:
-            pk = key_array(t, by)
+            pk, pk_ok = key_array(t, by)
+            ts_ok = ts_ok & pk_ok  # a null by-key matches nothing either
             idx = np.full(len(ts), -1, dtype=np.int64)
             for k in np.unique(pk):  # loop over the small side's key space
                 lo = np.searchsorted(dkey_s, k, side="left")
@@ -116,7 +153,7 @@ def asof_join_broadcast(ds, dim: pa.Table, *, ts_col: str, dim_ts_col: str,
                 idx[rows] = lo + np.searchsorted(
                     dts_s[lo:hi], ts[rows], side="right") - 1
                 idx[rows & (idx < lo)] = -1
-        valid = idx >= 0
+        valid = (idx >= 0) & ts_ok
         take = pa.array(np.where(valid, idx, 0))
         out = t
         vmask = pa.array(valid)
@@ -155,6 +192,9 @@ def range_join_broadcast(ds, dim: pa.Table, *, value_col: str, lo_col: str,
         dim.column(lo_col).type, dim.column(hi_col).type,
         s.types[s.names.index(value_col)]))
     cmp_t = np.int64 if int_exact else np.float64
+    if dim.column(lo_col).null_count or dim.column(hi_col).null_count:
+        raise ValueError("range_join_broadcast: interval bounds must be "
+                         "null-free — a null bound defines no interval")
     lo = np.asarray(dim.column(lo_col), dtype=cmp_t)
     hi = np.asarray(dim.column(hi_col), dtype=cmp_t)
     order = np.argsort(lo, kind="stable")
@@ -169,9 +209,16 @@ def range_join_broadcast(ds, dim: pa.Table, *, value_col: str, lo_col: str,
         dim_t, lo_s, hi_s = ray.get(ref)
         if len(lo_s) == 0:
             return _attach_null_dim(t, dim_t)
-        v = np.asarray(t.column(value_col).combine_chunks().cast(cmp_pa))
+        varr = t.column(value_col).combine_chunks().cast(cmp_pa)
+        # explicit null handling: np.asarray on an int64-with-nulls column
+        # silently converts to float64 (NaN) — losing exactness past 2^53,
+        # the precise failure the int-exact comparison path exists to avoid
+        v_ok = ~np.asarray(pc.is_null(varr))
+        if not v_ok.all():
+            varr = pc.fill_null(varr, pa.scalar(0, cmp_pa))
+        v = np.asarray(varr)
         idx = np.searchsorted(lo_s, v, side="right") - 1
-        valid = (idx >= 0) & (v <= hi_s[np.maximum(idx, 0)])
+        valid = (idx >= 0) & (v <= hi_s[np.maximum(idx, 0)]) & v_ok
         take = pa.array(np.where(valid, idx, 0))
         vmask = pa.array(valid)
         out = t

@@ -99,3 +99,47 @@ def test_dedup_exact_null_text_matches_sql(ray_session):
     got = sorted(dedup_exact(rd.from_arrow(t)).to_pandas()
                  .itertuples(index=False))
     assert [(r[0], r[1]) for r in got] == [(1, 2), (3, 2), (4, 1)]
+
+
+def test_join_null_keys_match_sql(ray_session):
+    """SQL semantics: NULL never equals NULL. broadcast_join used to
+    index_in-match null probe keys to a null build key (inner-joining rows
+    SQL drops); asof/range rode an UNDEFINED NaN->int64 cast for null
+    timestamps (platform-dependent — 0 would silently match a real row)."""
+    import pytest
+
+    from parquet_go_ray.ops.join import (asof_join_broadcast, broadcast_join,
+                                         range_join_broadcast)
+
+    L = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, None], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40], pa.int64())}))
+    R = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                  "rv": pa.array([100, 200, 300], pa.int64())})
+    inner = broadcast_join(L, R, on="k").to_pandas()
+    assert inner.to_dict("records") == [{"k": 1, "lv": 10, "rv": 100}]
+    left = broadcast_join(L, R, on="k", how="left").to_pandas().sort_values("lv")
+    assert left.rv.notna().tolist() == [True, False, False, False]
+
+    ts = rd.from_arrow(pa.table({
+        "ts": pa.array([5, None, 15], pa.int64()),
+        "lv": pa.array([1, 2, 3], pa.int64())}))
+    D = pa.table({"dts": pa.array([0, 10], pa.int64()),
+                  "dv": pa.array([100, 200], pa.int64())})
+    asof = asof_join_broadcast(ts, D, ts_col="ts",
+                               dim_ts_col="dts").to_pandas().sort_values("lv")
+    assert asof.dv.tolist()[0] == 100 and pa.compute.is_null(
+        pa.array(asof.dv)).to_pylist() == [False, True, False]
+
+    RNG = pa.table({"lo": pa.array([0, 10], pa.int64()),
+                    "hi": pa.array([9, 20], pa.int64()),
+                    "rv": pa.array([7, 8], pa.int64())})
+    rj = range_join_broadcast(ts, RNG, value_col="ts", lo_col="lo",
+                              hi_col="hi").to_pandas().sort_values("lv")
+    assert rj.rv.notna().tolist() == [True, False, True]
+    with pytest.raises(ValueError, match="null-free"):
+        range_join_broadcast(ts, pa.table({
+            "lo": pa.array([None], pa.int64()),
+            "hi": pa.array([5], pa.int64()),
+            "rv": pa.array([1], pa.int64())}),
+            value_col="ts", lo_col="lo", hi_col="hi")

@@ -48,7 +48,13 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> float:
     from ..pipelines.encode import _stable_hash
 
     def sketch(batch: pa.Table) -> pa.Table:
-        h = _stable_hash(batch.column(col)).view(np.uint64)
+        arr = batch.column(col)
+        if arr.null_count:
+            # SQL count(distinct) semantics: nulls are not a value — and
+            # _stable_hash maps null like "", which would also conflate a
+            # null with a genuinely empty string
+            arr = arr.drop_null()
+        h = _stable_hash(arr).view(np.uint64)
         # _stable_hash masks to 63 bits; spread back over 64 for HLL buckets
         h = h * np.uint64(0x9E3779B97F4A7C15)
         regs = _hll_registers(h, p)

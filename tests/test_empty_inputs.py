@@ -143,3 +143,16 @@ def test_join_null_keys_match_sql(ray_session):
             "hi": pa.array([5], pa.int64()),
             "rv": pa.array([1], pa.int64())}),
             value_col="ts", lo_col="lo", hi_col="hi")
+
+
+def test_approx_distinct_ignores_nulls(ray_session):
+    """SQL count(distinct) semantics: nulls are not a value. The HLL used
+    to hash nulls (like ""), counting an all-null column as ~1 distinct
+    and conflating null with a genuinely empty string."""
+    from parquet_go_ray.ops.sketch import approx_distinct
+
+    nulls = rd.from_arrow(pa.table({"x": pa.array([None] * 3, pa.string())}))
+    assert approx_distinct(nulls, "x") == 0.0
+    mixed = rd.from_arrow(pa.table(
+        {"x": pa.array(["a", None, "", "a"], pa.string())}))
+    assert round(approx_distinct(mixed, "x")) == 2

@@ -63,20 +63,51 @@ def cmd_schema(args):
     from .functions.schema_dsl import from_arrow_schema, print_schema
     from .sources.partfile import read_footer
 
-    if args.path.endswith(".rdpg"):
-        with open(args.path, "rb") as f:
+    path = args.path
+    parts = _dir_partitions(path)
+    if parts:
+        path = parts[0]  # a run dir: every partition shares one schema
+    if path.endswith(".rdpg"):
+        with open(path, "rb") as f:
             footer = read_footer(f.read())
         schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(footer["schema_ipc"])))
     else:
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(args.path)
+        schema = pq.read_schema(path)
     print(print_schema(from_arrow_schema(schema)))
 
 
+def _dir_partitions(path: str) -> list[str]:
+    """All .rdpg partitions under a run directory (sorted), [] otherwise."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(os.path.join(path, n) for n in os.listdir(path)
+                  if n.endswith(".rdpg"))
+
+
 def cmd_meta(args):
+    import os
+
     from .sources.partfile import read_footer
 
+    if os.path.isdir(args.path):
+        # a run DIRECTORY: per-partition summaries (meta of each file in
+        # turn would drown the terminal; -- point at one .rdpg for pages)
+        parts = _dir_partitions(args.path)
+        if not parts:
+            raise SystemExit(f"meta: no .rdpg partitions under {args.path}")
+        total = 0
+        for p in parts:
+            with open(p, "rb") as f:
+                footer = read_footer(f.read())
+            total += footer["num_rows"]
+            print(f"{os.path.basename(p):<44} rows={footer['num_rows']:<9} "
+                  f"streams={len(footer['streams'])}")
+        print(f"total rows: {total} across {len(parts)} partitions")
+        return
     with open(args.path, "rb") as f:
         footer = read_footer(f.read())
     import pyarrow as pa

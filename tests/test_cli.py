@@ -246,3 +246,28 @@ def test_rowcount_parquet_and_missing(tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "7"
     with pytest.raises(SystemExit, match="does not exist"):
         main(["rowcount", str(tmp_path / "nope_dir")])
+
+
+def test_cli_meta_and_schema_accept_run_directories(tmp_path, capsys, ray_session):
+    """meta/schema pointed at a run DIRECTORY (the natural call — encode
+    produces directories) used to crash with IsADirectoryError; now meta
+    prints per-partition summaries + a total, schema uses any partition."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), src)
+    out = tmp_path / "run"
+    outputs = {}
+    for cmd in (["encode", str(src), str(out)],
+                ["meta", str(out)], ["schema", str(out)]):
+        r = subprocess.run(
+            [sys.executable, "-m", "parquet_go_ray.cli", *cmd],
+            capture_output=True, text=True, timeout=240)
+        assert r.returncode == 0, (cmd, r.stderr[-500:])
+        outputs[cmd[0]] = r.stdout
+    assert "total rows: 3" in outputs["meta"]
+    assert "x" in outputs["schema"] and "int64" in outputs["schema"]

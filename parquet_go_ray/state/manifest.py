@@ -88,8 +88,10 @@ def completed_ids(out_dir: str, verify_crc: bool = False) -> set[str]:
 
 
 def finalize(out_dir: str) -> dict:
-    """Consolidate records into manifest.json; returns run totals."""
-    records = load_records(out_dir)
+    """Consolidate records into manifest.json; returns run totals.
+    Covered (compaction-absorbed) records are excluded — counting both the
+    merge and its absorbed originals would double every absorbed row."""
+    records = drop_covered(load_records(out_dir))
     totals = {
         "partitions": len(records),
         "num_rows": sum(r["num_rows"] for r in records),

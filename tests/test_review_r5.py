@@ -312,3 +312,33 @@ def test_interrupted_compaction_never_double_reads(ray_session, tmp_path):
     assert decode_dataset(out, keys={"s0"}).count() == n // 2
     compact_partitions(out, target_bytes=1 << 20)  # repair pass
     assert decode_dataset(out).count() == n
+
+
+def test_ivf_index_queries_identical_after_compaction(ray_session, tmp_path):
+    """An IVF index is a keyed .rdpg layout; compacting it must not change
+    any query result (manifest keys survive the merge — the same covers
+    machinery the resume fix relies on)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_go_ray.ops.similarity import build_ivf_index, knn_ivf_query
+    from parquet_go_ray.pipelines.compact import compact_partitions
+
+    rng = np.random.default_rng(3)
+    n, d = 1200, 16
+    M = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(M.reshape(-1)), d).cast(pa.list_(pa.float32()))})
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t).repartition(6).materialize(), idx,
+                    nlist=8)
+    q = knn_ivf_query(idx, [0, 1], M[:2], k=5, nprobe=3)
+    a = (q.to_pandas() if not isinstance(q, pd.DataFrame) else q)
+    assert compact_partitions(idx, target_bytes=1 << 22)["merged_files"] > 0
+    q2 = knn_ivf_query(idx, [0, 1], M[:2], k=5, nprobe=3)
+    b = (q2.to_pandas() if not isinstance(q2, pd.DataFrame) else q2)
+    cols = list(a.columns)
+    assert a.sort_values(cols).reset_index(drop=True).equals(
+        b.sort_values(cols).reset_index(drop=True))

@@ -130,6 +130,46 @@ def cmd_meta(args):
         )
 
 
+def cmd_fsck(args):
+    """Verify a run directory against its manifest: per-partition CRC over
+    the file bytes, plus missing-file / orphan-file / stale-(compaction-
+    absorbed) record detection. Exit 0 only when every live record's file
+    exists and matches its recorded crc32 — the operational bitrot check a
+    100 TB layout needs before trusting a resume or a decode."""
+    import os
+    import zlib
+
+    from .sources import fsio
+    from .state import manifest as mf
+
+    records = mf.load_records(args.path)
+    if not records:
+        raise SystemExit(f"fsck: no manifest records under {args.path}")
+    live = {r["partition_id"] for r in mf.drop_covered(records)}
+    listed_paths, bad = set(), 0
+    report = {"ok": 0, "corrupt": [], "missing": [], "stale": 0, "orphans": []}
+    for r in records:
+        if r["partition_id"] not in live:
+            report["stale"] += 1  # absorbed by a compaction; reconciled reads skip it
+            continue
+        p = r.get("path", "")
+        listed_paths.add(os.path.basename(p))
+        if not p or not fsio.exists(p):
+            report["missing"].append(r["partition_id"]); bad += 1
+            continue
+        crc = zlib.crc32(fsio.read_bytes(p)) & 0xFFFFFFFF
+        if crc != r.get("crc32"):
+            report["corrupt"].append(r["partition_id"]); bad += 1
+        else:
+            report["ok"] += 1
+    for p in fsio.list_files(args.path, ".rdpg"):
+        if os.path.basename(p) not in listed_paths:
+            report["orphans"].append(os.path.basename(p))
+    print(json.dumps(report))
+    if bad:
+        raise SystemExit(1)
+
+
 def _tail_footer(f, magic: bytes) -> bytes:
     """Seek-read ONLY the footer of an open binary file laid out as
     ``magic ... footer <u32 footer_len> magic`` — rowcount on a multi-GB
@@ -385,6 +425,7 @@ def main(argv=None):
     s = sub.add_parser("cat"); s.add_argument("path"); s.set_defaults(fn=cmd_cat)
     s = sub.add_parser("schema"); s.add_argument("path"); s.set_defaults(fn=cmd_schema)
     s = sub.add_parser("rowcount"); s.add_argument("path"); s.set_defaults(fn=cmd_rowcount)
+    s = sub.add_parser("fsck"); s.add_argument("path"); s.set_defaults(fn=cmd_fsck)
     s = sub.add_parser("split"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--size", type=_byte_size, default=128 << 20); s.set_defaults(fn=cmd_split)
     s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.set_defaults(fn=cmd_encode)
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)

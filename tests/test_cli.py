@@ -271,3 +271,61 @@ def test_cli_meta_and_schema_accept_run_directories(tmp_path, capsys, ray_sessio
         outputs[cmd[0]] = r.stdout
     assert "total rows: 3" in outputs["meta"]
     assert "x" in outputs["schema"] and "int64" in outputs["schema"]
+
+
+def test_cli_fsck_detects_corruption_and_stale(tmp_path, ray_session):
+    """fsck: clean run exits 0; a flipped byte is reported corrupt with
+    exit 1; a compaction-crash state (old records restored beside the
+    merge) counts as stale, not corrupt."""
+    import glob
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "source": pa.array([f"s{i % 2}" for i in range(60)])}), src)
+    out = tmp_path / "run"
+
+    def fsck():
+        r = subprocess.run(
+            [sys.executable, "-m", "parquet_go_ray.cli", "fsck", str(out)],
+            capture_output=True, text=True, timeout=240)
+        return r.returncode, json.loads(r.stdout.strip().splitlines()[-1])
+
+    subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray.cli", "encode", str(src),
+         str(out), "--group-by", "source"],
+        capture_output=True, text=True, timeout=240, check=True)
+    code, rep = fsck()
+    assert code == 0 and rep["ok"] >= 1 and not rep["corrupt"]
+
+    victim = glob.glob(str(out / "part-*.rdpg"))[0]
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    code, rep = fsck()
+    assert code == 1 and len(rep["corrupt"]) == 1
+    # restore the file so the stale check below starts clean
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+
+    snap = tmp_path / "snap"
+    shutil.copytree(out, snap)
+    from parquet_go_ray.pipelines.compact import compact_partitions
+
+    if compact_partitions(str(out), target_bytes=1 << 20)["merged_files"]:
+        for sub in ("", "_manifest/"):
+            for p in glob.glob(os.path.join(str(snap), sub, "*")):
+                if os.path.isfile(p):
+                    dst = os.path.join(str(out), sub, os.path.basename(p))
+                    if not os.path.exists(dst):
+                        shutil.copy(p, dst)
+        code, rep = fsck()
+        assert code == 0 and rep["stale"] >= 1 and rep["orphans"]

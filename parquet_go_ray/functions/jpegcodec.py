@@ -607,6 +607,10 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
             break
         seg_len = struct.unpack(">H", d[pos + 2:pos + 4])[0]
         seg = d[pos + 4:pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError(
+                f"jpeg: marker 0x{marker:02X} declares a {seg_len}-byte "
+                f"segment but only {len(seg)} payload bytes are present")
         if marker == 0xDB:  # DQT
             s = 0
             while s < len(seg):
@@ -627,6 +631,8 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
                 huff[(cls, ti)] = _decode_tables(bits, vals)
                 s += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated SOF header")
             prec, fh, fw, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
@@ -643,6 +649,8 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
                 "jpeg: only the baseline (SOF0) and progressive (SOF2) "
                 f"processes are supported, got SOF marker 0x{marker:02X}")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("jpeg: truncated DRI segment")
             restart = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:

@@ -21,7 +21,7 @@ tests/test_fuzz.py (none outstanding).
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from parquet_go_ray.functions import (bitpack, bytearray as ba, delta, forr,
                                       fsst, hybrid, plain)
@@ -298,6 +298,10 @@ def test_mjpeg_stage_mutated(mut):
 
 @settings(**FUZZ_MEDIA)
 @given(st.integers(0, 1), mutation)
+@example(
+    which=1,
+    mut=(0, 11434, b''),
+).via('discovered failure')
 def test_jpeg_mutated(which, mut):
     from parquet_go_ray.functions.jpegcodec import decode_jpeg
 

@@ -351,3 +351,190 @@ def test_cap_pruning_never_false_dismisses(data):
             best = float((mats[i] @ mats[j].T).max())
             if best >= tau:
                 assert (i, j) in kept, (i, j, best, tau, caps[i], caps[j])
+
+
+# ------------------- round-5 session-2: container / schema / image surfaces
+
+def _rdpg_valid() -> bytes:
+    from parquet_go_ray.sources.partfile import encode_table
+
+    t = pa.table({
+        "id": pa.array(np.arange(40, dtype=np.int64)),
+        "txt": pa.array([f"doc-{i % 7}" for i in range(40)]),
+        "toks": pa.array([[i, i + 1, i + 2] for i in range(40)],
+                         pa.list_(pa.int32())),
+        "score": pa.array(np.linspace(0, 1, 40)),
+    })
+    blob, _lineage = encode_table(t)
+    return bytes(blob)
+
+
+_RDPG_POOL = [_rdpg_valid()]
+
+
+@settings(**FUZZ_MEDIA)
+@given(mutation)
+def test_rdpg_mutated(mut):
+    """Mutated .rdpg partition blobs through footer + full decode: the
+    container format (magic, footer JSON, page directory, CRCs, per-page
+    codec payloads) must fail cleanly whatever byte is wrong."""
+    from parquet_go_ray.sources.partfile import decode_table, read_footer
+
+    blob = _mutate(_RDPG_POOL[0], *mut)
+    _expect_clean(lambda: read_footer(blob))
+    _expect_clean(lambda: decode_table(blob))
+    _expect_clean(lambda: decode_table(blob, columns=["id", "toks"]))
+
+
+@settings(**FUZZ_MEDIA)
+@given(st.binary(max_size=300))
+def test_rdpg_soup(blob):
+    from parquet_go_ray.sources.partfile import decode_table
+
+    _expect_clean(lambda: decode_table(blob))
+
+
+def _parquet_valid() -> bytes:
+    import pyarrow.parquet  # noqa: F401  (ensure module load)
+
+    from parquet_go_ray.sources.parquet_compat import (
+        write_parquet_with_our_kernels)
+
+    t = pa.table({
+        "id": pa.array(np.arange(30, dtype=np.int64)),
+        "s": pa.array([None if i % 9 == 0 else f"v{i % 5}"
+                       for i in range(30)]),
+        "nest": pa.array([{"a": i, "b": [float(i), i + 0.5]}
+                          for i in range(30)]),
+    })
+    import io, os, tempfile
+    fd, p = tempfile.mkstemp(suffix=".parquet")
+    os.close(fd)
+    try:
+        write_parquet_with_our_kernels(t, p)
+        with open(p, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(p)
+
+
+_PARQUET_POOL = [_parquet_valid()]
+
+
+@settings(**FUZZ_MEDIA)
+@given(mutation)
+def test_parquet_reader_mutated(mut):
+    """Mutated real parquet bytes through OUR reader (thrift footer walk,
+    page headers, level decode, Dremel assembly) — the exact role of the
+    reference's reader_fuzz.go:12."""
+    import os
+    import tempfile
+
+    from parquet_go_ray.sources.parquet_compat import (
+        read_file_metadata, read_parquet_with_our_kernels)
+
+    blob = _mutate(_PARQUET_POOL[0], *mut)
+    _expect_clean(lambda: read_file_metadata(blob))
+    fd, p = tempfile.mkstemp(suffix=".parquet")
+    os.close(fd)
+    try:
+        with open(p, "wb") as f:
+            f.write(blob)
+        _expect_clean(lambda: read_parquet_with_our_kernels(
+            p, validate_crc=True))
+    finally:
+        os.unlink(p)
+
+
+def _png_valid() -> bytes:
+    from parquet_go_ray.functions.imagecodec import encode_png
+
+    yy, xx = np.mgrid[0:12, 0:12]
+    img = np.stack([(xx * 11) % 256, (yy * 13) % 256,
+                    ((xx ^ yy) * 7) % 256], axis=-1).astype(np.uint8)
+    return encode_png(img, filter_type=1)
+
+
+def _bmp_valid() -> bytes:
+    from parquet_go_ray.functions.imagecodec import encode_bmp
+
+    yy, xx = np.mgrid[0:9, 0:7]
+    img = np.stack([xx * 30 % 256, yy * 25 % 256,
+                    (xx + yy) * 15 % 256], axis=-1).astype(np.uint8)
+    return encode_bmp(img)
+
+
+def _wav_valid() -> bytes:
+    from parquet_go_ray.functions.imagecodec import encode_wav
+
+    t = np.arange(600) / 8000
+    return encode_wav((3000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16),
+                      8000)
+
+
+_PNG_POOL = [_png_valid()]
+_BMP_POOL = [_bmp_valid()]
+_WAV_POOL = [_wav_valid()]
+
+
+@settings(**FUZZ_MEDIA)
+@given(st.integers(0, 2), mutation)
+def test_image_audio_mutated(which, mut):
+    from parquet_go_ray.functions.imagecodec import (decode_bmp, decode_png,
+                                                     decode_wav)
+
+    pool, dec = [(_PNG_POOL, decode_png), (_BMP_POOL, decode_bmp),
+                 (_WAV_POOL, decode_wav)][which]
+    blob = _mutate(pool[0], *mut)
+    # zlib.error (PNG inflate of corrupt deflate streams) is a clean parse
+    # failure for this surface, same contract as the frozen corpus
+    import zlib
+    try:
+        dec(blob)
+    except CLEAN:
+        pass
+    except zlib.error:
+        pass
+
+
+_SCHEMA_VALID = """message doc {
+  required int64 id;
+  optional binary name (STRING);
+  repeated group tags {
+    required binary t (STRING);
+    optional int32 w;
+  }
+  optional group xs (LIST) {
+    repeated group list {
+      optional double element;
+    }
+  }
+}"""
+
+
+@settings(**FUZZ)
+@given(mutation)
+def test_schema_dsl_mutated(mut):
+    """Mutated schema-DSL text through the parser (the reference's
+    parquetschema/schema_parser.go fuzz role): SchemaParseError (a
+    ValueError) or a parsed-but-different tree, never a raw crash."""
+    from parquet_go_ray.functions.schema_dsl import parse_schema, to_arrow_schema
+
+    valid = _SCHEMA_VALID.encode()
+    blob = _mutate(valid, *mut)
+    try:
+        text = blob.decode("utf-8", errors="replace")
+    except Exception:
+        return
+    def run():
+        root = parse_schema(text)
+        to_arrow_schema(root)  # a parse that survives must also map to Arrow
+    _expect_clean(run)
+
+
+@settings(**FUZZ)
+@given(st.text(max_size=200))
+def test_schema_dsl_soup(text):
+    from parquet_go_ray.functions.schema_dsl import parse_schema
+
+    _expect_clean(lambda: parse_schema(text))

@@ -437,3 +437,49 @@ def test_forced_codec_validation():
         body, lineage = encode_table(t, EncodeConfig(column_codecs={col: good}))
         assert decode_table(body).equals(t)
         assert lineage["codecs"][col] == good
+
+
+def test_json_hostile_column_names():
+    """Footer metadata is JSON: names with quotes/newlines/unicode/empty
+    string must escape cleanly through encode -> footer -> decode."""
+    t = pa.table({
+        'we"ird\nname': pa.array([1, 2, 3], pa.int64()),
+        "unié中": pa.array(["a", "b", "c"]),
+        "": pa.array([1.0, 2.0, 3.0]),
+        "back\\slash\ttab": pa.array([True, False, None]),
+    })
+    out = roundtrip(t)
+    assert_tables_equal(t, out)
+
+
+def test_inner_null_list_elements():
+    """null INSIDE a list (def-level between empty and present) is a distinct
+    Dremel state from a null list and an empty list — all three in one column."""
+    t = pa.table({
+        "toks": pa.array([[1, None, 3], None, [], [None], [4]],
+                         pa.list_(pa.int32())),
+        "id": pa.array(np.arange(5, dtype=np.int64)),
+    })
+    out = roundtrip(t)
+    assert_tables_equal(t, out)
+
+
+def test_signed_zero_inf_bit_exact():
+    """-0.0 / +0.0 / +-inf / NaN through a dict-eligible float column must be
+    BIT-exact (Table.equals treats NaN != NaN; compare the raw bit patterns)."""
+    v = [float("nan"), 1.0, float("nan"), -0.0, 0.0,
+         float("inf"), float("-inf"), 1.0] * 50
+    t = pa.table({"f": pa.array(v, pa.float64())})
+    out = roundtrip(t)
+    a = np.asarray(t.column("f")).view(np.uint64)
+    b = np.asarray(out.column("f").combine_chunks()).view(np.uint64)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_multi_megabyte_single_strings():
+    """Values larger than the page budget: the page cutter must not split a
+    row, and offsets stay exact through FSST/plain selection."""
+    big = "A" * (3 << 20)
+    t = pa.table({"s": pa.array([big, "b", big + "x", ""])})
+    out = roundtrip(t)
+    assert_tables_equal(t, out)

@@ -166,6 +166,13 @@ def assemble(t: pa.DataType, streams: dict[str, dict[str, Stream]], path: str, l
     if pa.types.is_null(t):
         return pa.nulls(length)
 
+    if pa.types.is_dictionary(t):
+        # shred() stores dictionary columns as their decoded value type; the
+        # footer schema keeps the logical dictionary type, so re-encode on
+        # the way out (cast fixes the index width / ordered flag to match)
+        plain = assemble(t.value_type, streams, path, length)
+        return plain.dictionary_encode().cast(t)
+
     if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         small = pa.string() if pa.types.is_large_string(t) else pa.binary()
         return assemble(small, streams, path, length).cast(t)

@@ -42,6 +42,14 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None,
     file_writer.go:194-226) and overrides config keys on collision. Both land
     in the footer's ``kv_metadata`` and the lineage record."""
     config = config or EncodeConfig()
+    names = table.column_names
+    if len(set(names)) != len(names):
+        # streams are keyed by column path — a duplicate name would otherwise
+        # surface as an opaque KeyError from deep inside the schema walk
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"encode_table: duplicate column name(s) {dupes} — column names "
+            f"must be unique (rename with Table.rename_columns first)")
     table = table.combine_chunks()
     streams: list[Stream] = []
     for name in table.column_names:

@@ -35,6 +35,17 @@ class Stream:
     num_values: int
 
 
+def path_segment(name: str) -> str:
+    """Escape one column/field name for use in a dotted stream path.
+
+    Paths flatten the schema tree with "." joins; a field literally named
+    "a.b" (or containing "%") would otherwise collide with a genuinely
+    nested a->b path and silently cross-wire data. Plain names — every
+    normal schema — are unchanged, so existing files decode as-is.
+    """
+    return name.replace("%", "%25").replace(".", "%2E")
+
+
 def _validity_array(arr: pa.Array) -> np.ndarray:
     buf = arr.buffers()[0]
     if buf is None:
@@ -143,8 +154,16 @@ def shred(arr: pa.Array, path: str, out: list[Stream]) -> None:
         return
 
     if pa.types.is_struct(t):
+        child_names = [f.name for f in t]
+        if len(set(child_names)) != len(child_names):
+            # duplicate names map to one stream path — the later field would
+            # silently overwrite the earlier one's data
+            dupes = sorted({n for n in child_names if child_names.count(n) > 1})
+            raise ValueError(
+                f"shred: duplicate struct field name(s) {dupes} at {path} — "
+                f"field names within a struct must be unique")
         for i, field in enumerate(t):
-            shred(arr.field(i), f"{path}.{field.name}", out)
+            shred(arr.field(i), f"{path}.{path_segment(field.name)}", out)
         return
 
     raise NotImplementedError(f"shred: unsupported Arrow type {t} at {path}")
@@ -232,7 +251,9 @@ def assemble(t: pa.DataType, streams: dict[str, dict[str, Stream]], path: str, l
         return flat if flat.type == t else flat.cast(t)
 
     if pa.types.is_struct(t):
-        children = [assemble(f.type, streams, f"{path}.{f.name}", length) for f in t]
+        children = [
+            assemble(f.type, streams, f"{path}.{path_segment(f.name)}", length) for f in t
+        ]
         mask = pa.array(~validity) if validity is not None else None
         return pa.StructArray.from_arrays(children, fields=list(t), mask=mask)
 

@@ -25,7 +25,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.shred import Stream, assemble, shred
+from ..functions.shred import Stream, assemble, path_segment, shred
 from . import fsio
 from .columns import EncodeConfig, decode_stream, encode_stream
 
@@ -55,7 +55,7 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None,
     for name in table.column_names:
         col = table.column(name)
         arr = col.chunk(0) if col.num_chunks else pa.nulls(0, col.type)
-        shred(arr, name, streams)
+        shred(arr, path_segment(name), streams)
 
     if config.column_codecs:
         # a typo'd path would otherwise silently no-op and the selector's
@@ -154,7 +154,7 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     def read_at(offset: int, size: int) -> bytes:
         return blob[offset : offset + size]
 
-    wanted = {f.name for f in schema}
+    wanted = {path_segment(f.name) for f in schema}
     streams: dict[str, dict[str, Stream]] = {}
     for meta in footer["streams"]:
         root = meta["path"].split(".", 1)[0]
@@ -163,7 +163,9 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
         st = decode_stream(meta, read_at)
         streams.setdefault(st.path, {})[st.kind] = st
 
-    arrays = [assemble(f.type, streams, f.name, footer["num_rows"]) for f in schema]
+    arrays = [
+        assemble(f.type, streams, path_segment(f.name), footer["num_rows"]) for f in schema
+    ]
     return pa.Table.from_arrays(arrays, schema=schema)
 
 

@@ -110,6 +110,51 @@ def test_temporal_types_bit_exact_and_type_preserving(tmp_path):
         assert a.null_count == b.null_count, c
 
 
+def test_dotted_name_vs_nested_path_collision(tmp_path):
+    # stream paths flatten the schema tree with "." — before escaping, the
+    # struct child s -> "a.b" and the column "s.a" -> "b" shared the path
+    # "s.a.b" and decode silently cross-wired their values
+    t = pa.table({
+        "s": pa.array([{"a.b": 1}], type=pa.struct([("a.b", pa.int64())])),
+        "s.a": pa.array([{"b": 99}], type=pa.struct([("b", pa.int64())])),
+    })
+    back = _roundtrip(tmp_path, t)
+    assert back.equals(t), back.to_pydict()
+
+
+def test_column_named_like_list_child_path(tmp_path):
+    t = pa.table({
+        "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+        "tokens.item": pa.array([7], type=pa.int32()),
+    })
+    back = _roundtrip(tmp_path, t)
+    assert back.equals(t), back.to_pydict()
+
+
+def test_escape_alias_columns(tmp_path):
+    # the escaped form of "a.b" is "a%2Eb" — a column literally named that
+    # must not collide with the escaping of "a.b"
+    t = pa.table({"a%2Eb": pa.array([1]), "a.b": pa.array([2])})
+    back = _roundtrip(tmp_path, t)
+    assert back.equals(t), back.to_pydict()
+
+
+def test_projection_of_dotted_column_name(tmp_path):
+    from parquet_go_ray.sources.partfile import read_partition as rp
+    t = pa.table({"a.b": pa.array([5, 6]), "c": pa.array([7, 8])})
+    path = str(tmp_path / "dotted.rdpg")
+    write_partition(t, path)
+    assert rp(path, columns=["a.b"]).to_pydict() == {"a.b": [5, 6]}
+
+
+def test_duplicate_struct_field_names_raise(tmp_path):
+    t = pa.table({"s": pa.array(
+        [(1, 2)], type=pa.struct([pa.field("d", pa.int64()),
+                                  pa.field("d", pa.int64())]))})
+    with pytest.raises(ValueError, match="duplicate struct field name"):
+        write_partition(t, str(tmp_path / "dupstruct.rdpg"))
+
+
 def test_null_typed_column(tmp_path):
     t = pa.table({"doc_id": pa.array(["a", "b"]),
                   "v": pa.array([None, None], type=pa.null())})

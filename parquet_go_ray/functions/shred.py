@@ -89,7 +89,20 @@ def _storage_type(name: str) -> pa.DataType:
 def shred(arr: pa.Array, path: str, out: list[Stream]) -> None:
     t = arr.type
     if pa.types.is_dictionary(t):
-        shred(arr.cast(t.value_type), path, out)
+        # decode to the value type; indices hidden behind a null slot of an
+        # ANCESTOR (e.g. a null struct row) are unspecified per the Arrow
+        # spec and may point outside the dictionary — cast() would raise on
+        # them, so null out-of-range indices first (the parent's validity
+        # re-masks those slots at assemble time anyway)
+        import pyarrow.compute as pc
+
+        idx = arr.indices
+        ok = pc.and_kleene(
+            pc.greater_equal(idx, 0),
+            pc.less(idx, pa.scalar(len(arr.dictionary), type=idx.type)),
+        )
+        safe = pc.if_else(ok, idx, pa.scalar(None, type=idx.type))
+        shred(pc.take(arr.dictionary, safe), path, out)
         return
     if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         shred(arr.cast(pa.string() if pa.types.is_large_string(t) else pa.binary()), path, out)
@@ -126,8 +139,8 @@ def shred(arr: pa.Array, path: str, out: list[Stream]) -> None:
 
     if pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
         # FIXED_LEN_BYTE_ARRAY analogue (/root/reference/type_bytearray.go:328-333);
-        # decimal128 is its 16-byte special case
-        width = t.byte_width if pa.types.is_fixed_size_binary(t) else 16
+        # decimal128/256 are its 16/32-byte special cases
+        width = t.byte_width
         vals = arr.drop_null() if has_nulls else arr
         data = np.frombuffer(
             vals.buffers()[1], dtype=np.uint8, count=len(vals) * width, offset=vals.offset * width
@@ -210,7 +223,7 @@ def assemble(t: pa.DataType, streams: dict[str, dict[str, Stream]], path: str, l
         return _scatter(flat, validity) if validity is not None else flat
 
     if pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
-        width = t.byte_width if pa.types.is_fixed_size_binary(t) else 16
+        width = t.byte_width  # 16 for decimal128, 32 for decimal256
         data = np.ascontiguousarray(np.asarray(node["fixed_bytes"].data, dtype=np.uint8))
         flat = pa.Array.from_buffers(t, len(data) // width, [None, pa.py_buffer(data)])
         return _scatter(flat, validity) if validity is not None else flat

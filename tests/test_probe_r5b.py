@@ -155,6 +155,31 @@ def test_duplicate_struct_field_names_raise(tmp_path):
         write_partition(t, str(tmp_path / "dupstruct.rdpg"))
 
 
+def test_decimal256_roundtrip(tmp_path):
+    # shred hardcoded width 16 — decimal256 (32 bytes) silently truncated
+    # at encode and then failed opaquely at decode
+    from decimal import Decimal
+    vals = [Decimal("123456789012345678901234567890.12"), None, Decimal("-1.01")]
+    t = pa.table({"d": pa.array(vals, type=pa.decimal256(50, 2))})
+    back = _roundtrip(tmp_path, t)
+    assert back.equals(t), back.to_pydict()
+
+
+def test_dictionary_child_of_null_struct_row(tmp_path):
+    # Arrow leaves values behind null slots unspecified: a null struct row
+    # can mask a dictionary child whose index points outside the dictionary
+    # (here: empty dictionary, index 0) — cast() raised ArrowIndexError
+    child = pa.DictionaryArray.from_arrays(
+        pa.array([0], type=pa.int32()), pa.array([], type=pa.string()),
+        safe=False)
+    s = pa.StructArray.from_arrays(
+        [child], names=["x"], mask=pa.array([True]))  # the one row is null
+    t = pa.Table.from_arrays([s], names=["s"])
+    back = _roundtrip(tmp_path, t)
+    assert back.column("s").null_count == 1
+    assert back.column("s").type == s.type
+
+
 def test_null_typed_column(tmp_path):
     t = pa.table({"doc_id": pa.array(["a", "b"]),
                   "v": pa.array([None, None], type=pa.null())})

@@ -142,3 +142,58 @@ def test_arbitrary_schema_roundtrip(t, compression):
     back = decode_table(body)
     assert back.schema.equals(t.schema), f"{t.schema}\n!=\n{back.schema}"
     assert back.equals(t), (lineage.get("codecs"), t.to_pydict())
+
+
+# ---- the same property at the PARQUET conformance boundary ----------------
+# our writer must be readable by pyarrow, and pyarrow's files by our reader,
+# for arbitrary nested schemas over the parquet-expressible leaf set
+
+_PARQUET_LEAVES = [
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(),
+    pa.float32(), pa.float64(), pa.bool_(),
+    pa.string(), pa.binary(), pa.decimal128(20, 4),
+    pa.date32(), pa.time64("us"), pa.timestamp("us"),
+]
+
+
+@st.composite
+def parquet_tables(draw):
+    global _leaf, _tree
+    saved_leaf, saved_tree = _leaf, _tree
+    _leaf = st.sampled_from(_PARQUET_LEAVES)
+    _tree = _type_trees(2)
+    try:
+        return draw(tables())
+    finally:
+        _leaf, _tree = saved_leaf, saved_tree
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(t=parquet_tables(), version=st.sampled_from([1, 2]))
+def test_arbitrary_schema_parquet_conformance(t, version):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from hypothesis import assume
+
+    from parquet_go_ray.sources import parquet_compat as pcq
+
+    d = tempfile.mkdtemp(prefix="pgr-pcprop-", dir="/tmp")
+    p1 = os.path.join(d, "ours.parquet")
+    try:
+        pcq.write_parquet_with_our_kernels(t, p1, data_page_version=version)
+    except NotImplementedError:
+        assume(False)  # honest unsupported-type gate, not a conformance bug
+    back = pq.read_table(p1).cast(t.schema)
+    assert back.equals(t), (t.schema, t.to_pydict(), back.to_pydict())
+    p2 = os.path.join(d, "pa.parquet")
+    pq.write_table(t, p2)
+    try:
+        ours = pcq.read_parquet_with_our_kernels(p2)
+    except NotImplementedError:
+        assume(False)
+    assert ours.cast(t.schema).equals(t), (t.schema, ours.to_pydict())

@@ -144,6 +144,44 @@ def test_arbitrary_schema_roundtrip(t, compression):
     assert back.equals(t), (lineage.get("codecs"), t.to_pydict())
 
 
+_INT_CODECS = ["PLAIN", "DICT", "DELTA_BP", "FOR", "FOR_DELTA", "BSS"]
+_BYTES_CODECS = ["PLAIN", "DELTA_LENGTH_BA", "DELTA_BA", "FSST_BA"]
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(data=st.data())
+def test_forced_codecs_on_arbitrary_schemas(data):
+    """Every forced-codec choice must stay bit-exact on any schema — the
+    selector normally picks per-chunk, but column_codecs overrides it, so
+    each kernel must hold on value shapes it would never be chosen for."""
+    from parquet_go_ray.functions.shred import path_segment
+    from parquet_go_ray.stages.codec import EncodeConfig
+
+    t = data.draw(tables())
+    codecs = {}
+    for f in t.schema:
+        ty = f.type.value_type if pa.types.is_dictionary(f.type) else f.type
+        key = path_segment(f.name)
+        if (pa.types.is_integer(ty) or pa.types.is_date32(ty)
+                or pa.types.is_time(ty) or pa.types.is_timestamp(ty)):
+            if data.draw(st.booleans()):
+                codecs[key] = data.draw(st.sampled_from(_INT_CODECS))
+        elif pa.types.is_string(ty) or pa.types.is_binary(ty):
+            if data.draw(st.booleans()):
+                codecs[key] = data.draw(st.sampled_from(_BYTES_CODECS))
+    cfg = EncodeConfig(
+        compression=data.draw(st.sampled_from(["none", "snappy", "zstd"])),
+        page_bytes=data.draw(st.sampled_from([64, 4096])),
+        column_codecs=codecs,
+        mode=data.draw(st.sampled_from(["reference", "extended"])),
+    )
+    body, lineage = encode_table(t, cfg)
+    back = decode_table(body)
+    assert back.equals(t), (cfg, lineage.get("codecs"), t.to_pydict())
+
+
 # ---- the same property at the PARQUET conformance boundary ----------------
 # our writer must be readable by pyarrow, and pyarrow's files by our reader,
 # for arbitrary nested schemas over the parquet-expressible leaf set

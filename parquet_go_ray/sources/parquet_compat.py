@@ -435,6 +435,10 @@ def _values_to_arrow(values, leaf) -> pa.Array:
     if leaf.phys == "boolean":
         return pa.array(np.asarray(values, dtype=np.bool_))
     v = np.ascontiguousarray(np.asarray(values))
+    if len(v) == 0 and t is not None:
+        # zero-row column chunk: the decode loop's placeholder dtype (uint8)
+        # is meaningless and e.g. uint8->timestamp has no cast kernel
+        return pa.array([], type=t)
     flat = pa.Array.from_buffers(pa.from_numpy_dtype(v.dtype), len(v), [None, pa.py_buffer(v)])
     if t is not None and t != flat.type:
         if t.bit_width == flat.type.bit_width:

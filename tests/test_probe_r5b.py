@@ -180,6 +180,21 @@ def test_dictionary_child_of_null_struct_row(tmp_path):
     assert back.column("s").type == s.type
 
 
+def test_parquet_read_zero_row_temporal_columns(tmp_path):
+    # a zero-row column chunk decodes to an empty uint8 placeholder; the
+    # logical conversion tried uint8->timestamp, which has no cast kernel
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources import parquet_compat as pcq
+
+    t = pa.table({"ts": pa.array([], type=pa.timestamp("us")),
+                  "t64": pa.array([], type=pa.time64("us")),
+                  "s": pa.array([], type=pa.string())})
+    p = str(tmp_path / "zr.parquet")
+    pq.write_table(t, p)
+    assert pcq.read_parquet_with_our_kernels(p).cast(t.schema).equals(t)
+
+
 def test_null_typed_column(tmp_path):
     t = pa.table({"doc_id": pa.array(["a", "b"]),
                   "v": pa.array([None, None], type=pa.null())})

@@ -36,6 +36,32 @@ def _shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
     return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD
 
 
+def _key_ints(col) -> np.ndarray:
+    """Per-row int64 key material from the id column.
+
+    Integer ids pass through unchanged (the permutation for integer ids is
+    pinned by the SQL oracle — do not re-route them through a hash); string
+    and binary ids are hashed with the engine's stable FNV-style hash. Null
+    ids have no defined position in a permutation and the rank tie-break
+    cannot compare them — raise up front instead of dying mid-lexsort.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError(
+            "deterministic_shuffle_rank: id_col contains nulls — shuffle "
+            "ids must be non-null (filter or fill them first)")
+    if pa.types.is_integer(arr.type):
+        return np.asarray(arr)
+    if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)):
+        from ..pipelines.encode import _stable_hash
+
+        return _stable_hash(arr)
+    raise ValueError(
+        f"deterministic_shuffle_rank: unsupported id_col type {arr.type} — "
+        f"use an integer or string/binary id column")
+
+
 def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
                                num_buckets: int = 4096,
                                num_partitions: int = 64):
@@ -62,7 +88,7 @@ def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
         ds = ds.repartition(target_blocks).materialize()
 
     def histogram(t: pa.Table) -> pa.Table:
-        keys = _shuffle_key(np.asarray(t.column(id_col)), seed)
+        keys = _shuffle_key(_key_ints(t.column(id_col)), seed)
         bucket = (keys * np.uint64(num_buckets)) >> np.uint64(32)
         counts = np.bincount(bucket.astype(np.int64), minlength=num_buckets)
         nz = np.flatnonzero(counts)  # sparse: rows ∝ data, not buckets×blocks
@@ -89,7 +115,7 @@ def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id", seed: int = 0,
                          max(1, int(totals.sum()) // 65536 + 1))
 
     def tag(t: pa.Table) -> pa.Table:
-        keys = _shuffle_key(np.asarray(t.column(id_col)), seed)
+        keys = _shuffle_key(_key_ints(t.column(id_col)), seed)
         bucket = (keys * np.uint64(num_buckets)) >> np.uint64(32)
         return (t.append_column("__key", pa.array(keys.view(np.int64)))
                 .append_column("__bucket", pa.array(bucket.astype(np.int64)))

@@ -195,6 +195,33 @@ def test_parquet_read_zero_row_temporal_columns(tmp_path):
     assert pcq.read_parquet_with_our_kernels(p).cast(t.schema).equals(t)
 
 
+def test_shuffle_rank_string_ids(ray_session):
+    # a real text corpus has string doc ids; the shuffle previously assumed
+    # integer-castable ids and died in numpy astype mid-task
+    import ray.data as rd
+
+    from parquet_go_ray.ops.shuffle import deterministic_shuffle_rank
+
+    t = pa.table({"doc_id": pa.array([f"doc-{i}" for i in range(300)] + ["", "é中"]),
+                  "v": pa.array(range(302))})
+    r1 = deterministic_shuffle_rank(rd.from_arrow(t), seed=3).to_pandas().sort_values("doc_id")
+    assert sorted(r1.shuffle_pos) == list(range(302))  # bijective
+    r2 = deterministic_shuffle_rank(rd.from_arrow(t), seed=3).to_pandas().sort_values("doc_id")
+    assert (r1.shuffle_pos.values == r2.shuffle_pos.values).all()  # reproducible
+    r3 = deterministic_shuffle_rank(rd.from_arrow(t), seed=4).to_pandas().sort_values("doc_id")
+    assert (r1.shuffle_pos.values != r3.shuffle_pos.values).any()  # seed-keyed
+
+
+def test_shuffle_rank_null_ids_raise(ray_session):
+    import ray.data as rd
+
+    from parquet_go_ray.ops.shuffle import deterministic_shuffle_rank
+
+    t = pa.table({"doc_id": pa.array(["a", None]), "v": pa.array([1, 2])})
+    with pytest.raises(Exception, match="must be non-null"):
+        deterministic_shuffle_rank(rd.from_arrow(t)).to_pandas()
+
+
 def test_null_typed_column(tmp_path):
     t = pa.table({"doc_id": pa.array(["a", "b"]),
                   "v": pa.array([None, None], type=pa.null())})

@@ -19,6 +19,7 @@ _FIXED = {
     "int64": np.dtype("<i8"),
     "uint32": np.dtype("<u4"),
     "uint64": np.dtype("<u8"),
+    "float16": np.dtype("<f2"),
     "float32": np.dtype("<f4"),
     "float64": np.dtype("<f8"),
     "int16": np.dtype("<i2"),

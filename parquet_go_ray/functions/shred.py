@@ -65,6 +65,7 @@ _PRIMS = {
     pa.types.is_uint16: "uint16",
     pa.types.is_uint32: "uint32",
     pa.types.is_uint64: "uint64",
+    pa.types.is_float16: "float16",
     pa.types.is_float32: "float32",
     pa.types.is_float64: "float64",
 }

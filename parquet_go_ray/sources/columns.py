@@ -308,10 +308,12 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
                     add_page(_bss_split(pv), hi - lo)
                 else:
                     raise ValueError(f"unknown int codec {codec}")
-    elif kind == "values":  # float32 / float64
+    elif kind == "values":  # float16 / float32 / float64
         raw = np.asarray(stream.data)
-        bits = raw.view(np.uint32 if raw.dtype.itemsize == 4 else np.uint64)
-        st = sel.int_stats(bits.view(np.int32 if raw.dtype.itemsize == 4 else np.int64))
+        _u = {2: np.uint16, 4: np.uint32, 8: np.uint64}[raw.dtype.itemsize]
+        _i = {2: np.int16, 4: np.int32, 8: np.int64}[raw.dtype.itemsize]
+        bits = raw.view(_u)
+        st = sel.int_stats(bits.view(_i))
         stats = {"distinct": st.distinct}
         if len(raw):
             finite = raw[np.isfinite(raw)]

@@ -93,7 +93,7 @@ def int_stats(values: np.ndarray, sample_cap: int = 65536) -> ChunkStats:
     vmin, vmax = values.min(), values.max()
     span = int(vmax) - int(vmin)
     sdt = values.dtype
-    udt = np.uint32 if itemsize == 4 else np.uint64
+    udt = {1: np.uint8, 2: np.uint16, 4: np.uint32}.get(itemsize, np.uint64)
     from ..functions.arena import scratch_view
 
     # single delta pass shared by run-count / sortedness / delta / FOR
@@ -139,8 +139,13 @@ def int_stats(values: np.ndarray, sample_cap: int = 65536) -> ChunkStats:
     # bincount fast path when the value span is small
     uniques = None
     if span < (1 << 20) and span >= 0:
-        shifted = scratch_view(n, values.dtype)  # reuses d's size class
-        np.subtract(values, vmin, out=shifted)
+        if itemsize < 4:
+            # a 1/2-byte dtype can't hold its own full span (e.g. int16
+            # span 65535) — the in-dtype subtract would wrap negative
+            shifted = values.astype(np.int32) - np.int32(vmin)
+        else:
+            shifted = scratch_view(n, values.dtype)  # reuses d's size class
+            np.subtract(values, vmin, out=shifted)
         counts = np.bincount(shifted, minlength=span + 1)
         nz = np.flatnonzero(counts)
         distinct = len(nz)

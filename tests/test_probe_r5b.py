@@ -222,6 +222,31 @@ def test_shuffle_rank_null_ids_raise(ray_session):
         deterministic_shuffle_rank(rd.from_arrow(t)).to_pandas()
 
 
+def test_float16_roundtrip_bit_exact(tmp_path):
+    # fp16 embedding tables are standard in training corpora; previously
+    # rejected at shred. Bit-exactness checked through uint16 views (covers
+    # -0.0 / inf / subnormals without float comparison semantics).
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(200, 16)).astype(np.float16)
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(201) * 16, type=pa.int32()), pa.array(emb.reshape(-1)))
+    specials = np.array([1.5, -0.0, np.inf, -np.inf, 65504.0, 6e-8] * 50,
+                        dtype=np.float16)
+    t = pa.table({"vec_id": pa.array(range(200), type=pa.int64()),
+                  "embedding": lists,
+                  "h": pa.array(specials[:200])})
+    back = _roundtrip(tmp_path, t)
+    assert back.schema.equals(t.schema)
+    for c in ("embedding", "h"):
+        a, b = t.column(c).combine_chunks(), back.column(c).combine_chunks()
+        if pa.types.is_list(a.type):
+            a, b = a.flatten(), b.flatten()
+        assert np.array_equal(np.asarray(a).view(np.uint16),
+                              np.asarray(b).view(np.uint16)), c
+
+
 def test_null_typed_column(tmp_path):
     t = pa.table({"doc_id": pa.array(["a", "b"]),
                   "v": pa.array([None, None], type=pa.null())})

@@ -11,6 +11,7 @@ dictionary and dotted-name bugs lived exactly in this space.
 
 from decimal import Decimal
 
+import numpy as np
 import pyarrow as pa
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -30,7 +31,7 @@ _name = st.one_of(
 _LEAVES = [
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
     pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
-    pa.float32(), pa.float64(), pa.bool_(),
+    pa.float16(), pa.float32(), pa.float64(), pa.bool_(),
     pa.string(), pa.binary(), pa.large_string(), pa.large_binary(),
     pa.binary(3), pa.decimal128(20, 4), pa.decimal256(50, 6),
     pa.date32(), pa.time64("us"), pa.timestamp("us"),
@@ -72,10 +73,11 @@ def _scalar(draw, t: pa.DataType):
         lo, hi = _INT_BOUNDS[s]
         return draw(st.integers(lo, hi))
     if pa.types.is_floating(t):
-        width = 32 if pa.types.is_float32(t) else 64
+        width = {2: 16, 4: 32, 8: 64}[t.byte_width]
         # NaN excluded: Arrow .equals is NaN != NaN; NaN/-0.0/inf
         # bit-exactness is pinned separately in test_property_stack
-        return draw(st.floats(allow_nan=False, width=width))
+        val = draw(st.floats(allow_nan=False, width=width))
+        return np.float16(val) if width == 16 else val
     if pa.types.is_boolean(t):
         return draw(st.booleans())
     if pa.types.is_string(t) or pa.types.is_large_string(t):

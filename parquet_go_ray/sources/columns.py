@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from ..functions import bitpack, bytearray as ba, delta, dictionary, forr, fsst, hybrid, plain
+from ..functions import alp, bitpack, bytearray as ba, delta, dictionary, forr, fsst, hybrid, plain
 from ..functions.shred import Stream
 from ..state import selector as sel
 
@@ -157,6 +157,51 @@ def _bss_trial(v: np.ndarray, config: EncodeConfig,
     return best_codec
 
 
+def _trial_sample(v: np.ndarray) -> np.ndarray:
+    """Four CONTIGUOUS chunks spread across the stream (same rationale as
+    _bss_trial: contiguity preserves run structure, spreading covers
+    strata-ordered data)."""
+    n = len(v)
+    if n > 8192:
+        step = max(n // 4, 1)
+        return np.concatenate([v[i * step : i * step + 2048] for i in range(4)])
+    return np.ascontiguousarray(v)
+
+
+def _alp_trial(v: np.ndarray, config: EncodeConfig,
+               incumbent_size: int | None = None):
+    """Sampled ALP trial for float streams (extended mode). Returns
+    ``(e, f, plane_codec)`` when ALP's encoded+compressed sample is
+    strictly (>5%) smaller than the incumbent, else None.
+
+    ``incumbent_size`` is the compressed size of the sample under the codec
+    that currently won (PLAIN or BSS); default = PLAIN under the configured
+    page codec. Unlike the BSS trial, ALP is useful WITHOUT a page
+    compressor (it is a real size reduction, not a compressibility
+    transform), so it runs even when config.compression == "none" — and in
+    that case stays on "none" (the user asked for speed)."""
+    n = len(v)
+    if n < 4096:
+        return None
+    sample = _trial_sample(v)
+    e, f, frac = alp.choose_exponents(sample)
+    if frac < 0.5:  # mostly exceptions: cannot win, skip the encode work
+        return None
+    if incumbent_size is None:
+        incumbent_size = len(_compress(_buf(sample), config.compression))
+    enc = alp.encode(sample, e, f)
+    cands = ("none",) if config.compression == "none" else dict.fromkeys(
+        (config.compression, "zstd"))
+    best_codec, best = None, incumbent_size * 0.95
+    for cand in cands:
+        sz = len(_compress(enc, cand))
+        if sz < best:
+            best_codec, best = cand, sz
+    if best_codec is None:
+        return None
+    return e, f, best_codec
+
+
 def _decode_bss_pages(pages: list[dict], page_payload, dtype_str: str) -> np.ndarray:
     """Interleave BSS plane pages straight into ONE preallocated output
     array: per-plane column assignment into the final buffer is ~5x cheaper
@@ -171,6 +216,8 @@ def _decode_bss_pages(pages: list[dict], page_payload, dtype_str: str) -> np.nda
     pos = 0
     for p in pages:
         nv = p["num_values"]
+        if nv == 0:  # zero-row stream: one empty page, ob is None
+            continue
         planes = np.frombuffer(page_payload(p), dtype=np.uint8).reshape(k, nv)
         tgt = ob[pos : pos + nv]
         for i in range(k):
@@ -320,17 +367,28 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             if len(finite):
                 stats["min"], stats["max"] = float(finite.min()), float(finite.max())
         dict_ok = st.distinct is not None and st.distinct <= sel.DICT_MAX_CARD
-        if forced and forced not in ("PLAIN", "DICT", "BSS"):
+        if forced and forced not in ("PLAIN", "DICT", "BSS", "ALP"):
             raise ValueError(f"unknown float codec {forced!r} for "
-                             f"{stream.path!r}; valid: PLAIN, DICT, BSS")
+                             f"{stream.path!r}; valid: PLAIN, DICT, BSS, ALP")
         codec = forced or ("DICT" if dict_ok and (config.mode == sel.MODE_REFERENCE or st.unique_bytes + st.num_values * bitpack.bit_width(max((st.distinct or 1) - 1, 0)) / 8 < st.plain_size) else "PLAIN")
+        alp_ef = (0, 0)
+        if forced == "ALP":
+            alp_ef = alp.choose_exponents(_trial_sample(raw))[:2]
         if codec == "PLAIN" and not forced and config.mode == sel.MODE_EXTENDED:
             # BYTE_STREAM_SPLIT trial: the compressor sees the highly-
             # repetitive exponent planes (same joint transform+codec trial as
-            # the int path above).
+            # the int path above). The winner is then challenged by ALP —
+            # decimal-in-disguise floats (prices, ratios) pack to a few
+            # bits/value as integers, far below what byte planes recover.
             pc = _bss_trial(raw, config)
             if pc:
                 codec, stream_comp = "BSS", pc
+                incumbent = len(_compress(_bss_split(_trial_sample(raw)), pc))
+            else:
+                incumbent = None
+            alp_pick = _alp_trial(raw, config, incumbent_size=incumbent)
+            if alp_pick:
+                alp_ef, codec, stream_comp = alp_pick[:2], "ALP", alp_pick[2]
         if codec == "DICT" and dict_ok:
             uniq_bits, inv = np.unique(bits, return_inverse=True)
             dpayload = _buf(plain.encode_fixed(uniq_bits.view(raw.dtype)))
@@ -343,6 +401,13 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         elif codec == "BSS":
             for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
                 add_page(_bss_split(raw[lo:hi]), hi - lo)
+        elif codec == "ALP":
+            # chunk-wide (e, f) from the sampled trial; every page embeds it
+            # (self-contained pages) — recorded in stats for lineage parity
+            # with the FSST table hash
+            stats["alp_e"], stats["alp_f"] = int(alp_ef[0]), int(alp_ef[1])
+            for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
+                add_page(alp.encode(raw[lo:hi], alp_ef[0], alp_ef[1]), hi - lo)
         else:
             codec = "PLAIN"
             for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
@@ -602,6 +667,8 @@ def decode_stream(meta: dict, read_at) -> Stream:
             if codec == "DICT":
                 idx = dictionary.decode_indices(payload, p["num_values"])
                 parts.append(dict_values[idx])
+            elif codec == "ALP":
+                parts.append(alp.decode(payload))
             else:
                 parts.append(plain.decode_fixed(payload, dtype, p["num_values"]))
         return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, dtype), meta["num_values"])

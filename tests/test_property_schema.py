@@ -148,6 +148,7 @@ def test_arbitrary_schema_roundtrip(t, compression):
 
 _INT_CODECS = ["PLAIN", "DICT", "DELTA_BP", "FOR", "FOR_DELTA", "BSS"]
 _BYTES_CODECS = ["PLAIN", "DELTA_LENGTH_BA", "DELTA_BA", "FSST_BA"]
+_FLOAT_CODECS = ["PLAIN", "DICT", "BSS", "ALP"]
 
 
 @settings(max_examples=30, deadline=None,
@@ -173,6 +174,9 @@ def test_forced_codecs_on_arbitrary_schemas(data):
         elif pa.types.is_string(ty) or pa.types.is_binary(ty):
             if data.draw(st.booleans()):
                 codecs[key] = data.draw(st.sampled_from(_BYTES_CODECS))
+        elif pa.types.is_floating(ty):
+            if data.draw(st.booleans()):
+                codecs[key] = data.draw(st.sampled_from(_FLOAT_CODECS))
     cfg = EncodeConfig(
         compression=data.draw(st.sampled_from(["none", "snappy", "zstd"])),
         page_bytes=data.draw(st.sampled_from([64, 4096])),

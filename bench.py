@@ -183,9 +183,27 @@ def bench_ops(sf_dir: str) -> dict:
     from parquet_go_ray.ops.text import pack_sequences
     from parquet_go_ray.pipelines.encode import _stable_hash
 
-    res = {}
+    res = {"_meta": {}}
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    # Relational-table encode: lineitem's four 2-decimal double columns are
+    # where the ALP arm fires (tokens are int-only, so the headline cannot
+    # see it). Reports wall + compressed footprint vs the pyarrow+snappy
+    # input file.
+    from parquet_go_ray.pipelines.encode import encode_dataset
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    li_out = "/tmp/bench_lineitem_enc"
+    for _ in range(2):
+        shutil.rmtree(li_out, ignore_errors=True)
+        t0 = time.perf_counter()
+        lin = encode_dataset(rd.read_parquet(li_path), li_out).to_pandas()
+        res["encode_lineitem"] = min(res.get("encode_lineitem", 9e9),
+                                     time.perf_counter() - t0)
+    res["_meta"]["lineitem_bytes_out"] = int(lin.bytes_out.sum())
+    res["_meta"]["lineitem_ratio_vs_parquet"] = round(
+        int(lin.bytes_out.sum()) / os.path.getsize(li_path), 4)
     for _ in range(2):  # min-of-2: shared-host noise
         t0 = time.perf_counter()
         pairs = minhash_candidate_pairs(docs).materialize()
@@ -251,10 +269,10 @@ def bench_ops(sf_dir: str) -> dict:
                                + res["dedup_near_heavy_verify"]
                                + res["dedup_near_heavy_cc"]
                                + res["dedup_near_heavy_filter"])
-    res["_meta"] = {"heavy_docs": heavy.count(), "heavy_pairs": pairs.count(),
-                    "heavy_clustered": n_clusters,
-                    "heavy_verified_pairs": vpairs.count(),
-                    "heavy_kept": kept}
+    res["_meta"].update({"heavy_docs": heavy.count(), "heavy_pairs": pairs.count(),
+                         "heavy_clustered": n_clusters,
+                         "heavy_verified_pairs": vpairs.count(),
+                         "heavy_kept": kept})
 
     # Full corpus pipeline (filter→decontaminate→redact→dedup→sample→split→
     # count→pack offsets) over the sf documents table

@@ -202,11 +202,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(buf: bytes | memoryview) -> tuple[np.ndarray, int]:
-    """PCM WAV bytes -> ((n, channels) int16 samples, sample_rate)."""
+    """WAV bytes -> ((n, channels) int16 samples, sample_rate).
+
+    Formats: 1 = PCM 8/16-bit, 6 = G.711 a-law, 7 = G.711 µ-law,
+    0x11 = IMA ADPCM (all pure numpy; see functions/audiocodec.py)."""
     buf = bytes(buf)
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV file")
     pos, rate, ch, bits, data = 12, None, None, None, None
+    audio_fmt, block_align, fact_samples = None, None, None
     while pos + 8 <= len(buf):
         tag = buf[pos: pos + 4]
         (ln,) = struct.unpack_from("<I", buf, pos + 4)
@@ -216,15 +220,30 @@ def decode_wav(buf: bytes | memoryview) -> tuple[np.ndarray, int]:
         if tag == b"fmt ":
             if len(payload) < 16:
                 raise ValueError("WAV: truncated fmt chunk")
-            audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload)
-            if audio_fmt != 1 or bits not in (8, 16):
+            audio_fmt, ch, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", payload)
+            if audio_fmt == 1 and bits not in (8, 16):
                 raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            if audio_fmt not in (1, 6, 7, 0x11):
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif tag == b"fact" and ln >= 4:
+            (fact_samples,) = struct.unpack_from("<I", payload)
         elif tag == b"data":
             data = payload
         pos += 8 + ln + (ln & 1)
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits == 16:
+    if audio_fmt == 0x11:
+        from .audiocodec import decode_ima_adpcm
+
+        s = decode_ima_adpcm(data, ch, block_align)
+        if fact_samples is not None:  # trim encoder tail padding
+            s = s[:fact_samples]
+        return s, rate
+    if audio_fmt in (6, 7):
+        from .audiocodec import decode_alaw, decode_mulaw
+
+        s = decode_alaw(data) if audio_fmt == 6 else decode_mulaw(data)
+    elif bits == 16:
         s = np.frombuffer(data, dtype="<i2")
     else:
         s = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8

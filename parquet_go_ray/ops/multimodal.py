@@ -394,9 +394,11 @@ class DecodeAudio:
     """Actor stage: audio payload -> (sample_rate, n_samples, rms).
 
     ``fake=True`` parses the synthetic FAUD payloads (vectorized).
-    ``fake=False`` REALLY decodes RIFF PCM WAV (pure numpy,
-    ``functions/imagecodec.decode_wav``); MP3/FLAC/OGG need external codec
-    libraries and raise ``NotImplementedError`` (honest capability gate)."""
+    ``fake=False`` REALLY decodes RIFF WAV — PCM 8/16-bit, G.711
+    a-law/µ-law (fmt 6/7) and IMA ADPCM (fmt 0x11), all pure numpy
+    (``functions/imagecodec.decode_wav`` + ``functions/audiocodec.py``) —
+    and FLAC; MP3/OGG need external codec libraries and raise
+    ``NotImplementedError`` (honest capability gate)."""
 
     def __init__(self, fake: bool = False, payload_col: str = "payload"):
         self.fake = fake
@@ -437,8 +439,8 @@ class DecodeAudio:
             elif head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3"):
                 raise NotImplementedError(
                     "MP3 decode requires an external codec library "
-                    "(not in this container); PCM WAV and FLAC decode "
-                    "for real")
+                    "(not in this container); PCM/G.711/IMA-ADPCM WAV "
+                    "and FLAC decode for real")
             else:
                 raise ValueError(f"unrecognized audio payload (head={head!r})")
         return pa.table({"audio_id": batch.column("audio_id"),

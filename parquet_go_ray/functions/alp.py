@@ -153,15 +153,23 @@ def encode(values: np.ndarray, e: int, f: int) -> bytes:
 
 def decode(data) -> np.ndarray:
     buf = bytes(data)
+    if len(buf) < 15:
+        raise ValueError("ALP: truncated header")
     fw, e, f = buf[0], buf[1], buf[2]
+    if fw not in _FLT or e > MAX_E or f > MAX_E:
+        raise ValueError(f"ALP: bad header (fw={fw}, e={e}, f={f})")
     n = int.from_bytes(buf[3:7], "little")
     n_exc = int.from_bytes(buf[7:11], "little")
     ilen = int.from_bytes(buf[11:15], "little")
+    if n_exc > n or 15 + ilen + n_exc * (4 + fw) > len(buf):
+        raise ValueError("ALP: lengths exceed payload")
     dt = _FLT[fw]
     if n == 0:
         return np.empty(0, dtype=dt)
     pos = 15
     ints = forr.decode(buf[pos : pos + ilen])
+    if len(ints) != n:
+        raise ValueError(f"ALP: FOR blob holds {len(ints)} values, header says {n}")
     pos += ilen
     dec64 = (ints.astype(np.float64) * _F10[f]) / _F10[e]
     out = dec64 if fw == 8 else dec64.astype(dt)
@@ -169,6 +177,8 @@ def decode(data) -> np.ndarray:
         exc_pos = np.frombuffer(buf, dtype=np.uint32, count=n_exc, offset=pos)
         pos += 4 * n_exc
         exc = np.frombuffer(buf, dtype=dt, count=n_exc, offset=pos)
+        if len(exc_pos) and int(exc_pos.max()) >= n:
+            raise ValueError("ALP: exception position out of range")
         out = np.ascontiguousarray(out)
         out[exc_pos] = exc
     return out

@@ -668,7 +668,12 @@ def decode_stream(meta: dict, read_at) -> Stream:
                 idx = dictionary.decode_indices(payload, p["num_values"])
                 parts.append(dict_values[idx])
             elif codec == "ALP":
-                parts.append(alp.decode(payload))
+                part = alp.decode(payload)
+                if len(part) != p["num_values"]:
+                    raise ValueError(
+                        f"ALP page claims {len(part)} values, footer says "
+                        f"{p['num_values']} on {meta['path']}")
+                parts.append(part)
             else:
                 parts.append(plain.decode_fixed(payload, dtype, p["num_values"]))
         return Stream(meta["path"], kind, dtype, np.concatenate(parts) if parts else np.empty(0, dtype), meta["num_values"])

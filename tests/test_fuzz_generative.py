@@ -538,3 +538,67 @@ def test_schema_dsl_soup(text):
     from parquet_go_ray.functions.schema_dsl import parse_schema
 
     _expect_clean(lambda: parse_schema(text))
+
+
+# ------------------------------------------------------------------- ALP
+
+def _alp_pool():
+    from parquet_go_ray.functions import alp
+
+    rng = np.random.default_rng(17)
+    return [
+        alp.encode(np.round(rng.uniform(1, 1e5, 500), 2), 2, 0),
+        alp.encode(rng.standard_normal(300), 14, 2),  # mostly exceptions
+        alp.encode(np.round(rng.uniform(0, 10, 400), 1).astype(np.float32), 1, 0),
+    ]
+
+
+_ALP_POOL = _alp_pool()
+
+
+@settings(**FUZZ)
+@given(st.integers(0, 2), mutation)
+def test_alp_mutated(idx, mut):
+    from parquet_go_ray.functions import alp
+
+    blob = _mutate(_ALP_POOL[idx], *mut)
+    _expect_clean(lambda: alp.decode(blob))
+
+
+@settings(**FUZZ)
+@given(st.binary(max_size=200))
+def test_alp_soup(blob):
+    from parquet_go_ray.functions import alp
+
+    _expect_clean(lambda: alp.decode(blob))
+
+
+# --------------------------------------------------- G.711 / ADPCM WAV
+
+def _g711_ima_pool():
+    from parquet_go_ray.functions import audiocodec as ac
+
+    s = (5000 * np.sin(np.arange(700) / 20)).astype(np.int16)
+    return [ac.encode_wav_g711(s, 8000, law="ulaw"),
+            ac.encode_wav_g711(s, 8000, law="alaw"),
+            ac.encode_wav_ima(s, 16000, block_align=256)]
+
+
+_G711_POOL = _g711_ima_pool()
+
+
+@settings(**FUZZ_MEDIA)
+@given(st.integers(0, 2), mutation)
+def test_wav_g711_ima_mutated(idx, mut):
+    from parquet_go_ray.functions.imagecodec import decode_wav
+
+    blob = _mutate(_G711_POOL[idx], *mut)
+    _expect_clean(lambda: decode_wav(blob))
+
+
+@settings(**FUZZ)
+@given(st.binary(max_size=300), st.integers(1, 4), st.sampled_from([8, 64, 256]))
+def test_ima_adpcm_soup(blob, channels, block_align):
+    from parquet_go_ray.functions.audiocodec import decode_ima_adpcm
+
+    _expect_clean(lambda: decode_ima_adpcm(blob, channels, block_align))

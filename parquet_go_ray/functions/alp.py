@@ -199,3 +199,110 @@ def estimate_size(values: np.ndarray, e: int, f: int) -> int:
     ie = ints[exact]
     width = max(int(ie.max() - ie.min()), 0).bit_length()
     return 15 + 16 + len(v) * width // 8 + (len(v) - n_exact) * (4 + fw)
+
+
+# ----------------------------------------------------------------- ALP-RD
+# The second half of the ALP paper: "real doubles" that are NOT decimals
+# (embeddings, physical measurements). The float's bit pattern is cut at a
+# chunk-chosen position L: the LEFT L bits (sign + exponent + top mantissa)
+# cluster heavily and are dictionary-encoded; the RIGHT fw*8-L bits are
+# near-random and stored bit-packed raw. A pure bit repartition — lossless
+# by construction on every input, no exceptions, no verify gate. Wins where
+# ALP classic can't bite (measured 3.50 vs 3.71 B/val for BSS+zstd on the
+# sf embeddings corpus).
+
+RD_MAX_DICT = 1 << 16  # left-pattern dictionary cap (paper uses 8-bit + exc)
+
+from . import bitpack  # noqa: E402  (kept local to the RD section)
+
+
+def choose_left_width(values: np.ndarray) -> tuple[int, float]:
+    """Pick the left-cut L on a sample; returns (L, est_bytes_per_value).
+
+    L=0 means RD cannot win (dictionary overflow at every cut)."""
+    v = np.ascontiguousarray(values)
+    if len(v) == 0:
+        return 0, float("inf")
+    fw = v.dtype.itemsize
+    tot = fw * 8
+    bits = v.view(_UINT[fw]).astype(np.uint64)
+    n = len(v)
+    best_l, best_bpv = 0, float("inf")
+    for L in range(1, min(16, tot) + 1):
+        left = bits >> (tot - L)
+        u = len(np.unique(left))
+        if u > RD_MAX_DICT:
+            continue
+        w_idx = max((u - 1).bit_length(), 1)
+        bpv = (w_idx + (tot - L)) / 8 + (u * L / 8) / n
+        if bpv < best_bpv:
+            best_l, best_bpv = L, bpv
+    return best_l, best_bpv
+
+
+def encode_rd(values: np.ndarray, L: int) -> bytes:
+    """Wire: [fw:u8][L:u8][n:u32le][ndict:u32le][dlen:u32le][ilen:u32le]
+    [dict packed @L bits][indices packed][right bits packed]."""
+    v = np.ascontiguousarray(values)
+    fw = v.dtype.itemsize
+    tot = fw * 8
+    if not 1 <= L <= min(16, tot):
+        raise ValueError(f"ALP_RD: left width {L} out of range")
+    n = len(v)
+    head = bytes([fw, L]) + n.to_bytes(4, "little")
+    if n == 0:
+        return head + (0).to_bytes(4, "little") * 3
+    bits = v.view(_UINT[fw]).astype(np.uint64)
+    left = bits >> (tot - L)
+    right = bits & ((np.uint64(1) << np.uint64(tot - L)) - np.uint64(1))
+    # L <= 16, so the left-pattern space is small: bincount + LUT builds the
+    # dictionary in O(n + 2^L) — np.unique's sort was 82% of encode wall
+    li = left.astype(np.intp)
+    counts = np.bincount(li, minlength=1 << L)
+    uniq = np.flatnonzero(counts).astype(np.uint64)
+    if len(uniq) > RD_MAX_DICT:
+        raise ValueError(f"ALP_RD: {len(uniq)} left patterns exceed the "
+                         f"{RD_MAX_DICT} dictionary cap")
+    lut = np.zeros(1 << L, dtype=np.uint32)
+    lut[uniq.astype(np.intp)] = np.arange(len(uniq), dtype=np.uint32)
+    idx = lut[li]
+    w_idx = max((len(uniq) - 1).bit_length(), 1)
+    dict_blob = bitpack.pack(uniq, L)
+    idx_blob = bitpack.pack(idx.astype(np.uint64), w_idx)
+    right_blob = bitpack.pack(right, tot - L)
+    return (head
+            + len(uniq).to_bytes(4, "little")
+            + len(dict_blob).to_bytes(4, "little")
+            + len(idx_blob).to_bytes(4, "little")
+            + dict_blob + idx_blob + right_blob)
+
+
+def decode_rd(data) -> np.ndarray:
+    buf = bytes(data)
+    if len(buf) < 18:
+        raise ValueError("ALP_RD: truncated header")
+    fw, L = buf[0], buf[1]
+    if fw not in _FLT or not 1 <= L <= min(16, fw * 8):
+        raise ValueError(f"ALP_RD: bad header (fw={fw}, L={L})")
+    tot = fw * 8
+    n = int.from_bytes(buf[2:6], "little")
+    ndict = int.from_bytes(buf[6:10], "little")
+    dlen = int.from_bytes(buf[10:14], "little")
+    ilen = int.from_bytes(buf[14:18], "little")
+    if n == 0:
+        return np.empty(0, dtype=_FLT[fw])
+    if ndict == 0 or ndict > RD_MAX_DICT or 18 + dlen + ilen > len(buf):
+        raise ValueError("ALP_RD: lengths exceed payload")
+    pos = 18
+    uniq = bitpack.unpack(buf[pos : pos + dlen], L, ndict)
+    pos += dlen
+    w_idx = max((ndict - 1).bit_length(), 1)
+    idx = bitpack.unpack(buf[pos : pos + ilen], w_idx, n)
+    pos += ilen
+    right = bitpack.unpack(buf[pos:], tot - L, n)
+    if int(idx.max()) >= ndict:
+        raise ValueError("ALP_RD: dictionary index out of range")
+    bits = (uniq[idx] << np.uint64(tot - L)) | right
+    if fw == 8:
+        return bits.view(np.float64)
+    return bits.astype(_UINT[fw]).view(_FLT[fw])

@@ -168,28 +168,12 @@ def _trial_sample(v: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(v)
 
 
-def _alp_trial(v: np.ndarray, config: EncodeConfig,
-               incumbent_size: int | None = None):
-    """Sampled ALP trial for float streams (extended mode). Returns
-    ``(e, f, plane_codec)`` when ALP's encoded+compressed sample is
-    strictly (>5%) smaller than the incumbent, else None.
-
-    ``incumbent_size`` is the compressed size of the sample under the codec
-    that currently won (PLAIN or BSS); default = PLAIN under the configured
-    page codec. Unlike the BSS trial, ALP is useful WITHOUT a page
-    compressor (it is a real size reduction, not a compressibility
-    transform), so it runs even when config.compression == "none" — and in
-    that case stays on "none" (the user asked for speed)."""
-    n = len(v)
-    if n < 4096:
-        return None
-    sample = _trial_sample(v)
-    e, f, frac = alp.choose_exponents(sample)
-    if frac < 0.5:  # mostly exceptions: cannot win, skip the encode work
-        return None
-    if incumbent_size is None:
-        incumbent_size = len(_compress(_buf(sample), config.compression))
-    enc = alp.encode(sample, e, f)
+def _challenge(enc: bytes, config: EncodeConfig, incumbent_size: int):
+    """Compress a candidate sample encoding with the allowed page codecs;
+    return (codec, size) when strictly (>5%) smaller than the incumbent,
+    else None. compression="none" stays "none" (the user asked for speed;
+    ALP/ALP_RD are real size reductions, not compressibility transforms,
+    so they still run)."""
     cands = ("none",) if config.compression == "none" else dict.fromkeys(
         (config.compression, "zstd"))
     best_codec, best = None, incumbent_size * 0.95
@@ -197,9 +181,31 @@ def _alp_trial(v: np.ndarray, config: EncodeConfig,
         sz = len(_compress(enc, cand))
         if sz < best:
             best_codec, best = cand, sz
-    if best_codec is None:
+    return (best_codec, best) if best_codec else None
+
+
+def _alp_trial(v: np.ndarray, config: EncodeConfig, incumbent_size: int):
+    """Sampled ALP trial for float streams (extended mode). Returns
+    ``(e, f, plane_codec, size)`` when ALP's encoded+compressed sample is
+    strictly smaller than the incumbent, else None."""
+    sample = _trial_sample(v)
+    e, f, frac = alp.choose_exponents(sample)
+    if frac < 0.5:  # mostly exceptions: cannot win, skip the encode work
         return None
-    return e, f, best_codec
+    win = _challenge(alp.encode(sample, e, f), config, incumbent_size)
+    return (e, f, win[0], win[1]) if win else None
+
+
+def _alprd_trial(v: np.ndarray, config: EncodeConfig, incumbent_size: int):
+    """Sampled ALP_RD trial (the paper's 'real doubles' half): left-bits
+    dictionary + right-bits packed. Returns ``(L, plane_codec, size)`` when
+    strictly smaller than the incumbent, else None."""
+    sample = _trial_sample(v)
+    L, _bpv = alp.choose_left_width(sample)
+    if L == 0:
+        return None
+    win = _challenge(alp.encode_rd(sample, L), config, incumbent_size)
+    return (L, win[0], win[1]) if win else None
 
 
 def _decode_bss_pages(pages: list[dict], page_payload, dtype_str: str) -> np.ndarray:
@@ -367,28 +373,38 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             if len(finite):
                 stats["min"], stats["max"] = float(finite.min()), float(finite.max())
         dict_ok = st.distinct is not None and st.distinct <= sel.DICT_MAX_CARD
-        if forced and forced not in ("PLAIN", "DICT", "BSS", "ALP"):
+        if forced and forced not in ("PLAIN", "DICT", "BSS", "ALP", "ALP_RD"):
             raise ValueError(f"unknown float codec {forced!r} for "
-                             f"{stream.path!r}; valid: PLAIN, DICT, BSS, ALP")
+                             f"{stream.path!r}; valid: PLAIN, DICT, BSS, "
+                             f"ALP, ALP_RD")
         codec = forced or ("DICT" if dict_ok and (config.mode == sel.MODE_REFERENCE or st.unique_bytes + st.num_values * bitpack.bit_width(max((st.distinct or 1) - 1, 0)) / 8 < st.plain_size) else "PLAIN")
         alp_ef = (0, 0)
+        alp_rd_l = 8
         if forced == "ALP":
             alp_ef = alp.choose_exponents(_trial_sample(raw))[:2]
-        if codec == "PLAIN" and not forced and config.mode == sel.MODE_EXTENDED:
-            # BYTE_STREAM_SPLIT trial: the compressor sees the highly-
-            # repetitive exponent planes (same joint transform+codec trial as
-            # the int path above). The winner is then challenged by ALP —
-            # decimal-in-disguise floats (prices, ratios) pack to a few
-            # bits/value as integers, far below what byte planes recover.
+        elif forced == "ALP_RD":
+            alp_rd_l = alp.choose_left_width(_trial_sample(raw))[0] or 8
+        if codec == "PLAIN" and not forced and config.mode == sel.MODE_EXTENDED and len(raw) >= 4096:
+            # Challenge chain, each arm must beat the current winner by a
+            # strict 5% on the same sample: PLAIN -> BSS (compressor sees
+            # the repetitive exponent planes) -> ALP (decimal-in-disguise
+            # floats pack to a few bits/value as integers) -> ALP_RD
+            # (high-entropy 'real doubles': left-bits dictionary + packed
+            # right bits — wins where the left patterns straddle BSS's
+            # byte-plane boundaries).
+            sample = _trial_sample(raw)
+            incumbent = len(_compress(_buf(sample), config.compression))
             pc = _bss_trial(raw, config)
             if pc:
                 codec, stream_comp = "BSS", pc
-                incumbent = len(_compress(_bss_split(_trial_sample(raw)), pc))
-            else:
-                incumbent = None
-            alp_pick = _alp_trial(raw, config, incumbent_size=incumbent)
+                incumbent = len(_compress(_bss_split(sample), pc))
+            alp_pick = _alp_trial(raw, config, incumbent)
             if alp_pick:
                 alp_ef, codec, stream_comp = alp_pick[:2], "ALP", alp_pick[2]
+                incumbent = alp_pick[3]
+            rd_pick = _alprd_trial(raw, config, incumbent)
+            if rd_pick:
+                alp_rd_l, codec, stream_comp = rd_pick[0], "ALP_RD", rd_pick[1]
         if codec == "DICT" and dict_ok:
             uniq_bits, inv = np.unique(bits, return_inverse=True)
             dpayload = _buf(plain.encode_fixed(uniq_bits.view(raw.dtype)))
@@ -408,6 +424,22 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             stats["alp_e"], stats["alp_f"] = int(alp_ef[0]), int(alp_ef[1])
             for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
                 add_page(alp.encode(raw[lo:hi], alp_ef[0], alp_ef[1]), hi - lo)
+        elif codec == "ALP_RD":
+            stats["alp_rd_l"] = int(alp_rd_l)
+            for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
+                pv, L = raw[lo:hi], alp_rd_l
+                while True:
+                    try:
+                        payload = alp.encode_rd(pv, L)
+                        break
+                    except ValueError:
+                        # page's left patterns overflow the dictionary cap
+                        # (sample underestimated): a SMALLER cut strictly
+                        # coarsens the partition, so this converges
+                        if L <= 1:
+                            raise
+                        L -= 1
+                add_page(payload, hi - lo)
         else:
             codec = "PLAIN"
             for lo, hi in _page_slices(len(raw), raw.dtype.itemsize, config.page_bytes):
@@ -667,12 +699,12 @@ def decode_stream(meta: dict, read_at) -> Stream:
             if codec == "DICT":
                 idx = dictionary.decode_indices(payload, p["num_values"])
                 parts.append(dict_values[idx])
-            elif codec == "ALP":
-                part = alp.decode(payload)
+            elif codec in ("ALP", "ALP_RD"):
+                part = (alp.decode if codec == "ALP" else alp.decode_rd)(payload)
                 if len(part) != p["num_values"]:
                     raise ValueError(
-                        f"ALP page claims {len(part)} values, footer says "
-                        f"{p['num_values']} on {meta['path']}")
+                        f"{codec} page claims {len(part)} values, footer "
+                        f"says {p['num_values']} on {meta['path']}")
                 parts.append(part)
             else:
                 parts.append(plain.decode_fixed(payload, dtype, p["num_values"]))

@@ -602,3 +602,31 @@ def test_ima_adpcm_soup(blob, channels, block_align):
     from parquet_go_ray.functions.audiocodec import decode_ima_adpcm
 
     _expect_clean(lambda: decode_ima_adpcm(blob, channels, block_align))
+
+
+def _alprd_pool():
+    from parquet_go_ray.functions import alp
+
+    rng = np.random.default_rng(23)
+    return [alp.encode_rd(rng.standard_normal(400), 11),
+            alp.encode_rd(rng.standard_normal(300).astype(np.float32), 9)]
+
+
+_ALPRD_POOL = _alprd_pool()
+
+
+@settings(**FUZZ)
+@given(st.integers(0, 1), mutation)
+def test_alprd_mutated(idx, mut):
+    from parquet_go_ray.functions import alp
+
+    blob = _mutate(_ALPRD_POOL[idx], *mut)
+    _expect_clean(lambda: alp.decode_rd(blob))
+
+
+@settings(**FUZZ)
+@given(st.binary(max_size=200))
+def test_alprd_soup(blob):
+    from parquet_go_ray.functions import alp
+
+    _expect_clean(lambda: alp.decode_rd(blob))

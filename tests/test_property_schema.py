@@ -148,7 +148,7 @@ def test_arbitrary_schema_roundtrip(t, compression):
 
 _INT_CODECS = ["PLAIN", "DICT", "DELTA_BP", "FOR", "FOR_DELTA", "BSS"]
 _BYTES_CODECS = ["PLAIN", "DELTA_LENGTH_BA", "DELTA_BA", "FSST_BA"]
-_FLOAT_CODECS = ["PLAIN", "DICT", "BSS", "ALP"]
+_FLOAT_CODECS = ["PLAIN", "DICT", "BSS", "ALP", "ALP_RD"]
 
 
 @settings(max_examples=30, deadline=None,

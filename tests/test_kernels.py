@@ -280,3 +280,28 @@ def test_timeutil_epoch_guess_and_byte_size():
     assert tu.parse_byte_size("1024") == 1024
     with pytest.raises(ValueError):
         tu.parse_byte_size("12 parsecs")
+
+
+def test_bitpack_matches_pure_python_bit_stream_all_widths():
+    """Independent spec pin for BOTH kernel paths (bit-matrix <=16, byte-lane
+    >16): LSB-first value-major layout computed with python ints."""
+    import numpy as np
+
+    from parquet_go_ray.functions import bitpack
+
+    rng = np.random.default_rng(77)
+    for width in range(1, 65):
+        for n in (1, 8, 11, 29):
+            hi = 1 << min(width, 63)
+            v = rng.integers(0, hi, n, dtype=np.uint64)
+            if width == 64:
+                v |= rng.integers(0, 2, n, dtype=np.uint64) << np.uint64(63)
+            acc = 0
+            for i, x in enumerate(v.tolist()):
+                acc |= (x & ((1 << width) - 1)) << (i * width)
+            padded = n + ((-n) % 8)
+            expect = acc.to_bytes(padded * width // 8, "little")
+            got = bitpack.pack(v, width)
+            assert got == expect, (width, n)
+            back = bitpack.unpack(got, width, n)
+            assert np.array_equal(back, v), (width, n)

@@ -23,7 +23,13 @@ def stable_hash(col: pa.ChunkedArray) -> np.ndarray:
         h = v * np.uint64(0x100000001B3)
         h ^= h >> np.uint64(29)
         return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-    arr = arr.cast(pa.string())
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) \
+            or pa.types.is_fixed_size_binary(arr.type):
+        # binary shares string's offsets+data layout; casting to string
+        # would utf8-validate (and reject) arbitrary bytes
+        arr = arr.cast(pa.binary())
+    else:
+        arr = arr.cast(pa.string())
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
     lengths = np.diff(offsets)

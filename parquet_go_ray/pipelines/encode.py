@@ -266,6 +266,7 @@ def decode_dataset(
     columns: list[str] | None = None,
     *,
     stats_filter: dict[str, tuple] | None = None,
+    eq_filter: dict | None = None,
     keys: set | list | None = None,
     concurrency=None,
 ) -> rd.Dataset:
@@ -275,6 +276,15 @@ def decode_dataset(
     [min,max] range cannot intersect — the row-group skip of the reference
     (/root/reference/file_reader.go:275-277) at partition granularity. It is
     an optimization only; callers still apply the exact row filter.
+
+    ``eq_filter={"col": value_or_values}`` prunes for equality point
+    lookups: partitions are skipped when the footer [min,max] cannot hold
+    any queried value, AND — when the run was encoded with
+    ``EncodeConfig(bloom_columns=(...,))`` — when the partition's
+    split-block Bloom filter (sources/bloom.py) proves every queried value
+    absent. On high-cardinality columns (doc_id over a shuffled corpus)
+    stats never prune but the Bloom does — the point-lookup path at
+    100 TB. Same contract as stats_filter: optimization only.
 
     ``keys`` prunes by the manifest's partition key (encode_partitioned /
     encode_grouped tag): only partitions whose ``key`` record field is in the
@@ -329,6 +339,45 @@ def decode_dataset(
             return True
 
         paths = [p for p in paths if overlaps(p)]
+    if eq_filter:
+        from ..sources import bloom as _bloom
+        from ..sources.partfile import read_partition_footer
+
+        if not hasattr(eq_filter, "items"):
+            raise TypeError(
+                f"eq_filter must be a mapping {{column: value_or_values}}, "
+                f"got {type(eq_filter).__name__}")
+        # normalize each filter to a pyarrow array of queried values
+        queries = {}
+        for col, vals in eq_filter.items():
+            if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+                arr = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            elif isinstance(vals, (list, tuple, set, frozenset, np.ndarray)):
+                arr = pa.array(list(vals) if isinstance(vals, (set, frozenset)) else vals)
+            else:
+                arr = pa.array([vals])
+            if arr.null_count:
+                raise ValueError(f"eq_filter[{col!r}]: null query values")
+            queries[col] = arr
+
+        def may_hold(p: str) -> bool:
+            footer = read_partition_footer(p)
+            stats = {s["path"]: (s.get("stats") or {}) for s in footer["streams"]}
+            blooms = footer.get("blooms") or {}
+            for col, arr in queries.items():
+                s = stats.get(col) or {}
+                if s.get("min") is not None:
+                    vals = arr.to_pylist()
+                    if all(v < s["min"] or v > s["max"] for v in vals):
+                        return False
+                b = blooms.get(col)
+                if b is not None:
+                    blob = fsio.read_range(p, b["offset"], b["size"])
+                    if not _bloom.maybe_contains(blob, arr).any():
+                        return False
+            return True
+
+        paths = [p for p in paths if may_hold(p)]
     lo, hi = _default_concurrency()
     conc_hi = (concurrency[1] if isinstance(concurrency, tuple) else concurrency) or hi
     # several files per task when there are many small partitions

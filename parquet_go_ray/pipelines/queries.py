@@ -1565,6 +1565,43 @@ def q_segment_signals_documents(sf_dir):
         seg, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_point_lookup_bloom_orders(sf_dir):
+    """Bloom-pruned point lookup on a HIGH-CARDINALITY key over a layout
+    whose partitions all span the key range (orders sorted by o_custkey, so
+    every partition's o_orderkey [min,max] covers the space and stats alone
+    cannot prune — the reference's only pruning mechanism,
+    file_reader.go:275-277). decode_dataset(eq_filter=...) consults the
+    per-partition split-block Bloom filters (sources/bloom.py) and skips
+    partitions that provably lack the keys; the in-query assert pins that
+    the Bloom actually pruned (decoded rows well under the full table).
+    Exact row filter applied after — the oracle is plain SQL IN."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.columns import EncodeConfig
+    from .encode import decode_dataset, encode_dataset
+
+    out = _tmp_out("bloom-orders")
+    src = _read(sf_dir, "orders").sort("o_custkey")
+    encode_dataset(src, out, EncodeConfig(bloom_columns=("o_orderkey",)),
+                   batch_rows=2000).materialize()
+    keycol = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey"]).column("o_orderkey")
+    keys = sorted(keycol.to_pylist())[:3]
+    hit = decode_dataset(out, eq_filter={"o_orderkey": keys})
+    exact = hit.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("o_orderkey"),
+                                    value_set=pa.array(keys))),
+        batch_format="pyarrow")
+    res = exact.to_pandas()
+    total = src.count()
+    decoded = hit.count()
+    assert decoded < total / 2, (
+        f"bloom pruning did not bite: decoded {decoded} of {total} rows")
+    assert sorted(res.o_orderkey.tolist()) == keys
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_topk_per_group_documents(sf_dir):
     """Top-3 documents per source by n_chars (deterministic doc_id
     tiebreak) — the keep-k-best-per-domain curation primitive
@@ -1720,6 +1757,7 @@ QUERIES = {
     # this standalone entry stays runnable for tests/test_oracle.py
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "topk_per_group_documents": q_topk_per_group_documents,
+    "point_lookup_bloom_orders": q_point_lookup_bloom_orders,
 }
 
 _CHECKED_WINDOW = 50
@@ -2138,6 +2176,11 @@ ORACLE_SQL = {
         "         row_number() OVER (PARTITION BY source"
         "                            ORDER BY n_chars DESC, doc_id) AS rn"
         "  FROM documents) WHERE rn <= 3"
+    ),
+    "point_lookup_bloom_orders": (
+        "SELECT * FROM orders WHERE o_orderkey IN ("
+        "  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)"
+        " ORDER BY o_orderkey"
     ),
     # lang_id / fingerprint / minhash / simhash / knn_lsh are intentionally
     # omitted: non-SQL-expressible (heuristic / hash / probabilistic) -> the

@@ -33,6 +33,11 @@ class EncodeConfig:
     page_bytes: int = DEFAULT_PAGE_BYTES
     crc: bool = True
     column_codecs: dict = field(default_factory=dict)  # path -> forced codec name
+    # top-level column names to build split-block Bloom filters for
+    # (sources/bloom.py): equality point-lookups prune whole partitions on
+    # high-cardinality columns where min/max stats can't (decode_dataset's
+    # eq_filter). int/string/binary columns only.
+    bloom_columns: tuple = ()
     # file-level key/value metadata (str -> str), carried in every partition
     # footer + lineage record — the WithMetaData role of the reference
     # (/root/reference/file_writer.go:86-98)

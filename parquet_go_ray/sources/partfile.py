@@ -87,12 +87,34 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None,
             _append(blob)
         stream_metas.append(meta)
 
+    blooms = {}
+    if config.bloom_columns:
+        from . import bloom as _bloom
+
+        for cname in config.bloom_columns:
+            if cname not in table.column_names:
+                raise ValueError(
+                    f"bloom_columns: no such column {cname!r}; "
+                    f"available: {table.column_names}")
+            ty = table.schema.field(cname).type
+            if not (pa.types.is_integer(ty) or pa.types.is_string(ty)
+                    or pa.types.is_large_string(ty) or pa.types.is_binary(ty)):
+                raise ValueError(
+                    f"bloom_columns: {cname!r} has type {ty} — Bloom "
+                    f"filters support int/string/binary columns")
+            blob = _bloom.build(table.column(cname))
+            blooms[cname] = {"offset": len(body), "size": len(blob),
+                             "algo": "sbbf-fnv1a-poly"}
+            _append(blob)
+
     footer = {
         "version": 1,
         "num_rows": table.num_rows,
         "schema_ipc": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "streams": stream_metas,
     }
+    if blooms:
+        footer["blooms"] = blooms
     kv = {**config.metadata, **(metadata or {})}
     if kv:
         footer["kv_metadata"] = {str(k): str(v) for k, v in kv.items()}

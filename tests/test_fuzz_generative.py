@@ -630,3 +630,13 @@ def test_alprd_soup(blob):
     from parquet_go_ray.functions import alp
 
     _expect_clean(lambda: alp.decode_rd(blob))
+
+
+@settings(**FUZZ)
+@given(st.binary(max_size=300))
+def test_bloom_soup(blob):
+    import pyarrow as pa
+
+    from parquet_go_ray.sources import bloom
+
+    _expect_clean(lambda: bloom.maybe_contains(blob, pa.array([1, 2, 3])))

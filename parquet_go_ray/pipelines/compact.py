@@ -16,7 +16,7 @@ import ray.data as rd
 
 from ..sources import fsio
 from ..sources.columns import EncodeConfig
-from ..sources.partfile import read_partition
+from ..sources.partfile import read_partition, read_partition_footer
 from ..stages.codec import EncodeStage
 from ..state import manifest as mf
 
@@ -76,7 +76,14 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
     groups = plan_compaction(out_dir, target_bytes, max_group_files=max_group_files)
     if not groups:
         return {"groups": 0, "merged_files": 0}
-    cfg = config or EncodeConfig()
+    cfg = config
+    if cfg is None:
+        # inherit Bloom columns from the run being compacted: a default
+        # config would silently strip the filters from merged partitions
+        # and eq_filter pruning would degrade to stats-only on them
+        footer = read_partition_footer(groups[0][0]["path"])
+        bc = tuple(footer.get("blooms") or ())
+        cfg = EncodeConfig(bloom_columns=bc) if bc else EncodeConfig()
 
     class CompactStage(EncodeStage):
         def __call__(self, batch: pa.Table) -> pa.Table:

@@ -138,3 +138,29 @@ def test_eq_filter_multi_value_and_no_bloom_fallback(ray_session, tmp_path):
         decode_dataset(out, eq_filter=[("k", 5)])
     with pytest.raises(ValueError, match="null"):
         decode_dataset(out, eq_filter={"k": pa.array([1, None])})
+
+
+def test_compaction_inherits_bloom_columns(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.compact import compact_partitions
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquet_go_ray.sources.partfile import read_partition_footer
+    from parquet_go_ray.state import manifest as mf
+
+    out = str(tmp_path / "run3")
+    ids = RNG.permutation(8000).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "v": pa.array(RNG.integers(0, 9, 8000))})
+    encode_dataset(rd.from_arrow(t), out,
+                   EncodeConfig(bloom_columns=("doc_id",)),
+                   batch_rows=1000).materialize()
+    # DEFAULT config compaction must keep the filters on merged partitions
+    res = compact_partitions(out, target_bytes=1 << 30)
+    assert res["merged_files"] >= 1
+    for r in mf.drop_covered(mf.load_records(out)):
+        footer = read_partition_footer(r["path"])
+        assert "doc_id" in (footer.get("blooms") or {}), r["path"]
+    target = int(ids[7])
+    got = decode_dataset(out, eq_filter={"doc_id": target}).to_pandas()
+    assert (got.doc_id == target).sum() == 1

@@ -114,6 +114,9 @@ def cmd_meta(args):
 
     schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(footer["schema_ipc"])))
     print(f"rows: {footer['num_rows']}")
+    if footer.get("blooms"):
+        bl = ", ".join(f"{c} ({b['size']} B)" for c, b in footer["blooms"].items())
+        print(f"bloom filters: {bl}")
     if footer.get("kv_metadata"):
         print("metadata:")
         for k, v in sorted(footer["kv_metadata"].items()):
@@ -245,7 +248,9 @@ def cmd_encode(args):
     from .state import manifest as mf
 
     ds = rd.read_parquet(args.input)
-    cfg = EncodeConfig(mode=args.mode, compression=args.compression)
+    cfg = EncodeConfig(mode=args.mode, compression=args.compression,
+                       bloom_columns=tuple(args.bloom.split(","))
+                       if args.bloom else ())
     if args.group_by:
         encode_grouped(ds, args.out, key=args.group_by, config=cfg).materialize()
     else:
@@ -427,7 +432,7 @@ def main(argv=None):
     s = sub.add_parser("rowcount"); s.add_argument("path"); s.set_defaults(fn=cmd_rowcount)
     s = sub.add_parser("fsck"); s.add_argument("path"); s.set_defaults(fn=cmd_fsck)
     s = sub.add_parser("split"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--size", type=_byte_size, default=128 << 20); s.set_defaults(fn=cmd_split)
-    s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.set_defaults(fn=cmd_encode)
+    s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.add_argument("--bloom", help="comma-separated columns to build split-block Bloom filters for (point-lookup pruning)"); s.set_defaults(fn=cmd_encode)
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
     s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)
     s = sub.add_parser("dedup"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--method", default="minhash", choices=["minhash", "simhash", "embedding"]); s.add_argument("--id-col", default="doc_id"); s.add_argument("--text-col", default="text"); s.add_argument("--vec-col", default="embedding"); s.add_argument("--threshold", type=float, default=0.7); s.set_defaults(fn=cmd_dedup)

@@ -164,3 +164,21 @@ def test_compaction_inherits_bloom_columns(ray_session, tmp_path):
     target = int(ids[7])
     got = decode_dataset(out, eq_filter={"doc_id": target}).to_pandas()
     assert (got.doc_id == target).sum() == 1
+
+
+def test_cli_encode_bloom_flag(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.cli import main as cli_main
+    from parquet_go_ray.sources.partfile import read_partition_footer
+    from parquet_go_ray.state import manifest as mf
+
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64)),
+                             "text": pa.array([f"d{i}" for i in range(500)])}), src)
+    out = str(tmp_path / "enc")
+    cli_main(["encode", src, out, "--bloom", "doc_id"])
+    recs = mf.drop_covered(mf.load_records(out))
+    assert recs
+    footer = read_partition_footer(recs[0]["path"])
+    assert "doc_id" in footer["blooms"]

@@ -362,10 +362,10 @@ def decode_dataset(
 
         def may_hold(p: str) -> bool:
             footer = read_partition_footer(p)
-            stats = {s["path"]: (s.get("stats") or {}) for s in footer["streams"]}
+            metas = {s["path"]: s for s in footer["streams"]}
             blooms = footer.get("blooms") or {}
             for col, arr in queries.items():
-                s = stats.get(col) or {}
+                s = (metas.get(col) or {}).get("stats") or {}
                 if s.get("min") is not None:
                     vals = arr.to_pylist()
                     if all(v < s["min"] or v > s["max"] for v in vals):
@@ -375,6 +375,26 @@ def decode_dataset(
                     blob = fsio.read_range(p, b["offset"], b["size"])
                     if not _bloom.maybe_contains(blob, arr).any():
                         return False
+                elif (metas.get(col) or {}).get("dict"):
+                    # dictionary-encoded stream: the dict page IS the
+                    # partition's exact distinct set — membership pruning
+                    # with zero false positives, one ranged read, no bloom
+                    # needed (the reference exploits the same property for
+                    # distinct stats, type_dict.go:127-129)
+                    from ..sources.partfile import read_dictionary_page
+
+                    dvals = read_dictionary_page(p, col)
+                    if dvals is not None:
+                        import pyarrow.compute as pc
+
+                        dv = (pa.array(dvals) if not isinstance(
+                            dvals, (pa.Array, pa.ChunkedArray)) else dvals)
+                        try:
+                            hit = pc.is_in(arr, value_set=dv.cast(arr.type))
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                            continue  # incomparable repr: cannot prune
+                        if not pc.any(hit).as_py():
+                            return False
             return True
 
         paths = [p for p in paths if may_hold(p)]

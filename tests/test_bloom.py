@@ -182,3 +182,25 @@ def test_cli_encode_bloom_flag(ray_session, tmp_path):
     assert recs
     footer = read_partition_footer(recs[0]["path"])
     assert "doc_id" in footer["blooms"]
+
+
+def test_eq_filter_exact_prune_via_dictionary_page(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    out = str(tmp_path / "run4")
+    # low-cardinality string column -> DICT encoding; values are assigned
+    # round-robin so every partition's [min,max] spans all sources — stats
+    # cannot prune, but each 1000-row batch holds only a FEW sources after
+    # sorting, and the dictionary page gives an exact membership test
+    n = 8000
+    srcs = pa.array([f"src-{i % 8:02d}" for i in range(n)])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "source": srcs})
+    ds = rd.from_arrow(t).sort("source")
+    encode_dataset(ds, out, batch_rows=1000).materialize()
+    got = decode_dataset(out, eq_filter={"source": "src-03"}).to_pandas()
+    assert (got.source == "src-03").sum() == n // 8
+    # exactness: only partitions that truly hold src-03 were decoded
+    assert len(got) <= 2000

@@ -390,17 +390,7 @@ def cmd_csv2parquet(args):
     from .pipelines.encode import encode_dataset
     from .state import manifest as mf
 
-    type_map = {
-        "boolean": pa.bool_(), "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
-        "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(), "uint32": pa.uint32(),
-        "uint64": pa.uint64(), "float": pa.float32(), "double": pa.float64(),
-        "bytes": pa.binary(), "string": pa.string(), "json": pa.string(),
-    }
-    hints = {}
-    for spec in (args.types or "").split(","):
-        if "=" in spec:
-            col, t = spec.split("=", 1)
-            hints[col] = type_map[t]
+    hints = _parse_type_hints(args.types)
     ds = rd.read_csv(args.input)
     if hints:
         def cast(batch: pa.Table) -> pa.Table:
@@ -412,6 +402,49 @@ def cmd_csv2parquet(args):
         ds = ds.map_batches(cast, batch_format="pyarrow")
     encode_dataset(ds, args.out).materialize()
     print(json.dumps(mf.finalize(args.out)))
+
+
+def cmd_jsonl2parquet(args):
+    """Typed JSON-Lines ingest — the LLM-corpus sibling of csv2parquet
+    (documents usually arrive as .jsonl): ray.data.read_json streams the
+    lines, optional --types casts match csv2parquet's hint syntax, and the
+    full codec stack + lineage manifest applies."""
+    _ray_session()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipelines.encode import encode_dataset
+    from .state import manifest as mf
+
+    hints = _parse_type_hints(args.types)
+    ds = rd.read_json(args.input)
+    if hints:
+        def cast(batch: pa.Table) -> pa.Table:
+            fields = [
+                pa.field(f.name, hints.get(f.name, f.type)) for f in batch.schema
+            ]
+            return batch.cast(pa.schema(fields))
+
+        ds = ds.map_batches(cast, batch_format="pyarrow")
+    encode_dataset(ds, args.out).materialize()
+    print(json.dumps(mf.finalize(args.out)))
+
+
+def _parse_type_hints(spec_text):
+    import pyarrow as pa
+
+    type_map = {
+        "boolean": pa.bool_(), "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+        "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(), "uint32": pa.uint32(),
+        "uint64": pa.uint64(), "float": pa.float32(), "double": pa.float64(),
+        "bytes": pa.binary(), "string": pa.string(), "json": pa.string(),
+    }
+    hints = {}
+    for spec in (spec_text or "").split(","):
+        if "=" in spec:
+            col, t = spec.split("=", 1)
+            hints[col] = type_map[t]
+    return hints
 
 
 def _byte_size(text):
@@ -435,6 +468,7 @@ def main(argv=None):
     s = sub.add_parser("encode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--mode", default="extended"); s.add_argument("--compression", default="snappy"); s.add_argument("--group-by"); s.add_argument("--bloom", help="comma-separated columns to build split-block Bloom filters for (point-lookup pruning)"); s.set_defaults(fn=cmd_encode)
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
     s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)
+    s = sub.add_parser("jsonl2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_jsonl2parquet)
     s = sub.add_parser("dedup"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--method", default="minhash", choices=["minhash", "simhash", "embedding"]); s.add_argument("--id-col", default="doc_id"); s.add_argument("--text-col", default="text"); s.add_argument("--vec-col", default="embedding"); s.add_argument("--threshold", type=float, default=0.7); s.set_defaults(fn=cmd_dedup)
     s = sub.add_parser("dedup-substrings"); s.add_argument("input"); s.add_argument("out"); s.add_argument("-k", type=int, default=50); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--mode", default="remove", choices=["remove", "flag"]); s.set_defaults(fn=cmd_dedup_substrings)
     s = sub.add_parser("sample"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--rates", required=True); s.add_argument("--key-col", default="source"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--salt", type=int, default=0); s.add_argument("--default-rate", type=float, default=1.0); s.set_defaults(fn=cmd_sample)

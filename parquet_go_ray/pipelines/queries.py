@@ -1602,6 +1602,35 @@ def q_point_lookup_bloom_orders(sf_dir):
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_jsonl_ingest_documents(sf_dir):
+    """JSONL ingest parity (cli jsonl2parquet's engine path): the documents
+    table is spilled to sharded .jsonl (json.dumps escapes embedded
+    newlines, so one record per line holds for arbitrary text), streamed
+    back with ray.data.read_json, run through the full encode/decode stack,
+    and must match the original table exactly (SQL oracle = SELECT *)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .encode import decode_dataset, encode_dataset
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=cols)
+    jd = _tmp_out("jsonl-src")
+    rows = t.to_pylist()
+    shard = max(1, len(rows) // 4)
+    for i in range(0, len(rows), shard):
+        with open(os.path.join(jd, f"part-{i:08d}.jsonl"), "w") as f:
+            for r in rows[i : i + shard]:
+                f.write(_json.dumps(r) + "\n")
+    out = _tmp_out("jsonl-enc")
+    ds = rd.read_json(jd)
+    encode_dataset(ds, out, batch_rows=4096).materialize()
+    return decode_dataset(out).map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow")
+
+
 def q_topk_per_group_documents(sf_dir):
     """Top-3 documents per source by n_chars (deterministic doc_id
     tiebreak) — the keep-k-best-per-domain curation primitive
@@ -1758,6 +1787,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "topk_per_group_documents": q_topk_per_group_documents,
     "point_lookup_bloom_orders": q_point_lookup_bloom_orders,
+    "jsonl_ingest_documents": q_jsonl_ingest_documents,
 }
 
 _CHECKED_WINDOW = 50
@@ -2181,6 +2211,9 @@ ORACLE_SQL = {
         "SELECT * FROM orders WHERE o_orderkey IN ("
         "  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)"
         " ORDER BY o_orderkey"
+    ),
+    "jsonl_ingest_documents": (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
     ),
     # lang_id / fingerprint / minhash / simhash / knn_lsh are intentionally
     # omitted: non-SQL-expressible (heuristic / hash / probabilistic) -> the

@@ -329,3 +329,28 @@ def test_cli_fsck_detects_corruption_and_stale(tmp_path, ray_session):
                         shutil.copy(p, dst)
         code, rep = fsck()
         assert code == 0 and rep["stale"] >= 1 and rep["orphans"]
+
+
+def test_jsonl2parquet_roundtrip(ray_session, tmp_path):
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.cli import main as cli_main
+    from parquet_go_ray.pipelines.encode import decode_dataset
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"id": i, "text": f"line\nwith\tescapes {i}", "score": i / 4}
+            for i in range(200)]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    out = str(tmp_path / "enc")
+    cli_main(["jsonl2parquet", str(src), out, "--types", "id=int32"])
+    got = decode_dataset(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(got) == 200
+    assert got.id.dtype == np.int32
+    assert got.text[5] == "line\nwith\tescapes 5"
+    assert float(got.score[8]) == 2.0

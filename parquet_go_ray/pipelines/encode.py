@@ -360,10 +360,22 @@ def decode_dataset(
                 raise ValueError(f"eq_filter[{col!r}]: null query values")
             queries[col] = arr
 
+        checked_names = False
+
         def may_hold(p: str) -> bool:
+            nonlocal checked_names
             footer = read_partition_footer(p)
             metas = {s["path"]: s for s in footer["streams"]}
             blooms = footer.get("blooms") or {}
+            if not checked_names:
+                # a typo'd column would otherwise silently no-op and decode
+                # the full run (same discipline as the column_codecs check)
+                missing = sorted(set(queries) - set(metas) - set(blooms))
+                if missing:
+                    raise ValueError(
+                        f"eq_filter: no such column(s) {missing}; "
+                        f"available: {sorted(metas)}")
+                checked_names = True
             for col, arr in queries.items():
                 s = (metas.get(col) or {}).get("stats") or {}
                 if s.get("min") is not None:

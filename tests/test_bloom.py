@@ -204,3 +204,15 @@ def test_eq_filter_exact_prune_via_dictionary_page(ray_session, tmp_path):
     assert (got.source == "src-03").sum() == n // 8
     # exactness: only partitions that truly hold src-03 were decoded
     assert len(got) <= 2000
+
+
+def test_eq_filter_typo_column_raises(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    out = str(tmp_path / "run5")
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    encode_dataset(rd.from_arrow(t), out).materialize()
+    with pytest.raises(ValueError, match="no such column"):
+        decode_dataset(out, eq_filter={"kk": 1}).count()

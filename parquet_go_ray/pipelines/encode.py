@@ -28,6 +28,7 @@ Three partitioning strategies (measured head-to-head in BENCH/BASELINE.md):
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -385,6 +386,12 @@ def decode_dataset(
                 b = blooms.get(col)
                 if b is not None:
                     blob = fsio.read_range(p, b["offset"], b["size"])
+                    if b.get("crc32") is not None and (
+                            zlib.crc32(bytes(blob)) & 0xFFFFFFFF) != b["crc32"]:
+                        # a corrupt bloom LIES (false negative = silently
+                        # dropped rows); fail loudly like a corrupt page
+                        raise ValueError(
+                            f"CRC mismatch on {p} bloom[{col}]")
                     if not _bloom.maybe_contains(blob, arr).any():
                         return False
                 elif (metas.get(col) or {}).get("dict"):

@@ -103,8 +103,14 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None,
                     f"bloom_columns: {cname!r} has type {ty} — Bloom "
                     f"filters support int/string/binary columns")
             blob = _bloom.build(table.column(cname))
+            # CRC is load-bearing here, not hygiene: a bit CLEARED by rot
+            # turns into a false NEGATIVE — eq_filter would skip a partition
+            # that really holds the key and rows would silently vanish from
+            # point lookups (pages fail loudly on corruption; a bloom fails
+            # by lying)
             blooms[cname] = {"offset": len(body), "size": len(blob),
-                             "algo": "sbbf-fnv1a-poly"}
+                             "algo": "sbbf-fnv1a-poly",
+                             "crc32": zlib.crc32(blob) & 0xFFFFFFFF}
             _append(blob)
 
     footer = {

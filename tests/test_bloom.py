@@ -216,3 +216,28 @@ def test_eq_filter_typo_column_raises(ray_session, tmp_path):
     encode_dataset(rd.from_arrow(t), out).materialize()
     with pytest.raises(ValueError, match="no such column"):
         decode_dataset(out, eq_filter={"kk": 1}).count()
+
+
+def test_corrupt_bloom_fails_loudly_not_false_negative(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquet_go_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquet_go_ray.sources.partfile import read_partition_footer
+    from parquet_go_ray.state import manifest as mf
+
+    out = str(tmp_path / "run6")
+    ids = RNG.permutation(4000).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    encode_dataset(rd.from_arrow(t), out,
+                   EncodeConfig(bloom_columns=("doc_id",)),
+                   batch_rows=1000).materialize()
+    # clear one byte inside a bloom blob: without the CRC this reads as
+    # "key absent" and the partition's rows silently vanish from lookups
+    r = mf.drop_covered(mf.load_records(out))[0]
+    footer = read_partition_footer(r["path"])
+    b = footer["blooms"]["doc_id"]
+    with open(r["path"], "r+b") as f:
+        f.seek(b["offset"] + 17)
+        f.write(b"\x00")
+    with pytest.raises(Exception, match="CRC mismatch.*bloom"):
+        decode_dataset(out, eq_filter={"doc_id": int(ids[0])}).count()

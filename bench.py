@@ -195,15 +195,33 @@ def bench_ops(sf_dir: str) -> dict:
 
     li_path = os.path.join(sf_dir, "lineitem.parquet")
     li_out = "/tmp/bench_lineitem_enc"
+    from parquet_go_ray.sources.columns import EncodeConfig as _ECfg
+
+    li_cfg = _ECfg(bloom_columns=("l_orderkey",))
     for _ in range(2):
         shutil.rmtree(li_out, ignore_errors=True)
         t0 = time.perf_counter()
-        lin = encode_dataset(rd.read_parquet(li_path), li_out).to_pandas()
+        lin = encode_dataset(rd.read_parquet(li_path), li_out, li_cfg).to_pandas()
         res["encode_lineitem"] = min(res.get("encode_lineitem", 9e9),
                                      time.perf_counter() - t0)
     res["_meta"]["lineitem_bytes_out"] = int(lin.bytes_out.sum())
     res["_meta"]["lineitem_ratio_vs_parquet"] = round(
         int(lin.bytes_out.sum()) / os.path.getsize(li_path), 4)
+    # Bloom point lookup: one key out of the whole (row-order, i.e. roughly
+    # key-sorted) layout — stats + bloom skip all but ~1 partition; the
+    # contrast key decodes everything. Rows decoded recorded in _meta.
+    from parquet_go_ray.pipelines.encode import decode_dataset
+
+    import pyarrow.parquet as _pq
+
+    some_key = _pq.read_table(li_path, columns=["l_orderkey"]).column(
+        "l_orderkey")[12345].as_py()
+    for _ in range(2):
+        t0 = time.perf_counter()
+        hit_rows = decode_dataset(li_out, eq_filter={"l_orderkey": some_key}).count()
+        res["point_lookup_lineitem"] = min(res.get("point_lookup_lineitem", 9e9),
+                                           time.perf_counter() - t0)
+    res["_meta"]["point_lookup_rows_decoded"] = int(hit_rows)
     for _ in range(2):  # min-of-2: shared-host noise
         t0 = time.perf_counter()
         pairs = minhash_candidate_pairs(docs).materialize()

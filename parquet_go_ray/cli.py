@@ -404,6 +404,27 @@ def cmd_csv2parquet(args):
     print(json.dumps(mf.finalize(args.out)))
 
 
+def cmd_lookup(args):
+    """Point lookup over an encoded run: Bloom/stats/dict-page partition
+    pruning + exact row filter; prints matching rows as JSON lines."""
+    _ray_session()
+    import json as _json
+
+    from .pipelines.encode import point_lookup
+
+    vals = []
+    for v in args.values.split(","):
+        try:
+            vals.append(int(v))
+        except ValueError:
+            vals.append(v)
+    t = point_lookup(args.path, args.col,
+                     vals if len(vals) > 1 else vals[0],
+                     columns=args.columns.split(",") if args.columns else None)
+    for row in t.to_pylist():
+        print(_json.dumps(row, default=str))
+
+
 def cmd_jsonl2parquet(args):
     """Typed JSON-Lines ingest — the LLM-corpus sibling of csv2parquet
     (documents usually arrive as .jsonl): ray.data.read_json streams the
@@ -469,6 +490,7 @@ def main(argv=None):
     s = sub.add_parser("decode"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--columns"); s.set_defaults(fn=cmd_decode)
     s = sub.add_parser("csv2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_csv2parquet)
     s = sub.add_parser("jsonl2parquet"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--types"); s.set_defaults(fn=cmd_jsonl2parquet)
+    s = sub.add_parser("lookup"); s.add_argument("path"); s.add_argument("--col", required=True); s.add_argument("--values", required=True, help="comma-separated; ints auto-detected"); s.add_argument("--columns"); s.set_defaults(fn=cmd_lookup)
     s = sub.add_parser("dedup"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--method", default="minhash", choices=["minhash", "simhash", "embedding"]); s.add_argument("--id-col", default="doc_id"); s.add_argument("--text-col", default="text"); s.add_argument("--vec-col", default="embedding"); s.add_argument("--threshold", type=float, default=0.7); s.set_defaults(fn=cmd_dedup)
     s = sub.add_parser("dedup-substrings"); s.add_argument("input"); s.add_argument("out"); s.add_argument("-k", type=int, default=50); s.add_argument("--tokens-col", default="tokens"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--mode", default="remove", choices=["remove", "flag"]); s.set_defaults(fn=cmd_dedup_substrings)
     s = sub.add_parser("sample"); s.add_argument("input"); s.add_argument("out"); s.add_argument("--rates", required=True); s.add_argument("--key-col", default="source"); s.add_argument("--id-col", default="doc_id"); s.add_argument("--salt", type=int, default=0); s.add_argument("--default-rate", type=float, default=1.0); s.set_defaults(fn=cmd_sample)

@@ -437,6 +437,55 @@ def decode_dataset(
     )
 
 
+def point_lookup(
+    out_dir: str,
+    column: str,
+    values,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Exact equality lookup over an encoded run: partition pruning
+    (footer stats + Bloom + dictionary-page membership, see
+    ``decode_dataset(eq_filter=...)``) followed by the exact row filter.
+    Returns the matching rows as ONE pa.Table — point lookups are small by
+    contract; for large result sets use ``decode_dataset(eq_filter=...)``
+    and keep streaming."""
+    import pyarrow.compute as pc
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        vset = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    elif isinstance(values, (list, tuple, set, frozenset, np.ndarray)):
+        vset = pa.array(sorted(values) if isinstance(values, (set, frozenset)) else list(values))
+    else:
+        vset = pa.array([values])
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys([*columns, column]))
+    ds = decode_dataset(out_dir, columns=read_cols,
+                        eq_filter={column: vset})
+    parts, schema = [], None
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        schema = schema or b.schema
+        f = b.filter(pc.is_in(b.column(column), value_set=vset))
+        if f.num_rows:
+            parts.append(f)
+    if parts:
+        out = pa.concat_tables(parts)
+    elif schema is not None:
+        out = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in schema], schema=schema)
+    else:  # every partition pruned: schema from any manifest-listed file
+        recs = mf.drop_covered(mf.load_records(out_dir))
+        if not recs:
+            raise ValueError(f"point_lookup: no partitions under {out_dir}")
+        from ..sources.partfile import read_partition
+
+        t0 = read_partition(recs[0]["path"], columns=read_cols)
+        out = t0.slice(0, 0)
+    if columns is not None:
+        out = out.select(columns)
+    return out
+
+
 def encode_dataset_to_parquet(
     ds: rd.Dataset,
     out_dir: str,

@@ -241,3 +241,31 @@ def test_corrupt_bloom_fails_loudly_not_false_negative(ray_session, tmp_path):
         f.write(b"\x00")
     with pytest.raises(Exception, match="CRC mismatch.*bloom"):
         decode_dataset(out, eq_filter={"doc_id": int(ids[0])}).count()
+
+
+def test_point_lookup_api_and_cli(ray_session, tmp_path, capsys):
+    import ray.data as rd
+
+    from parquet_go_ray.cli import main as cli_main
+    from parquet_go_ray.pipelines.encode import encode_dataset, point_lookup
+
+    out = str(tmp_path / "run7")
+    ids = RNG.permutation(6000).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "text": pa.array([f"d{i}" for i in ids])})
+    encode_dataset(rd.from_arrow(t), out,
+                   EncodeConfig(bloom_columns=("doc_id",)),
+                   batch_rows=1000).materialize()
+    got = point_lookup(out, "doc_id", [10, 20, 4999])
+    assert sorted(got.column("doc_id").to_pylist()) == [10, 20, 4999]
+    assert got.column("text").to_pylist() is not None
+    # projection that drops the key column from the OUTPUT but not the filter
+    got2 = point_lookup(out, "doc_id", 10, columns=["text"])
+    assert got2.column_names == ["text"] and got2.num_rows == 1
+    # absent value -> typed empty table
+    got3 = point_lookup(out, "doc_id", 999_999_999)
+    assert got3.num_rows == 0 and "doc_id" in got3.column_names
+    # CLI
+    cli_main(["lookup", out, "--col", "doc_id", "--values", "10,20"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2

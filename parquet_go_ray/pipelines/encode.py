@@ -262,6 +262,23 @@ def _stable_hash(col: pa.ChunkedArray) -> np.ndarray:
     return stable_hash(col)
 
 
+def _parallel_prune(paths: list[str], keep) -> list[str]:
+    """Apply a per-partition keep(path) predicate with an I/O thread pool.
+
+    Pruning reads footers (ranged tail reads) and bloom blobs — pure I/O;
+    a serial driver loop over a 100k-partition layout would take minutes
+    before any decode work starts. Order is preserved; predicate
+    exceptions propagate (a corrupt footer/bloom must fail the read, not
+    vanish into a worker thread)."""
+    if len(paths) <= 4:
+        return [p for p in paths if keep(p)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+        flags = list(ex.map(keep, paths))
+    return [p for p, f in zip(paths, flags) if f]
+
+
 def decode_dataset(
     out_dir: str,
     columns: list[str] | None = None,
@@ -339,7 +356,7 @@ def decode_dataset(
                     return False
             return True
 
-        paths = [p for p in paths if overlaps(p)]
+        paths = _parallel_prune(paths, overlaps)
     if eq_filter:
         from ..sources import bloom as _bloom
         from ..sources.partfile import read_partition_footer
@@ -416,7 +433,7 @@ def decode_dataset(
                             return False
             return True
 
-        paths = [p for p in paths if may_hold(p)]
+        paths = _parallel_prune(paths, may_hold)
     lo, hi = _default_concurrency()
     conc_hi = (concurrency[1] if isinstance(concurrency, tuple) else concurrency) or hi
     # several files per task when there are many small partitions

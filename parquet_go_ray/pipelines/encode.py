@@ -145,6 +145,28 @@ def encode_grouped(
     cfg = config or EncodeConfig()
     salts = plan_salts(ds, key, target_partition_bytes)
     done = mf.completed_ids(out_dir) if resume else set()
+    # Resume is only sound against the SAME input: partition ids are
+    # '<key>-<salt>' and the salt assignment is hash(id) % fan(key), so if
+    # rows were added/removed since the interrupted run the fan-out changes
+    # and a "completed" id now denotes a DIFFERENT row set — skipping it
+    # would silently mis-assign rows. The plan is recorded beside the
+    # manifest and must match before any completed id is honored.
+    import json as _json
+
+    plan_doc = {"key": key,
+                "salts": {key_tag(k): int(v) for k, v in salts.items()}}
+    plan_path = fsio.join(out_dir, "_salt_plan.json")
+    if done and fsio.exists(plan_path):
+        prev = _json.loads(fsio.read_bytes(plan_path))
+        if prev != plan_doc:
+            raise ValueError(
+                "encode_grouped resume: the salt plan changed since the "
+                "interrupted run (input rows were added or removed), so "
+                "'<key>-<salt>' partition ids no longer denote the same row "
+                "sets — resuming would silently mis-assign rows. Encode the "
+                "changed input into a fresh directory (or pass resume=False "
+                "after clearing this one).")
+    fsio.write_text_atomic(plan_path, _json.dumps(plan_doc))
 
     def _fs_tag(tag: str) -> str:
         # filesystem-safe deterministic filename fragment: percent-encode

@@ -58,6 +58,11 @@ def pack(values: np.ndarray, width: int) -> bytes:
     if width in (24, 40, 48, 56):
         # byte-aligned but not a native dtype: slice the LE byte planes
         nb = width // 8
+        if width == 24 and v.dtype.itemsize == 4:
+            # low 3 LE bytes of a uint32 == low 3 LE bytes of the widened
+            # uint64 — skip the 2x widening copy (ALP_RD right streams)
+            src = np.ascontiguousarray(v).view(np.uint8).reshape(-1, 4)
+            return np.ascontiguousarray(src[:, :3]).tobytes()
         src = np.ascontiguousarray(v.astype(np.uint64, copy=False)).view(np.uint8).reshape(-1, 8)
         return np.ascontiguousarray(src[:, :nb]).tobytes()
     if width > 16:

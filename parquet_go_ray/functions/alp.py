@@ -184,23 +184,6 @@ def decode(data) -> np.ndarray:
     return out
 
 
-def estimate_size(values: np.ndarray, e: int, f: int) -> int:
-    """Encoded-bytes estimate without building the blob (selector use)."""
-    v = np.ascontiguousarray(values)
-    if len(v) == 0:
-        return 32
-    fw = v.dtype.itemsize
-    v64 = v.astype(np.float64) if fw != 8 else v
-    ints, ok = _map_ints(v64, e, f, _LIMIT[fw])
-    exact = _exact_mask(v, ints, ok, e, f)
-    n_exact = int(exact.sum())
-    if n_exact == 0:
-        return 15 + len(v) * (4 + fw)
-    ie = ints[exact]
-    width = max(int(ie.max() - ie.min()), 0).bit_length()
-    return 15 + 16 + len(v) * width // 8 + (len(v) - n_exact) * (4 + fw)
-
-
 # ----------------------------------------------------------------- ALP-RD
 # The second half of the ALP paper: "real doubles" that are NOT decimals
 # (embeddings, physical measurements). The float's bit pattern is cut at a

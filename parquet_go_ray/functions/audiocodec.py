@@ -50,7 +50,10 @@ def _build_alaw_table() -> np.ndarray:
         (mantissa << 1) + 1,
         ((mantissa << 1) + 33) << (exponent - 1),
     )
-    out = np.where(sign, -magnitude, magnitude) << 3  # 13-bit -> int16
+    # sign bit SET after the 0x55 XOR means POSITIVE (ITU G.711 / g711.c
+    # alaw2linear) — the opposite of µ-law's convention; the idle code 0xD5
+    # must decode to +8, not -8
+    out = np.where(sign, magnitude, -magnitude) << 3  # 13-bit -> int16
     return out.astype(np.int16)
 
 
@@ -123,6 +126,13 @@ def samples_per_block(block_align: int, channels: int) -> int:
     return (block_align - 4 * channels) * 2 // channels + 1
 
 
+def valid_block_align(block_align: int, channels: int) -> int:
+    """Largest valid IMA block size <= the requested one: 4*ch header bytes
+    plus a whole number of 4-byte groups per channel (at least one)."""
+    group = 4 * channels
+    return group + max((block_align - group) // group, 1) * group
+
+
 def decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> np.ndarray:
     """IMA-ADPCM 'data' chunk -> (n, channels) int16.
 
@@ -134,6 +144,18 @@ def decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> np.ndarray
         raise ValueError("IMA ADPCM: bad channels/block_align")
     buf = np.frombuffer(data, dtype=np.uint8)
     nblocks = len(buf) // block_align
+    # a trailing PARTIAL block (short final block in a truncated or
+    # size-exact stream) decodes its available full groups rather than
+    # being silently dropped: pad it to block_align with zeros and trim the
+    # decoded samples to what the real bytes cover
+    rem = len(buf) - nblocks * block_align
+    tail_samples = 0
+    if rem >= 4 * channels + 4 * channels:  # header + at least one group
+        tail_groups = (rem - 4 * channels) // (4 * channels)
+        tail_samples = 1 + tail_groups * 8
+        pad = np.zeros(block_align - rem, dtype=np.uint8)
+        buf = np.concatenate([buf, pad])
+        nblocks += 1
     if nblocks == 0:
         return np.empty((0, channels), dtype=np.int16)
     spb = samples_per_block(block_align, channels)
@@ -149,6 +171,9 @@ def decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> np.ndarray
     # channels in 4-byte units
     payload = blocks[:, 4 * channels:]
     ngroups = payload.shape[1] // (4 * channels)
+    # slack bytes past the last whole group (block_align ≡ 0 mod 4 admits
+    # payloads that are not a multiple of 4*channels) are padding, not data
+    payload = payload[:, : ngroups * 4 * channels]
     payload = payload.reshape(nblocks, ngroups, channels, 4)
     lo = payload & 0x0F
     hi = payload >> 4
@@ -164,7 +189,12 @@ def decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> np.ndarray
     for t in range(nsteps):
         pred, idx = _ima_step(pred, idx, codes[t].astype(np.int32))
         out[:, t + 1, :] = pred.astype(np.int16)
-    return out[:, : nsteps + 1, :].reshape(-1, channels)
+    res = out[:, : nsteps + 1, :]
+    if tail_samples:  # the padded tail block only vouches for its real bytes
+        full = res[:-1].reshape(-1, channels)
+        tail = res[-1][: min(tail_samples, res.shape[1])]
+        return np.concatenate([full, tail])
+    return res.reshape(-1, channels)
 
 
 def encode_ima_adpcm(samples: np.ndarray, block_align: int = 1024) -> bytes:
@@ -176,6 +206,14 @@ def encode_ima_adpcm(samples: np.ndarray, block_align: int = 1024) -> bytes:
     n, ch = s.shape
     if n == 0:
         return b""
+    if ch < 1 or block_align <= 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        # the payload must be whole 4-byte groups per channel, else
+        # (spb-1) is not a multiple of 8 and no valid block exists —
+        # encode_wav_ima auto-rounds; this low-level API is explicit
+        raise ValueError(
+            f"IMA ADPCM encode: block_align {block_align} invalid for "
+            f"{ch} channel(s) — need 4*{ch} header bytes plus a multiple "
+            f"of {4 * ch} payload bytes (e.g. {valid_block_align(block_align, ch)})")
     spb = samples_per_block(block_align, ch)
     nblocks = -(-n // spb)
     padded = np.empty((nblocks * spb, ch), dtype=np.int16)
@@ -224,10 +262,16 @@ def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000,
     enc = encode_mulaw(s.reshape(-1)) if law == "ulaw" else encode_alaw(s.reshape(-1))
     data = enc.tobytes()
     tag = 7 if law == "ulaw" else 6
-    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8)
+    # non-PCM formats need WAVEFORMATEX (cbSize field, here 0) and a fact
+    # chunk with the frame count — the PCM-style bare 16-byte fmt chunk is
+    # rejected by strict parsers
+    fmt = (struct.pack("<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8)
+           + struct.pack("<H", 0))
     pad = b"\x00" if len(data) & 1 else b""
-    return (b"RIFF" + struct.pack("<I", 36 + len(data) + len(pad)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", 16) + fmt
+    riff = 4 + (8 + len(fmt)) + (8 + 4) + (8 + len(data) + len(pad))
+    return (b"RIFF" + struct.pack("<I", riff) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n)
             + b"data" + struct.pack("<I", len(data)) + data + pad)
 
 
@@ -239,6 +283,7 @@ def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
+    block_align = valid_block_align(block_align, ch)  # whole groups per ch
     data = encode_ima_adpcm(s, block_align)
     spb = samples_per_block(block_align, ch)
     byte_rate = (sample_rate * block_align + spb - 1) // max(spb, 1)
@@ -246,7 +291,8 @@ def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
                        block_align, 4)
            + struct.pack("<HH", 2, spb))  # cbSize=2, samples per block
     pad = b"\x00" if len(data) & 1 else b""
-    return (b"RIFF" + struct.pack("<I", 48 + len(data) + len(pad)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", 20) + fmt
+    riff = 4 + (8 + len(fmt)) + (8 + 4) + (8 + len(data) + len(pad))
+    return (b"RIFF" + struct.pack("<I", riff) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"fact" + struct.pack("<II", 4, n)
             + b"data" + struct.pack("<I", len(data)) + data + pad)

@@ -38,7 +38,11 @@ def _alaw_decode_scalar(code: int) -> int:
         magnitude = (mantissa << 1) + 1
     else:
         magnitude = ((mantissa << 1) + 33) << (exponent - 1)
-    val = -magnitude if sign else magnitude
+    # g711.c alaw2linear: sign bit set (post-XOR) -> POSITIVE. The first
+    # version of this oracle transcribed the inversion the implementation
+    # also had, so the round-5 review's external check (idle code 0xD5
+    # must decode +8) is pinned separately below.
+    val = magnitude if sign else -magnitude
     return val << 3
 
 
@@ -204,3 +208,62 @@ def test_decode_audio_stage_handles_g711_and_ima():
     true_rms = float(np.sqrt((s.astype(np.float64) ** 2).mean()))
     for r in rms:  # lossy codecs: RMS within 2% of the source signal
         assert abs(r - true_rms) / true_rms < 0.02
+
+
+# ---- round-5 review findings, pinned ------------------------------------
+
+def test_alaw_idle_code_decodes_positive():
+    # g711.c alaw2linear(0xD5) == +8; the inverted-sign version (which the
+    # original scalar oracle here ALSO transcribed) returned -8
+    assert ac.ALAW_TABLE[0xD5] == 8
+    assert ac.ALAW_TABLE[0x55] == -8
+    # µ-law unchanged: ~0xFF == 0x00 -> +0
+    assert ac.MULAW_TABLE[0xFF] == 0
+
+
+def test_riff_size_field_matches_file_length():
+    import struct
+
+    s = (4000 * np.sin(np.arange(3000) / 25)).astype(np.int16)
+    for wav in [ac.encode_wav_ima(s, 16000, block_align=512),
+                ac.encode_wav_g711(s, 8000, "ulaw"),
+                ac.encode_wav_g711(s[:2999], 8000, "alaw")]:  # odd data len
+        (riff,) = struct.unpack_from("<I", wav, 4)
+        assert riff == len(wav) - 8, (riff, len(wav))
+
+
+def test_ima_block_align_not_group_multiple():
+    # block_align 1020 passes %4 but is not whole 4-byte groups for stereo:
+    # decode must use the whole groups (not crash); encode must refuse with
+    # the valid suggestion; the WAV writer auto-rounds
+    with pytest.raises(ValueError, match="block_align 1020 invalid"):
+        ac.encode_ima_adpcm(np.zeros((100, 2), np.int16), 1020)
+    dec = ac.decode_ima_adpcm(bytes(2040), channels=2, block_align=1020)
+    assert dec.shape[1] == 2 and len(dec) > 0
+    s = np.stack([np.arange(3000, dtype=np.int16)] * 2, axis=1)
+    wav = ac.encode_wav_ima(s, 16000, block_align=1020)
+    out, rate = decode_wav(wav)
+    assert out.shape == (3000, 2)
+
+
+def test_ima_three_channels_encode_decode():
+    # (spb-1) % 8 != 0 at the default block_align for 3ch crashed encode
+    s = np.stack([(1000 * np.sin(np.arange(5000) / (20 + c))).astype(np.int16)
+                  for c in range(3)], axis=1)
+    wav = ac.encode_wav_ima(s, 16000)  # writer auto-rounds block_align
+    dec, rate = decode_wav(wav)
+    assert dec.shape == (5000, 3)
+    err = np.abs(dec.astype(np.int32) - s.astype(np.int32))
+    assert np.median(err) < 300
+
+
+def test_ima_trailing_partial_block_decodes():
+    s = (9000 * np.sin(np.arange(8000) / 40)).astype(np.int16)
+    data = ac.encode_ima_adpcm(s, 1024)
+    full = ac.decode_ima_adpcm(data, 1, 1024)
+    # cut mid-final-block: the available groups must still decode
+    cut = data[: len(data) - 100]
+    part = ac.decode_ima_adpcm(cut, 1, 1024)
+    assert len(part) > len(full) - 2041  # lost at most the cut bytes' samples
+    assert len(part) < len(full)
+    assert np.array_equal(part, full[: len(part)])

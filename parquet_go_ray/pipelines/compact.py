@@ -4,20 +4,33 @@ Completes the shuffle-free keyed layout (:func:`encode.encode_partitioned`):
 that path writes one file per (key, batch), so low-frequency keys leave a
 tail of small files. Compaction plans driver-side over the manifest (metadata
 only), then each merge group is one Ray task: decode the small files, concat,
-re-encode as one partition, write the new manifest record, and only then
-retire the old records + files — a crash mid-compaction leaves both the old
-(still-listed) and new (unlisted or listed) states readable, never a loss.
+re-encode as one partition whose manifest record carries ``covers`` (the
+absorbed logical ids) IN ITS FIRST DURABLE WRITE, and only then retire the
+old records + files. Crash-safety in both directions:
+
+* crash before the merged record lands → old records still live, merge
+  re-runs (idempotent: content-hash pid, atomic writes);
+* crash after it lands but before retirement → ``manifest.drop_covered``
+  hides the absorbed records (the covers were written atomically with the
+  record, never as a later patch), and the next run finishes the deletes.
+
+A merge that reproduces one of its own source partition ids (re-encoding a
+single partition is byte-identical for content-hash layouts) is a no-op:
+the pid is stripped from ``covers`` and never retired — without that, the
+record covered itself and the retire pass deleted the only copy.
 """
 
 from __future__ import annotations
+
+import json
 
 import pyarrow as pa
 import ray.data as rd
 
 from ..sources import fsio
 from ..sources.columns import EncodeConfig
-from ..sources.partfile import read_partition, read_partition_footer
-from ..stages.codec import EncodeStage
+from ..sources.partfile import encode_table, read_partition, read_partition_footer
+from ..stages.codec import EncodeStage, _lineage_table, partition_id_for
 from ..state import manifest as mf
 
 
@@ -31,9 +44,10 @@ def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int 
     tiny files splits into many parallel merge tasks instead of one
     straggler group (VERDICT r2 #9: 52.9 s single-group compact under
     load), and a highly-compressible group (tokens at >32:1) can never
-    concat past the 4 GiB encode batch cap mid-merge."""
-    from ..stages.codec import EncodeStage
-
+    concat past the 4 GiB encode batch cap mid-merge. Groups below
+    ``min_group`` members are DROPPED, not emitted: a singleton "merge" is
+    a byte-identical re-encode whose record would cover itself (the round-5
+    review reproduced that as permanent data loss)."""
     max_group_decoded = EncodeStage.DEFAULT_MAX_BATCH_BYTES // 2
     by_key: dict[str, list[dict]] = {}
     for rec in mf.drop_covered(mf.load_records(out_dir)):
@@ -50,11 +64,34 @@ def plan_compaction(out_dir: str, target_bytes: int = 128 << 20, min_group: int 
             size_in += r.get("bytes_in", r["bytes_out"])
             if (size >= target_bytes or len(cur) >= max_group_files
                     or size_in >= max_group_decoded):
-                groups.append(cur)
+                if len(cur) >= min_group:
+                    groups.append(cur)
                 cur, size, size_in = [], 0, 0
         if len(cur) >= min_group:
             groups.append(cur)
     return groups
+
+
+def _config_from_records(out_dir: str, groups: list[list[dict]]) -> EncodeConfig:
+    """Recover the run's EncodeConfig from its lineage so merged partitions
+    re-encode under the SAME compression / forced codecs / blooms / kv
+    metadata (a bare default would silently reset them all). Falls back to
+    footer bloom inference for records written before the config snapshot
+    existed."""
+    snap = groups[0][0].get("encode_config")
+    if snap:
+        return EncodeConfig(
+            mode=snap.get("mode", "extended"),
+            compression=snap.get("compression", "snappy"),
+            page_bytes=int(snap.get("page_bytes", 1 << 20)),
+            crc=bool(snap.get("crc", True)),
+            column_codecs=dict(snap.get("column_codecs") or {}),
+            bloom_columns=tuple(snap.get("bloom_columns") or ()),
+            metadata=dict(snap.get("metadata") or {}),
+        )
+    footer = read_partition_footer(groups[0][0]["path"])
+    bc = tuple(footer.get("blooms") or ())
+    return EncodeConfig(bloom_columns=bc) if bc else EncodeConfig()
 
 
 def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
@@ -76,55 +113,67 @@ def compact_partitions(out_dir: str, target_bytes: int = 128 << 20,
     groups = plan_compaction(out_dir, target_bytes, max_group_files=max_group_files)
     if not groups:
         return {"groups": 0, "merged_files": 0}
-    cfg = config
-    if cfg is None:
-        # inherit Bloom columns from the run being compacted: a default
-        # config would silently strip the filters from merged partitions
-        # and eq_filter pruning would degrade to stats-only on them
-        footer = read_partition_footer(groups[0][0]["path"])
-        bc = tuple(footer.get("blooms") or ())
-        cfg = EncodeConfig(bloom_columns=bc) if bc else EncodeConfig()
+    cfg = config if config is not None else _config_from_records(out_dir, groups)
 
     class CompactStage(EncodeStage):
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import json
-
             out_rows = []
             for spec in batch.column("group").to_pylist():
                 recs = json.loads(spec)
-                tables = [read_partition(r["path"]) for r in recs]
-                merged = pa.concat_tables(tables)
-                new = EncodeStage.__call__(self, merged, tag=recs[0].get("key"))
-                # record which LOGICAL partition ids this merge absorbed
-                # (propagating ids a previous compaction already absorbed):
-                # resume keys on the original deterministic ids (e.g.
-                # "<key>-<salt>"), and compaction renames partitions to
-                # content hashes — without `covers`, a resume re-run after
-                # compaction re-encoded every group and silently DUPLICATED
-                # all rows. A merge group is bounded by half the encode
-                # batch cap (plan_compaction), so the re-encode never
-                # self-splits and `new` is a single record.
                 covers = sorted({i for r in recs
                                  for i in ([r["partition_id"]]
                                            + list(r.get("covers") or []))})
-                for pid in new.column("partition_id").to_pylist():
-                    rec_path = mf.record_path(self.out_dir, pid)
-                    rec = json.loads(fsio.read_bytes(rec_path))
-                    rec["covers"] = covers
-                    mf.write_record(self.out_dir, rec)
-                out_rows.append(new)
+                missing = [r for r in recs if not fsio.exists(r["path"])]
+                if missing:
+                    # Ray replay of a task whose first execution already
+                    # merged+retired this group: if a live record covers
+                    # every group member, the work is durably done — no-op.
+                    done = set()
+                    for lr in mf.drop_covered(mf.load_records(self.out_dir)):
+                        done.update(lr.get("covers") or ())
+                        done.add(lr["partition_id"])
+                    if {r["partition_id"] for r in recs} <= done:
+                        continue
+                    raise FileNotFoundError(
+                        f"compact: source partition(s) missing and not "
+                        f"covered by any live record: "
+                        f"{[r['path'] for r in missing]}")
+                merged = pa.concat_tables(
+                    [read_partition(r["path"]) for r in recs])
+                # group sizes are bounded by half the encode batch cap
+                # (plan_compaction), so this is always ONE partition — which
+                # lets the covers land atomically with the record: a crash
+                # can never leave a covers-less merged record that would
+                # double-count every absorbed row
+                body, lineage = encode_table(merged, self.config)
+                pid = partition_id_for(body)
+                path = fsio.join(self.out_dir, f"part-{pid}.rdpg")
+                if not fsio.exists(path):
+                    fsio.write_bytes_atomic(path, body)
+                lineage["partition_id"] = pid
+                lineage["path"] = path
+                tag = recs[0].get("key")
+                if tag is not None:
+                    lineage["key"] = tag
+                # a merge reproducing one of its OWN source pids must not
+                # cover (and later delete) itself
+                own = [c for c in covers if c != pid]
+                if own:
+                    lineage["covers"] = own
+                mf.write_record(self.out_dir, lineage)
+                out_rows.append(_lineage_table(lineage))
                 # retire old records + files only after the new one is durable
                 for r in recs:
+                    if r["partition_id"] == pid:
+                        continue
                     fsio.delete_file(mf.record_path(self.out_dir, r["partition_id"]))
                     fsio.delete_file(r["path"])
+            if not out_rows:  # every group was a completed replay
+                return EncodeStage.__call__(self, pa.table({}))
             return pa.concat_tables(out_rows)
 
-    import json
-
     items = rd.from_items([{"group": json.dumps(g)} for g in groups])
-    from .encode import _default_concurrency
 
-    lo, hi = _default_concurrency()
     def compact_batch(batch: pa.Table) -> pa.Table:
         return CompactStage(out_dir, cfg)(batch)
 

@@ -135,6 +135,7 @@ def encode_grouped(
     salt_col: str = "doc_id",
     target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
     resume: bool = True,
+    max_group_bytes: int | None = None,
 ) -> rd.Dataset:
     """Salted groupby-on-``key`` encode with deterministic partition ids.
 
@@ -143,7 +144,23 @@ def encode_grouped(
     the salt fan-out from :func:`plan_salts`; resume by the manifest id set.
     """
     cfg = config or EncodeConfig()
-    salts = plan_salts(ds, key, target_partition_bytes)
+    group_cap = max_group_bytes or EncodeStage.DEFAULT_MAX_BATCH_BYTES
+
+    def add_ktag(batch: pa.Table) -> pa.Table:
+        # group on the string TAG, not the raw key: Ray's groupby sort
+        # raises on null keys, while key_tag gives nulls their reserved
+        # token. Per-unique python key_tag keeps exact str(value) parity
+        # with decode_dataset(keys=...) for every key type.
+        d = batch.column(key).combine_chunks().dictionary_encode()
+        tags = pa.array([key_tag(v) for v in d.dictionary.to_pylist()],
+                        pa.string())
+        col = tags.take(d.indices) if len(d) else pa.array([], pa.string())
+        import pyarrow.compute as pc
+
+        return batch.append_column("__ktag", pc.fill_null(col, key_tag(None)))
+
+    ds = ds.map_batches(add_ktag, batch_format="pyarrow", zero_copy_batch=True)
+    salts = plan_salts(ds, "__ktag", target_partition_bytes)
     done = mf.completed_ids(out_dir) if resume else set()
     # Resume is only sound against the SAME input: partition ids are
     # '<key>-<salt>' and the salt assignment is hash(id) % fan(key), so if
@@ -153,8 +170,11 @@ def encode_grouped(
     # manifest and must match before any completed id is honored.
     import json as _json
 
+    # salts keys are ALREADY tags (plan_salts ran on __ktag) — re-escaping
+    # them through key_tag would double-escape "__"-prefixed keys and break
+    # resume against plans recorded by the raw-key grouping
     plan_doc = {"key": key,
-                "salts": {key_tag(k): int(v) for k, v in salts.items()}}
+                "salts": {str(k): int(v) for k, v in salts.items()}}
     plan_path = fsio.join(out_dir, "_salt_plan.json")
     if done and fsio.exists(plan_path):
         prev = _json.loads(fsio.read_bytes(plan_path))
@@ -186,7 +206,14 @@ def encode_grouped(
     def add_salt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        k = np.asarray(pc.index_in(batch.column(key), pa.array(list(salts))))
+        k_arr = pc.index_in(batch.column("__ktag"), pa.array(list(salts)))
+        if k_arr.null_count:
+            # every tag is in salts by construction (plan_salts ran on the
+            # tagged dataset); a miss means the input changed under us
+            raise ValueError(
+                "encode_grouped: key tag not in the salt plan — the input "
+                "changed between planning and encoding")
+        k = np.asarray(k_arr).astype(np.int64)
         fan = np.array(list(salts.values()), dtype=np.int64)[k]
         if salt_col in batch.column_names:
             h = _stable_hash(batch.column(salt_col))
@@ -196,9 +223,8 @@ def encode_grouped(
         return batch.append_column("__salt", pa.array(salt))
 
     def encode_group(group: pa.Table) -> pa.Table:
-        src = group.column(key)[0].as_py()
+        tag = group.column("__ktag")[0].as_py()
         salt = group.column("__salt")[0].as_py()
-        tag = key_tag(src)
         pid = f"{_fs_tag(tag)}-{salt:04d}"
         if pid in done:
             return _lineage_table(
@@ -206,7 +232,16 @@ def encode_grouped(
                  "num_rows": group.num_rows, "bytes_in": 0, "bytes_out": 0, "crc32": 0,
                  "codecs": {}}
             )
-        body_table = group.drop_columns(["__salt"])
+        body_table = group.drop_columns(["__salt", "__ktag"])
+        if body_table.nbytes > group_cap:
+            # the salt plan sized fan-out from the MEAN row size; a hot key
+            # with far-larger rows can land a group past the encode cap —
+            # fail fast with the remedy instead of OOMing the worker
+            raise ValueError(
+                f"encode_grouped: group '{pid}' holds {body_table.nbytes} "
+                f"Arrow bytes, over the {group_cap}"
+                f"-byte encode cap — lower target_partition_bytes (its rows "
+                f"are much larger than the dataset mean)")
         lineage = write_partition(body_table, fsio.join(out_dir, f"part-{pid}.rdpg"), cfg)
         lineage["partition_id"] = pid
         lineage["key"] = tag  # decode_dataset(keys=...) prunes on this
@@ -214,7 +249,7 @@ def encode_grouped(
         return _lineage_table(lineage)
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-    return salted.groupby([key, "__salt"]).map_groups(encode_group, batch_format="pyarrow")
+    return salted.groupby(["__ktag", "__salt"]).map_groups(encode_group, batch_format="pyarrow")
 
 
 def encode_partitioned(
@@ -343,8 +378,18 @@ def decode_dataset(
                 f"{out_dir} — key pruning needs the manifest; decoding "
                 f"everything instead would silently drop the point-lookup "
                 f"contract")
+        keyed = [r for r in records if "key" in r]
+        if not keyed:
+            raise ValueError(
+                f"decode_dataset(keys=...): the manifest under {out_dir} "
+                f"has no keyed records — the run was not written by "
+                f"encode_grouped/encode_partitioned; key pruning would "
+                f"silently return nothing")
+        # membership on the RECORD's tag, never on str(r.get('key')):
+        # records without a key stringified to 'None' and collided with a
+        # legitimate 'None' key value
         keyset = {key_tag(k) for k in keys}
-        records = [r for r in records if str(r.get("key")) in keyset]
+        records = [r for r in keyed if str(r["key"]) in keyset]
         if not records:
             return rd.from_items([])  # no partition carries a requested key
     if records:
@@ -359,37 +404,25 @@ def decode_dataset(
             # objects" are indistinguishable there.
             raise ValueError(
                 f"decode_dataset: {out_dir!r} does not exist")
-    if stats_filter:
-        from ..sources.partfile import partition_stats
-
-        if not hasattr(stats_filter, "items"):
-            raise TypeError(
-                f"stats_filter must be a mapping {{column: (lo, hi)}}, got "
-                f"{type(stats_filter).__name__} — e.g. "
-                f"stats_filter={{'doc_id': (0, None)}} for doc_id >= 0")
-
-        def overlaps(p: str) -> bool:
-            st = partition_stats(p)
-            for col, (lo, hi) in stats_filter.items():
-                s = st.get(col) or {}
-                if s.get("min") is None:
-                    continue  # no stats -> cannot prune
-                if (hi is not None and s["min"] > hi) or (lo is not None and s["max"] < lo):
-                    return False
-            return True
-
-        paths = _parallel_prune(paths, overlaps)
-    if eq_filter:
+    if stats_filter is not None and not hasattr(stats_filter, "items"):
+        raise TypeError(
+            f"stats_filter must be a mapping {{column: (lo, hi)}}, got "
+            f"{type(stats_filter).__name__} — e.g. "
+            f"stats_filter={{'doc_id': (0, None)}} for doc_id >= 0")
+    if eq_filter is not None and not hasattr(eq_filter, "items"):
+        raise TypeError(
+            f"eq_filter must be a mapping {{column: value_or_values}}, "
+            f"got {type(eq_filter).__name__}")
+    if stats_filter or eq_filter:
         from ..sources import bloom as _bloom
-        from ..sources.partfile import read_partition_footer
+        from ..sources.partfile import read_dictionary_page, read_partition_footer
 
-        if not hasattr(eq_filter, "items"):
-            raise TypeError(
-                f"eq_filter must be a mapping {{column: value_or_values}}, "
-                f"got {type(eq_filter).__name__}")
-        # normalize each filter to a pyarrow array of queried values
-        queries = {}
-        for col, vals in eq_filter.items():
+        # normalize each eq filter to a pyarrow array + a hoisted pylist
+        # (rebuilding them inside the per-partition predicate once cost a
+        # list conversion per partition per column)
+        queries: dict = {}
+        qvals: dict = {}
+        for col, vals in (eq_filter or {}).items():
             if isinstance(vals, (pa.Array, pa.ChunkedArray)):
                 arr = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
             elif isinstance(vals, (list, tuple, set, frozenset, np.ndarray)):
@@ -399,10 +432,13 @@ def decode_dataset(
             if arr.null_count:
                 raise ValueError(f"eq_filter[{col!r}]: null query values")
             queries[col] = arr
+            qvals[col] = arr.to_pylist()
 
         checked_names = False
 
-        def may_hold(p: str) -> bool:
+        def keep(p: str) -> bool:
+            # ONE footer read serves the stats ranges, the eq envelopes,
+            # the bloom probes, and the dict-page membership test
             nonlocal checked_names
             footer = read_partition_footer(p)
             metas = {s["path"]: s for s in footer["streams"]}
@@ -416,11 +452,16 @@ def decode_dataset(
                         f"eq_filter: no such column(s) {missing}; "
                         f"available: {sorted(metas)}")
                 checked_names = True
+            for col, (lo, hi) in (stats_filter or {}).items():
+                st = (metas.get(col) or {}).get("stats") or {}
+                if st.get("min") is None:
+                    continue  # no stats -> cannot prune
+                if (hi is not None and st["min"] > hi) or (lo is not None and st["max"] < lo):
+                    return False
             for col, arr in queries.items():
-                s = (metas.get(col) or {}).get("stats") or {}
-                if s.get("min") is not None:
-                    vals = arr.to_pylist()
-                    if all(v < s["min"] or v > s["max"] for v in vals):
+                st = (metas.get(col) or {}).get("stats") or {}
+                if st.get("min") is not None:
+                    if all(v < st["min"] or v > st["max"] for v in qvals[col]):
                         return False
                 b = blooms.get(col)
                 if b is not None:
@@ -439,8 +480,6 @@ def decode_dataset(
                     # with zero false positives, one ranged read, no bloom
                     # needed (the reference exploits the same property for
                     # distinct stats, type_dict.go:127-129)
-                    from ..sources.partfile import read_dictionary_page
-
                     dvals = read_dictionary_page(p, col)
                     if dvals is not None:
                         import pyarrow.compute as pc
@@ -455,7 +494,7 @@ def decode_dataset(
                             return False
             return True
 
-        paths = _parallel_prune(paths, may_hold)
+        paths = _parallel_prune(paths, keep)
     lo, hi = _default_concurrency()
     conc_hi = (concurrency[1] if isinstance(concurrency, tuple) else concurrency) or hi
     # several files per task when there are many small partitions
@@ -556,12 +595,15 @@ def encode_dataset_to_parquet(
             # one atomic publish through fsio — URI-capable
             with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tf:
                 tmp_name = tf.name
-            write_parquet_with_our_kernels(batch, tmp_name, compression=compression,
-                                           column_encoding=column_encoding,
-                                           row_group_rows=row_group_rows)
-            with open(tmp_name, "rb") as f:
-                body = f.read()
-            os.remove(tmp_name)
+            try:
+                write_parquet_with_our_kernels(batch, tmp_name, compression=compression,
+                                               column_encoding=column_encoding,
+                                               row_group_rows=row_group_rows)
+                with open(tmp_name, "rb") as f:
+                    body = f.read()
+            finally:  # a writer error must not leak the staging file
+                if os.path.exists(tmp_name):
+                    os.remove(tmp_name)
             pid = hashlib.blake2b(body, digest_size=12).hexdigest()
             path = fsio.join(out_dir, f"part-{pid}.parquet")
             fsio.write_bytes_atomic(path, body)

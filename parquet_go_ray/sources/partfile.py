@@ -136,6 +136,16 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None,
         "codecs": {m["path"]: m["codec"] for m in stream_metas},
         "pages": {m["path"]: len(m["pages"]) for m in stream_metas},
         "crc32": zlib.crc32(bytes(body)) & 0xFFFFFFFF,
+        # the full reproducible config: compaction re-encodes merged
+        # partitions with THIS (config=None would otherwise silently reset
+        # compression / forced codecs / blooms / kv metadata to defaults)
+        "encode_config": {
+            "mode": config.mode, "compression": config.compression,
+            "page_bytes": config.page_bytes, "crc": config.crc,
+            "column_codecs": dict(config.column_codecs),
+            "bloom_columns": list(config.bloom_columns),
+            "metadata": {str(k): str(v) for k, v in config.metadata.items()},
+        },
     }
     tables = {
         m["path"]: m["stats"]["fsst_table_crc32"]

@@ -90,8 +90,15 @@ def exists(path: str) -> bool:
 def file_size(path: str) -> int:
     if is_local(path):
         return os.path.getsize(_local_path(path))
+    from pyarrow import fs as pafs
+
     fs, p = resolve(path)
-    return fs.get_file_info(p).size
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        # size is None for NotFound entries — callers doing min(size, n)
+        # would die with an opaque TypeError instead of a clean not-found
+        raise FileNotFoundError(path)
+    return info.size
 
 
 def read_bytes(path: str) -> bytes:
@@ -128,7 +135,12 @@ def write_bytes_atomic(path: str, data, *, fsync: bool = False) -> None:
     if is_local(path):
         p = _local_path(path)
         os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-        tmp = f"{p}.tmp-{os.getpid()}"
+        # pid alone is not unique enough: a zombie retry on shared storage
+        # (or two threads in one process) must never interleave into one
+        # tmp file and publish a torn partition
+        import uuid
+
+        tmp = f"{p}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(data)
             if fsync:
@@ -177,9 +189,11 @@ def list_files(dir_path: str, suffix: str = "") -> list[str]:
 
     fs, p = resolve(dir_path)
     sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
-    scheme, _ = _split_uri(dir_path)
     out = []
     for info in fs.get_file_info(sel):
         if info.type == pafs.FileType.File and info.path.endswith(suffix):
-            out.append(f"{scheme}://{info.path}" if scheme else info.path)
+            # rebuild under the CALLER's base: info.path loses the URI
+            # authority (hdfs://host:9000/x -> /x), so scheme+info.path
+            # resolved a DIFFERENT filesystem for authority-bearing URIs
+            out.append(join(dir_path, basename(info.path)))
     return sorted(out)

@@ -135,7 +135,7 @@ def encode_table(table: pa.Table, config: EncodeConfig | None = None,
         "bytes_out": len(body),
         "codecs": {m["path"]: m["codec"] for m in stream_metas},
         "pages": {m["path"]: len(m["pages"]) for m in stream_metas},
-        "crc32": zlib.crc32(bytes(body)) & 0xFFFFFFFF,
+        "crc32": zlib.crc32(body) & 0xFFFFFFFF,  # bytearray ok: no copy
         # the full reproducible config: compaction re-encodes merged
         # partitions with THIS (config=None would otherwise silently reset
         # compression / forced codecs / blooms / kv metadata to defaults)
@@ -251,6 +251,12 @@ def read_dictionary_page(path: str, column: str):
         return None
     dmeta = meta["dict"]
     raw = fsio.read_range(path, dmeta["offset"], dmeta["size"])
+    crc = dmeta.get("crc32_comp", dmeta.get("crc32c"))
+    if crc is not None and (zlib.crc32(bytes(raw)) & 0xFFFFFFFF) != crc:
+        # this distinct set drives EXACT pruning (eq_filter) — a rotted
+        # page that silently missed a queried key would vanish rows from
+        # point lookups, the lying-filter failure the bloom CRC exists for
+        raise ValueError(f"CRC mismatch on {path} dict page for {column}")
     payload = _decompress(raw, meta["compression"], dmeta["usize"])
     from ..functions import plain
 
@@ -262,7 +268,21 @@ def read_dictionary_page(path: str, column: str):
              pa.py_buffer(np.ascontiguousarray(data))],
         )
     dtype = meta["dtype"]
+    if meta["kind"] == "fixed_bytes":
+        width = int(dtype.split(":")[1])
+        flat = np.frombuffer(payload, dtype=np.uint8,
+                             count=dmeta["num_values"] * width)
+        return pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), dmeta["num_values"],
+            [None, pa.py_buffer(np.ascontiguousarray(flat))])
     if dtype in _INT_CLASS:
         nbits = _INT_CLASS[dtype]
-        return pa.array(plain.decode_fixed(payload, "int32" if nbits == 32 else "int64", dmeta["num_values"]))
+        v = plain.decode_fixed(payload, "int32" if nbits == 32 else "int64",
+                               dmeta["num_values"])
+        # restore the COLUMN dtype like decode_stream's _from_class —
+        # returning the signed class view hands uint32 values >= 2^31 back
+        # as negatives (and silently breaks dict-pruning casts)
+        from .columns import _from_class
+
+        return pa.array(_from_class(v, dtype))
     return pa.array(plain.decode_fixed(payload, dtype, dmeta["num_values"]))

@@ -42,15 +42,26 @@ def write_record(out_dir: str, record: dict) -> str:
 
 
 def load_records(out_dir: str) -> list[dict]:
-    out = []
-    for path in fsio.list_files(manifest_dir(out_dir), ".json"):
+    paths = fsio.list_files(manifest_dir(out_dir), ".json")
+
+    def _read(path: str):
         try:
-            out.append(json.loads(fsio.read_bytes(path)))
-        except (json.JSONDecodeError, OSError):
+            return json.loads(fsio.read_bytes(path))
+        except (json.JSONDecodeError, UnicodeDecodeError, OSError):
             # A torn record (crash mid-rename without fsync on old kernels)
             # means that one partition re-encodes; it must not brick resume.
-            continue
-    return out
+            # UnicodeDecodeError included: torn bytes are rarely valid UTF-8.
+            return None
+    if len(paths) <= 8:
+        recs = [_read(p) for p in paths]
+    else:
+        # object stores: one GET per record — overlap them (same rationale
+        # as decode_dataset's _parallel_prune)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+            recs = list(ex.map(_read, paths))
+    return [r for r in recs if r is not None]
 
 
 def drop_covered(records: list[dict]) -> list[dict]:
@@ -73,17 +84,40 @@ def completed_ids(out_dir: str, verify_crc: bool = False) -> set[str]:
     merged file provably contains those logical partitions' rows, so a
     resume must treat them as complete — without this, a resume re-run
     after ``compact_partitions`` re-encoded every group and silently
-    duplicated all rows."""
-    done = set()
-    for rec in load_records(out_dir):
-        path = rec.get("path")
+    duplicated all rows.
+
+    ``verify_crc=True`` is a REPAIR pass: a record whose file fails its
+    crc is RETIRED (record deleted; the corrupt file left for forensics as
+    an fsck-visible orphan) — without the retirement, the re-encoded
+    replacements stayed hidden behind the corrupt merge's ``covers`` in
+    drop_covered and the repair was unreachable."""
+    records = load_records(out_dir)
+    paths = [r.get("path") for r in records]
+
+    def _ok(pr):
+        path, rec = pr
         if not path or not fsio.exists(path):
-            continue
+            return False
         if verify_crc:
-            if (zlib.crc32(fsio.read_bytes(path)) & 0xFFFFFFFF) != rec.get("crc32"):
-                continue
-        done.add(rec["partition_id"])
-        done.update(rec.get("covers") or ())
+            return (zlib.crc32(fsio.read_bytes(path)) & 0xFFFFFFFF) == rec.get("crc32")
+        return True
+    pairs = list(zip(paths, records))
+    if len(pairs) <= 8 or verify_crc:  # crc reads whole files: keep serial
+        flags = [_ok(p) for p in pairs]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(pairs))) as ex:
+            flags = list(ex.map(_ok, pairs))
+    done = set()
+    for (path, rec), ok in zip(pairs, flags):
+        if ok:
+            done.add(rec["partition_id"])
+            done.update(rec.get("covers") or ())
+        elif verify_crc and path and fsio.exists(path):
+            # crc failure on a live record: retire it so drop_covered stops
+            # routing reads (and hiding re-encodes) through the corrupt file
+            fsio.delete_file(record_path(out_dir, rec["partition_id"]))
     return done
 
 

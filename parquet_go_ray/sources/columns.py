@@ -508,7 +508,14 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
             and st.dict_size < st.plain_size // 2
         )
         if forced:
-            codec = forced
+            # "PLAIN" is the natural spelling (it IS the name on every other
+            # stream kind) — alias it instead of failing at page-encode time
+            codec = {"PLAIN": "PLAIN_BA"}.get(forced, forced)
+            if codec not in ("PLAIN_BA", "DICT", "DELTA_LENGTH_BA",
+                             "DELTA_BA", "FSST_BA"):
+                raise ValueError(
+                    f"unknown bytes codec {forced!r} for {stream.path!r}; "
+                    f"valid: PLAIN, DICT, DELTA_LENGTH_BA, DELTA_BA, FSST_BA")
         elif dict_clearly_wins:
             # skip the prefix/FSST trial passes when the dictionary is at
             # least 2x smaller than plain — they can't win and cost a scan
@@ -559,6 +566,10 @@ def encode_stream(stream: Stream, config: EncodeConfig) -> tuple[list[bytes], di
         else:
             d = np.asarray(data, dtype=np.uint8)
             fsst_table = None
+            if codec == "FSST_BA" and not n:
+                # forced FSST on a zero-row stream: nothing to train on —
+                # an empty table encodes the (empty) page as all literals
+                fsst_table = np.empty(0, dtype=np.uint8)
             if codec == "FSST_BA" and n:
                 # ONE symbol table per stream, trained on a 64 KB sample and
                 # shared by every page (training is iterative and would

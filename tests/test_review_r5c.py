@@ -93,3 +93,21 @@ def test_verify_crc_retires_corrupt_merged_record(tmp_path):
 def test_file_size_missing_object_store_path_raises_not_found():
     with pytest.raises(FileNotFoundError):
         fsio.file_size("mock://bucket/nope/missing.rdpg")
+
+
+def test_forced_bytes_codecs_on_zero_row_and_plain_alias(tmp_path):
+    # hypothesis (random seed) found: forced FSST_BA on a zero-row string
+    # column crashed (no table trained), and forced "PLAIN" on bytes
+    # raised 'unknown bytes codec' at page time instead of aliasing to
+    # PLAIN_BA like every other stream kind spells it
+    t0 = pa.table({"x": pa.array([], pa.string())})
+    for codec in ("FSST_BA", "PLAIN", "DELTA_BA", "DELTA_LENGTH_BA", "DICT"):
+        blob, _ = partfile.encode_table(
+            t0, EncodeConfig(column_codecs={"x": codec}))
+        assert partfile.decode_table(blob).equals(t0), codec
+    t1 = pa.table({"x": pa.array(["aa", "bb"])})
+    blob, rec = partfile.encode_table(
+        t1, EncodeConfig(column_codecs={"x": "PLAIN"}))
+    assert rec["codecs"]["x"] == "PLAIN_BA"
+    with pytest.raises(ValueError, match="unknown bytes codec"):
+        partfile.encode_table(t1, EncodeConfig(column_codecs={"x": "NOPE"}))

@@ -328,6 +328,14 @@ def key_equality_pairs(ds, col: str, id_col: str = "doc_id", *,
     quadratic."""
 
     def key_rows(t: pa.Table) -> pa.Table:
+        if t.column(col).null_count:
+            # SQL equality semantics (the repo's join contract: NULL never
+            # equals NULL) — a null blocking key matches nothing. Without
+            # this, pandas' groupby dropped the null group and emitted
+            # doc_a=NaN pairs that crashed duplicate_clusters' int64 cast.
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.is_valid(t.column(col)))
         h = _stable_hash(t.column(col))
         return pa.table({id_col: t.column(id_col), "__k": t.column(col),
                          "__p": pa.array(h % num_partitions)})
@@ -520,6 +528,10 @@ def semantic_dedup(ds, *, tau: float = 0.95, k: int | None = None,
 
     from .similarity import _kmeans, _normalize, _to_matrix
 
+    # ONE upstream execution: count + quantizer sample + assign map (+ the
+    # drop=True keep-filter pass) each consume ds — behind an expensive
+    # decode, the lazy lineage re-ran up to four times
+    ds = ds.materialize()
     n_total = ds.count()
     if k is None:
         k = max(8, -(-n_total // target_cluster))
@@ -549,11 +561,17 @@ def semantic_dedup(ds, *, tau: float = 0.95, k: int | None = None,
         M = _normalize(_to_matrix(t, vec_col)).astype(np.float32)
         cl = np.argmax(M @ Cm.T, axis=1)
         cent_sim = (M * Cm[cl]).sum(axis=1)
+        # vectorized list column: pa.array(list(M)) looped PYTHON rows over
+        # the whole corpus on the hot assignment map
+        n, d = M.shape
+        offsets = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        vec = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       pa.array(M.reshape(-1)))
         return pa.table({
             id_col: t.column(id_col),
             "__cl": pa.array(cl.astype(np.int64)),
             "__cent_sim": pa.array(cent_sim.astype(np.float64)),
-            "__vec": pa.array(list(M), pa.list_(pa.float32())),
+            "__vec": vec,
         })
 
     assigned = ds.map_batches(assign, batch_format="pyarrow",

@@ -183,7 +183,16 @@ def _shingle_hashes(offsets: np.ndarray, data: np.ndarray, k: int) -> tuple[np.n
         np.arange(int(n_sh.sum()), dtype=np.int64) - np.repeat(bounds[:-1], n_sh)
     )
     starts = np.minimum(starts, total - 1 if total else 0)
-    return acc[starts] if total else np.zeros(int(n_sh.sum()), dtype=np.uint64), bounds
+    hashes = acc[starts] if total else np.zeros(int(n_sh.sum()), dtype=np.uint64)
+    # a ZERO-length doc has no position of its own — its clamped start lands
+    # on the NEXT doc's first byte, making its signature depend on batch
+    # neighbors (verified: missed duplicates + nondeterminism under
+    # re-batching). Pin it to a constant so empty docs match each other and
+    # nothing else — same contract as _gram_hash_sets' word-level path.
+    empty = np.flatnonzero(lengths == 0)
+    if len(empty):
+        hashes[bounds[empty]] = 0
+    return hashes, bounds
 
 
 class MinHasher:
@@ -356,12 +365,15 @@ def minhash_verify_pairs(pairs_ds, sigs_ds, threshold: float = 0.7, *,
     # recompute per consumer.
     pairs_ds = pairs_ds.materialize()
     pair_filter = _broadcast_id_filter(pairs_ds, ["doc_a", "doc_b"])
+    # Materialize the filtered signatures for EVERY method: the shuffle
+    # path consumes `sigs` in two attach passes too, and without this each
+    # pass re-executed the upstream MinHash computation — the dominant cost
+    # the hash-once design exists to avoid.
     sigs = _semi_filter(
         sigs_ds.map_batches(as_list, batch_format="pyarrow", zero_copy_batch=True),
         id_col, pair_filter,
-    )
+    ).materialize()
     if method != "shuffle":
-        sigs = sigs.materialize()
         if method == "broadcast" or sigs.size_bytes() <= broadcast_bytes_cap:
             return _minhash_verify_broadcast(pairs_ds, sigs, id_col=id_col,
                                              threshold=threshold)
@@ -473,6 +485,7 @@ def hamming_candidate_pairs(sigs, *, sig_col: str = "simhash",
 
     ``sigs``: Dataset of (id_col, sig_col int64). Returns (doc_a, doc_b,
     hamming) pairs with Hamming <= max_hamming."""
+    _require_int_ids(sigs, id_col, "hamming_candidate_pairs")
     nb = max_hamming + 1
     if not 1 <= nb <= 64:
         raise ValueError(f"max_hamming {max_hamming} out of range")
@@ -1021,6 +1034,18 @@ def _block_pair_neardup(ta: pa.Table, tb: pa.Table, same: bool, tau: float,
     tiled so peak memory is a_tile x b_tile floats regardless of block size.
     ``return_rows=True`` adds row_a/row_b columns: each pair's ROW positions
     in ta/tb (pre-swap; symmetric consumers only)."""
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        # empty blocks survive to_arrow_refs on the prune=False path and
+        # SKIP the normalize map (Ray drops empty batches), so they arrive
+        # here without the __vec column — bail before touching the schema
+        empty = {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+        if return_rows:
+            empty["row_a"] = pd.Series(dtype="int64")
+            empty["row_b"] = pd.Series(dtype="int64")
+        return pd.DataFrame(empty)
+
     def mat(t):
         arr = t.column("__vec").combine_chunks()
         return np.asarray(arr.flatten(), dtype=np.float32).reshape(len(arr), -1)

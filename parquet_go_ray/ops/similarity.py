@@ -217,6 +217,10 @@ def knn_ivf(ds_emb, query_ids: list[int], k: int = 10, *, nlist: int = 16,
                 if not m.any():
                     continue
                 sims = self.Q[qi] @ M[m].T
+                # drop the self-match BEFORE the per-batch top-k (like
+                # BruteForceScorer): otherwise it occupies a slot and the
+                # true k-th neighbor from this batch is silently lost
+                sims[ids[m] == self.qids[qi]] = -np.inf
                 k2 = min(self.k, len(sims))
                 top = np.argpartition(-sims, k2 - 1)[:k2]
                 outs.append(pa.table({
@@ -421,6 +425,9 @@ def knn_lsh(ds_emb, query_ids: list[int], k: int = 10, *, bits: int = 4, id_col:
                 if not mask.any():
                     continue
                 sims = self.Q[qi] @ M[mask].T
+                # self-match out BEFORE top-k (see IvfScorer): it must not
+                # crowd a real neighbor out of this batch's k slots
+                sims[ids[mask] == self.qids[qi]] = -np.inf
                 k2 = min(self.k, len(sims))
                 top = np.argpartition(-sims, k2 - 1)[:k2]
                 outs.append(

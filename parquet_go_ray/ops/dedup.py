@@ -36,6 +36,8 @@ def _require_int_ids(ds, id_col: str, op: str) -> None:
     import pyarrow.types as pt
 
     sch = ds.schema()
+    if sch is None:  # zero-block dataset: nothing to validate, and the
+        return       # empty-input paths all short-circuit downstream
     names = list(sch.names)
     if id_col not in names:
         raise ValueError(f"{op}: no column {id_col!r} in {names}")

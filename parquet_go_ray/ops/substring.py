@@ -254,14 +254,12 @@ def dedup_substrings(ds, *, k: int = 50, tokens_col: str = "tokens",
                 np.add.at(covered, s + k, -1)
         cov = np.cumsum(covered[:-1]) > 0
         if mode == "flag":
-            if len(lens) and len(cov):
-                # reduceat can't take index == len (trailing empty doc);
-                # clipped segments are zeroed by the lens > 0 mask below
-                n_dup = np.add.reduceat(
-                    cov, np.minimum(offs[:-1], len(cov) - 1), dtype=np.int64)
-            else:
-                n_dup = np.zeros(len(lens), np.int64)
-            n_dup = np.where(lens > 0, n_dup, 0)
+            # segment sums via prefix sums: reduceat with clipped indices
+            # credited the LAST real doc's final token to a trailing
+            # empty-doc slot and undercounted it by one (review r5 batch 5)
+            csum = np.zeros(len(cov) + 1, dtype=np.int64)
+            np.cumsum(cov, out=csum[1:])
+            n_dup = csum[offs[1:]] - csum[offs[:-1]]
             return t.append_column(
                 "n_dup_tokens", pa.array(n_dup.astype(np.int64))
             ).append_column(

@@ -83,10 +83,13 @@ class LangId:
             [np.asarray(pc.count_substring_regex(text, self.patterns[lang]).combine_chunks(), dtype=np.float64)
              for lang in self.langs]
         )
-        # normalize zh by char count, others by token count
-        best = np.argmax(scores, axis=0)
+        # raw hit counts compete directly (zh counts characters, others
+        # words — no per-language normalization is applied)
+        best = np.argmax(np.nan_to_num(scores, nan=0.0), axis=0)
         pred = np.array(self.langs, dtype=object)[best]
-        no_signal = scores.sum(axis=0) == 0
+        # null text rows produce NaN counts — argmax would hand them the
+        # FIRST language; they are no-signal rows like empty strings
+        no_signal = ~(np.nan_to_num(scores, nan=0.0).sum(axis=0) > 0)
         pred[no_signal] = "unknown"
         return batch.append_column("lang_pred", pa.array(pred.astype(str)))
 
@@ -174,6 +177,10 @@ def train_val_split(ds, id_col: str = "doc_id", val_pct: int = 10, salt: int = 0
     a SQL oracle), no shuffle, no coordination: each batch tags itself."""
 
     def tag(t: pa.Table) -> pa.Table:
+        if t.column(id_col).null_count:
+            raise ValueError(
+                f"train_val_split: null {id_col} — NaN→uint64 is platform-"
+                f"dependent and the row's split would be untraceable")
         ids = np.asarray(t.column(id_col)).astype(np.uint64)
         h = ((ids + np.uint64(salt)) * np.uint64(2654435761)) % np.uint64(1 << 32)
         val = (h % np.uint64(100)) < val_pct
@@ -264,9 +271,15 @@ def redact_pii(ds, *, kinds: list[str] | None = None, text_col: str = "text",
 
 
 def train_char_lm(texts: list[str], order: int = 3) -> dict:
-    """Train a character n-gram language model (counts with add-one backoff)
+    """Train a character TRIGRAM language model (counts with add-one backoff)
     from sample texts. Returns a broadcastable dict of sorted code/logp arrays
-    — the 'model artifact' an inference stage loads once per actor."""
+    — the 'model artifact' an inference stage loads once per actor.
+
+    Only ``order=3`` is implemented (the packed uint32 code layout is
+    trigram-specific); other orders raise rather than silently returning
+    trigram statistics under a wrong label."""
+    if order != 3:
+        raise ValueError(f"train_char_lm: only order=3 is implemented, got {order}")
     data = np.frombuffer(" ".join(texts).encode("utf-8", "ignore"), dtype=np.uint8)
     if len(data) < order:
         return {"order": order, "codes": np.empty(0, np.uint32),
@@ -476,6 +489,10 @@ def pack_sequences(ds, *, seq_len: int = 2048, count_col: str = "n_tok",
             .iter_batches(batch_format="pyarrow"))
     for b in batches:
         for r in b.to_pylist():
+            if r["tok_sum"] == 0 and r["fp"][0] == 0:
+                continue  # zero-row blocks all share the degenerate fp and
+                # contribute no tokens — they must not trip the ambiguity
+                # check (two empty shards are harmless)
             if r["fp"] in offsets:
                 raise ValueError(
                     "pack_sequences: two blocks share a content fingerprint "
@@ -527,7 +544,9 @@ def stratified_sample(ds, rates: dict[str, float], *, key_col: str = "source",
         # basis_points=True: values are exact out-of-10000 integers
         # (mix_sources passes these — a float roundtrip like
         # 3333/10000*10000 would floor to 3332). Default: fractional rates.
-        return int(r) if basis_points else int(r * 10_000)
+        # round, not int(): 0.57*10_000 is 5699.999... in binary and int()
+        # truncated one basis point below the documented rate
+        return int(r) if basis_points else round(r * 10_000)
 
     items = sorted(rates.items())
     keys = pa.array([k for k, _ in items], type=pa.string())
@@ -535,6 +554,10 @@ def stratified_sample(ds, rates: dict[str, float], *, key_col: str = "source",
     default_thresh = np.uint64(_thresh(default_rate))
 
     def keep(t: pa.Table) -> pa.Table:
+        if t.column(id_col).null_count:
+            raise ValueError(
+                f"stratified_sample: null {id_col} — NaN→uint64 is platform-"
+                f"dependent and the row's keep/drop would be untraceable")
         ids = np.asarray(t.column(id_col)).astype(np.uint64)
         h = ((ids + np.uint64(salt)) * np.uint64(2654435761)) % np.uint64(1 << 32)
         bucket = h % np.uint64(10_000)
@@ -686,7 +709,10 @@ def pack_token_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
         gend = np.minimum(tok_start[d_idx] + lens[d_idx], (seq + 1) * seq_len)
         fl = (gend - gstart).astype(np.int64)
         local = gstart - tok_start[d_idx] + doc_off[d_idx]
-        keep = seq < n_seq  # drop_last trims trailing-partial fragments
+        # fl==0: a zero-token doc's degenerate fragment — it carries no
+        # tokens but would inflate n_docs and can emit a DUPLICATE all-pad
+        # row for a sequence another block assembles for real
+        keep = (seq < n_seq) & (fl > 0)  # drop_last trims trailing partials
         seq, gstart, fl, local = seq[keep], gstart[keep], fl[keep], local[keep]
 
         # Sequences whose FULL extent lies inside this batch's contiguous

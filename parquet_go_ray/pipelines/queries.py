@@ -1596,8 +1596,13 @@ def q_point_lookup_bloom_orders(sf_dir):
     res = exact.to_pandas()
     total = src.count()
     decoded = hit.count()
-    assert decoded < total / 2, (
-        f"bloom pruning did not bite: decoded {decoded} of {total} rows")
+    from ..state import manifest as mf
+
+    n_parts = len(mf.drop_covered(mf.load_records(out)))
+    if n_parts > 2:  # one partition (tiny sf) has nothing to prune
+        assert decoded < total / 2, (
+            f"bloom pruning did not bite: decoded {decoded} of {total} "
+            f"rows across {n_parts} partitions")
     assert sorted(res.o_orderkey.tolist()) == keys
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
